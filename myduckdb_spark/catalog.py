@@ -1,0 +1,43 @@
+"""Table catalog over the driver-generated parquet star schema.
+
+The reference catalogs tables in its own storage (reference:
+src/catalog/catalog.cpp, columnar row-groups of 122,880 rows on 256 KiB
+blocks — src/include/duckdb/storage/storage_info.hpp:20). Here tables ARE
+parquet: Parquet row groups provide the same zone-map (min/max) pruning the
+reference implements in src/storage/table/column_data.cpp:343-375, and
+Spark's parquet source provides filter/column pushdown equivalent to the
+reference TABLE_SCAN (src/function/table/table_scan.cpp:45-147).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one star-schema table (parquet; pushdown-capable)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register every table as a temp view so ``spark.sql`` queries see the
+    same names the DuckDB oracle uses."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

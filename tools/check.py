@@ -1,0 +1,118 @@
+"""Local correctness harness mirroring the driver's t2 oracle check.
+
+Runs every ``queries()`` entry on Spark at sf0.01, the matching
+``oracle_sql()`` in DuckDB over the same parquet, and compares
+row count + column names + order-insensitive canonicalized values.
+Exact comparison (no float tolerance): if a query only matches
+approximately, the query must be rewritten (decimal-cast aggregation)
+until it matches exactly — that is what the driver's hash demands.
+
+Usage: python tools/check.py [name ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+
+def canon_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)  # repr → shortest round-trip; exact bit equality check
+    if isinstance(v, Decimal):
+        return str(v.normalize())
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from myduckdb_spark import queries as q
+    from myduckdb_spark.catalog import TABLES
+    from myduckdb_spark.session import get_spark
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    all_q = q.queries()
+    oracles = q.oracle_sql()
+    names = args.names or list(all_q)
+    passed = failed = weak = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = all_q[name](spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            failed += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(srows)} (no oracle) [{time.time()-t0:.1f}s]")
+            weak += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = [c.lower() for c in rel.columns]
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            failed += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if sorted(c.lower() for c in scols) != sorted(dcols):
+            problems.append(f"columns {sorted(scols)} vs {sorted(dcols)}")
+        if not problems:
+            sc = canon_rows([c.lower() for c in scols], srows)
+            dc = canon_rows(dcols, drows)
+            if sc != dc:
+                diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+                problems.append(f"values differ; first diffs: {diffs}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            failed += 1
+        else:
+            print(f"ok    {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+            passed += 1
+    print(f"\n{passed} ok, {weak} weak, {failed} FAILED of {len(names)}")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
