@@ -32,8 +32,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one star-schema table (parquet; pushdown-capable)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Scan one star-schema table (parquet; pushdown-capable).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as BIGINT
+    nanos (spark.sql.legacy.parquet.nanosAsLong); converted here to a
+    microsecond TIMESTAMP_NTZ (the data carries no sub-µs precision, and
+    NTZ matches how Spark reads the other tables' naive timestamps).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer DIV, not double division: ns epoch values exceed 2^53 and
+        # would round in float, shifting timestamps by ±1µs
+        df = df.withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"),
+        )
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

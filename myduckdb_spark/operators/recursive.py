@@ -30,20 +30,26 @@ def recursive_cte(
     the standard semi-naive evaluation, which is also what keeps the work
     per iteration proportional to the frontier, not the accumulated set.
     """
-    accumulated = base.persist()
-    frontier = accumulated
+    # localCheckpoint truncates lineage each iteration — without it,
+    # iteration k's plan embeds iterations 1..k-1 and planning time
+    # (not data volume) dominates.
+    frontier = base.localCheckpoint(eager=True)
+    chunks = [frontier]
     for _ in range(max_iterations):
         nxt = step(frontier)
         if not union_all:
-            nxt = nxt.distinct().join(accumulated, on=list(base.columns), how="left_anti")
-        nxt = nxt.persist()
+            seen = chunks[0]
+            for c in chunks[1:]:
+                seen = seen.unionByName(c)
+            nxt = nxt.distinct().join(seen, on=list(base.columns), how="left_anti")
+        nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
-            nxt.unpersist()
             break
-        new_acc = accumulated.unionByName(nxt).persist()
-        accumulated.unpersist()
-        accumulated = new_acc
+        chunks.append(nxt)
         frontier = nxt
     else:
         raise RuntimeError(f"recursive CTE did not converge in {max_iterations} iterations")
-    return accumulated
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out

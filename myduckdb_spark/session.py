@@ -56,6 +56,10 @@ def get_spark(
         # (src/optimizer/join_filter_pushdown_optimizer.cpp).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # The events table stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects by default; read nanos as BIGINT and convert in
+        # catalog.load_table (values carry no sub-µs precision).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if driver_memory is None:
         driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")

@@ -1,0 +1,107 @@
+"""Join operator semantics, incl. the NULL/edge cases the oracle queries
+don't reach (reference test model: test/sql/join/, test/sql/amusjoin/)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from myduckdb_spark.operators.joins import (
+    amus_join,
+    asof_join,
+    mark_join,
+    positional_join,
+    single_join,
+)
+
+
+def test_mark_join_null_semantics(spark):
+    left = spark.createDataFrame([(1,), (2,), (None,)], "k int")
+    right_with_null = spark.createDataFrame([(1,), (None,)], "rk int")
+    out = {
+        r["k"]: r["mark"]
+        for r in mark_join(left, right_with_null, "k", "rk").collect()
+    }
+    # IN semantics: 1 matches → True; 2 vs {1, NULL} → NULL; NULL probe → NULL
+    assert out[1] is True
+    assert out[2] is None
+    assert out[None] is None
+
+
+def test_mark_join_empty_rhs(spark):
+    left = spark.createDataFrame([(1,), (None,)], "k int")
+    empty = spark.createDataFrame([], "rk int")
+    out = {r["k"]: r["mark"] for r in mark_join(left, empty, "k", "rk").collect()}
+    # x IN (empty) is FALSE, even for NULL x
+    assert out[1] is False and out[None] is False
+
+
+def test_mark_join_no_rhs_nulls(spark):
+    left = spark.createDataFrame([(1,), (5,)], "k int")
+    right = spark.createDataFrame([(1,), (2,)], "rk int")
+    out = {r["k"]: r["mark"] for r in mark_join(left, right, "k", "rk").collect()}
+    assert out[1] is True and out[5] is False
+
+
+def test_single_join_raises_on_multimatch(spark):
+    left = spark.createDataFrame([(1,)], "k int")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    with pytest.raises(Exception, match="(?i)more than one row|SINGLE"):
+        single_join(left, dup, on="k").collect()
+
+
+def test_single_join_ok(spark):
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame([(1, "a")], "k int, v string")
+    rows = {r["k"]: r["v"] for r in single_join(left, right, on="k").collect()}
+    assert rows == {1: "a", 2: None}
+
+
+def test_asof_backward_and_forward(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("B", 3, 20.0)], "sym string, t int, px double"
+    )
+    trades = spark.createDataFrame(
+        [("A", 0), ("A", 1), ("A", 6), ("B", 2)], "sym string, t int"
+    )
+    back = asof_join(
+        trades,
+        quotes.select("sym", "t", F.col("px").alias("q_px")),
+        on="t",
+        by=["sym"],
+    )
+    got = {(r["sym"], r["t"]): r["q_px"] for r in back.collect()}
+    assert got == {("A", 0): None, ("A", 1): 10.0, ("A", 6): 11.0, ("B", 2): None}
+
+    fwd = asof_join(
+        trades,
+        quotes.select("sym", "t", F.col("px").alias("q_px")),
+        on="t",
+        by=["sym"],
+        direction="forward",
+    )
+    got_f = {(r["sym"], r["t"]): r["q_px"] for r in fwd.collect()}
+    assert got_f == {("A", 0): 10.0, ("A", 1): 10.0, ("A", 6): None, ("B", 2): 20.0}
+
+
+def test_asof_no_exact_match(spark):
+    right = spark.createDataFrame([(1, "x")], "t int, v string")
+    left = spark.createDataFrame([(1,)], "t int")
+    exact = asof_join(left, right, on="t", allow_exact_match=True)
+    strict = asof_join(left, right, on="t", allow_exact_match=False)
+    assert exact.collect()[0]["v"] == "x"
+    assert strict.collect()[0]["v"] is None
+
+
+def test_amus_join_broadcasts_small_side(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    out = amus_join(nation, region, F.col("n_regionkey") != F.col("r_regionkey"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert out.count() == 100
+
+
+def test_positional_uneven(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], "x int")
+    b = spark.createDataFrame([(10,)], "y int")
+    rows = positional_join(a, b, ["x"], ["y"]).orderBy("x").collect()
+    assert [(r["x"], r["y"]) for r in rows] == [(1, 10), (2, None), (3, None)]

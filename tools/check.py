@@ -25,11 +25,25 @@ import duckdb  # noqa: E402
 
 
 def canon_cell(v):
+    import numpy as np
+
     if v is None:
         return "∅"
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(canon_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, np.floating):
+        v = float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        # integral floats print as ints: pandas upcasts nullable int columns
+        # to float64, which must still compare equal to the oracle's ints
+        if v.is_integer() and abs(v) < 2**53:
+            return str(int(v))
         return repr(v)  # repr → shortest round-trip; exact bit equality check
     if isinstance(v, Decimal):
         return str(v.normalize())
@@ -44,6 +58,18 @@ def canon_cell(v):
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def _isna(x):
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(x, np.ndarray):
+        return False
+    try:
+        return bool(pd.isna(x))
+    except (TypeError, ValueError):
+        return False
 
 
 def canon_rows(cols, rows):
@@ -76,7 +102,13 @@ def main():
         try:
             sdf = all_q[name](spark, args.sf)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            pdf = sdf.toPandas()
+            srows = [tuple(t) for t in pdf.itertuples(index=False, name=None)]
+            # pandas represents SQL NULL as NaN/NaT — normalize to None
+            srows = [
+                tuple(None if (x is not None and not isinstance(x, (list, tuple)) and _isna(x)) else x for x in t)
+                for t in srows
+            ]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             failed += 1
