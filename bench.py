@@ -49,6 +49,7 @@ def main() -> None:
         df = all_q[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

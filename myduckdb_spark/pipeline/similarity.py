@@ -30,7 +30,8 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe (excluding self)."""
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
+    par = probes.sparkSession.sparkContext.defaultParallelism
+    p = probes.repartition(par).select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         p.join(c, F.col("probe_id") != F.col("neighbor_id"))
@@ -84,8 +85,9 @@ def lsh_bucketed_topk(
         F.col(vec_col).alias(vn),
         hyperplane_signature(vec_col, planes, dim).alias("bucket"),
     )
-    p = sig(probes, "probe_id", "pv")
-    c = sig(corpus, "neighbor_id", "cv")
+    par = probes.sparkSession.sparkContext.defaultParallelism
+    p = sig(probes.repartition(par), "probe_id", "pv")
+    c = sig(corpus.repartition(par), "neighbor_id", "cv")
     scored = (
         p.join(c, "bucket")
         .filter(F.col("probe_id") != F.col("neighbor_id"))

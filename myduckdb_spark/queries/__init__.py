@@ -63,9 +63,11 @@ def _load_all() -> None:
     from myduckdb_spark.queries import (  # noqa: F401
         aggregates,
         core,
+        functions_battery,
         join_family,
         pipeline_ops,
         setops_misc,
+        tpch_full,
         windows,
     )
 

@@ -1,0 +1,303 @@
+"""Scalar-function batteries — SURVEY.md §2.9's function library exercised
+end-to-end with oracle checks (reference registry:
+src/core_functions/function_list.cpp:51-428; built-ins under
+src/function/scalar/).
+
+Each battery is a single projection over a real table, selecting only
+functions whose results are bit-identical between Spark and DuckDB
+(integer/string/date semantics, IEEE-exact double ops like sqrt, exact
+decimal arithmetic). Functions with engine-divergent last-bit rounding
+(exp/ln/trig — libm vs StrictMath) are exercised in tests/test_functions.py
+with tolerance instead, and are available through
+myduckdb_spark.functions.registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myduckdb_spark.catalog import load_table
+from myduckdb_spark.queries import register
+
+
+@register(
+    "fn_string_battery",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up, lower(p_brand) AS lo,
+           CAST(length(p_name) AS INT) AS len,
+           substring(p_name, 1, 4) AS sub,
+           concat_ws('-', p_brand, p_type) AS cw,
+           lpad(p_brand, 12, '*') AS lp, rpad(p_type, 10, '.') AS rp,
+           trim('  ' || p_name || ' ') AS tr,
+           replace(p_name, ' ', '_') AS rep,
+           reverse(p_type) AS rev,
+           split_part(p_name, ' ', 1) AS sp1,
+           CAST(starts_with(p_name, 'small') AS BOOLEAN) AS sw,
+           CAST(contains(p_name, 'gear') AS BOOLEAN) AS has_gear,
+           p_name LIKE '%bolt%' AS like_bolt,
+           CAST(ascii(p_type) AS INT) AS asc1,
+           CAST(levenshtein(p_name, 'small ring') AS INT) AS lev,
+           md5(p_name) AS h_md5,
+           CAST(strpos(p_name, 'e') AS INT) AS pos_e,
+           repeat(p_brand, 2) AS rep2,
+           translate(p_type, 'AEO', 'aeo') AS trans,
+           left(p_name, 3) AS l3, right(p_name, 3) AS r3,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS re_last,
+           regexp_replace(p_name, '[aeiou]', '#', 'g') AS re_sub
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("functions", "string"),
+)
+def fn_string_battery(spark, sf_dir):
+    """String library (reference src/function/scalar/string/ +
+    src/core_functions/scalar/string/). All JVM built-ins — whole-stage
+    codegen, no UDFs."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.length("p_name").cast("int").alias("len"),
+        F.substring("p_name", 1, 4).alias("sub"),
+        F.concat_ws("-", "p_brand", "p_type").alias("cw"),
+        F.lpad("p_brand", 12, "*").alias("lp"),
+        F.rpad("p_type", 10, ".").alias("rp"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("tr"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("rep"),
+        F.reverse("p_type").alias("rev"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("sp1"),
+        F.startswith(F.col("p_name"), F.lit("small")).alias("sw"),
+        F.contains(F.col("p_name"), F.lit("gear")).alias("has_gear"),
+        F.col("p_name").like("%bolt%").alias("like_bolt"),
+        F.ascii("p_type").alias("asc1"),
+        F.levenshtein(F.col("p_name"), F.lit("small ring")).alias("lev"),
+        F.md5("p_name").alias("h_md5"),
+        F.instr("p_name", "e").alias("pos_e"),
+        F.repeat("p_brand", 2).alias("rep2"),
+        F.translate("p_type", "AEO", "aeo").alias("trans"),
+        F.substring("p_name", 1, 3).alias("l3"),
+        F.expr("right(p_name, 3)").alias("r3"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("re_last"),
+        F.regexp_replace("p_name", "[aeiou]", "#").alias("re_sub"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "fn_math_battery",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_retailprice - 1000.0) AS ab,
+           CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS sg,
+           CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+           CAST(floor(p_retailprice) AS BIGINT) AS fl,
+           round(p_retailprice, 1) AS rnd,
+           sqrt(p_retailprice) AS sq,
+           p_retailprice * p_retailprice AS sqr,
+           CAST(p_size % 7 AS INT) AS md,
+           greatest(p_size, 25) AS gr, least(p_size, 25) AS le,
+           CAST(factorial(CAST(p_size % 10 AS INTEGER)) AS BIGINT) AS fact,
+           CAST(p_size << 2 AS INT) AS shl,
+           CAST(p_size & 12 AS INT) AS band,
+           CAST(p_size | 3 AS INT) AS bor,
+           CAST(xor(p_size, 5) AS INT) AS bxor,
+           CAST(bit_count(p_size) AS INT) AS bcnt,
+           CAST(isnan(p_retailprice) AS BOOLEAN) AS nn,
+           CAST(p_retailprice AS DECIMAL(12,2)) AS dec2,
+           CAST(try_cast(p_brand AS INTEGER) IS NULL AS BOOLEAN) AS badcast
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("functions", "math"),
+)
+def fn_math_battery(spark, sf_dir):
+    """Math/bit library (reference src/core_functions/scalar/math/
+    numeric.cpp + operators). Only IEEE-exact ops (abs/sqrt/x*x/round/
+    integer bit ops) — transcendentals live in the registry with
+    tolerance tests."""
+    part = load_table(spark, sf_dir, "part")
+    p = F.col("p_retailprice")
+    s = F.col("p_size")
+    return part.select(
+        "p_partkey",
+        F.abs(p - 1000.0).alias("ab"),
+        F.signum(p - 1000.0).alias("sg"),
+        F.ceil(p).alias("ce"),
+        F.floor(p).alias("fl"),
+        F.round(p, 1).alias("rnd"),
+        F.sqrt(p).alias("sq"),
+        (p * p).alias("sqr"),
+        (s % 7).alias("md"),
+        F.greatest(s, F.lit(25)).alias("gr"),
+        F.least(s, F.lit(25)).alias("le"),
+        F.factorial((s % 10).cast("bigint")).cast("bigint").alias("fact"),
+        F.shiftleft(s, 2).alias("shl"),
+        s.bitwiseAND(F.lit(12)).alias("band"),
+        s.bitwiseOR(F.lit(3)).alias("bor"),
+        s.bitwiseXOR(F.lit(5)).alias("bxor"),
+        F.bit_count(s).cast("int").alias("bcnt"),
+        F.isnan(p).alias("nn"),
+        p.cast("decimal(12,2)").alias("dec2"),
+        F.expr("try_cast(p_brand AS INT)").isNull().alias("badcast"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "fn_datetime_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(CASE WHEN dayofweek(o_orderdate) = 0 THEN 7 ELSE dayofweek(o_orderdate) END AS INT) AS dow_iso,
+           CAST(weekofyear(o_orderdate) AS INT) AS woy,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS trunc_m,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS trunc_q,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS dd,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(o_orderdate AS DATE) AS as_date,
+           strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+           CAST(make_date(2024, 2, 29) AS DATE) AS md
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("functions", "datetime"),
+)
+def fn_datetime_battery(spark, sf_dir):
+    """Date/time library (reference src/core_functions/scalar/date/).
+    dayofweek aligned to ISO (DuckDB: 0=Sun..6=Sat; Spark: 1=Sun..7=Sat
+    → both mapped to 1=Mon..7=Sun)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(ts).alias("y"),
+        F.month(ts).alias("m"),
+        F.dayofmonth(ts).alias("d"),
+        F.quarter(ts).alias("q"),
+        F.dayofyear(ts).alias("doy"),
+        F.when(F.dayofweek(ts) == 1, 7).otherwise(F.dayofweek(ts) - 1).cast("int").alias("dow_iso"),
+        F.weekofyear(ts).alias("woy"),
+        F.date_trunc("month", ts).cast("date").alias("trunc_m"),
+        F.date_trunc("quarter", ts).cast("date").alias("trunc_q"),
+        F.last_day(ts.cast("date")).alias("eom"),
+        F.datediff(ts.cast("date"), F.lit("1995-01-01").cast("date")).alias("dd"),
+        F.date_add(ts.cast("date"), 30).alias("plus30"),
+        ts.cast("date").alias("as_date"),
+        F.date_format(ts, "yyyy-MM-dd").alias("fmt"),
+        F.make_date(F.lit(2024), F.lit(2), F.lit(29)).alias("md"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_list_battery",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n,
+           embedding[1] AS first_el,
+           embedding[len(embedding)] AS last_el,
+           embedding[1:3] AS head3,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           list_transform(embedding[1:2], x -> CAST(x AS DOUBLE) * 2.0) AS twice,
+           CAST(CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))) AS DECIMAL(18,9)) AS DOUBLE) AS total,
+           list_reverse_sort(embedding)[1] AS mx,
+           list_sort(embedding)[1] AS mn,
+           CAST(list_contains(list_transform(embedding, x -> x > 0.5), true) AS BOOLEAN) AS any_big,
+           flatten([embedding[1:2], embedding[3:4]]) AS flat4
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    tags=("functions", "list", "hof"),
+)
+def fn_list_battery(spark, sf_dir):
+    """List/lambda library (reference src/core_functions/scalar/list/ +
+    lambda engine src/core_functions/lambda_functions.cpp) → Spark
+    higher-order functions, all JVM-side. Float sums accumulate in
+    decimal for cross-engine exactness."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("n"),
+        e.getItem(0).alias("first_el"),
+        F.element_at(e, -1).alias("last_el"),
+        F.slice(e, 1, 3).alias("head3"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.transform(F.slice(e, 1, 2), lambda x: x.cast("double") * 2.0).alias("twice"),
+        F.aggregate(
+            F.transform(e, lambda x: x.cast("double").cast("decimal(18,9)")),
+            F.lit(0).cast("decimal(18,9)"),
+            lambda acc, v: (acc + v).cast("decimal(18,9)"),
+        )
+        .cast("double")
+        .alias("total"),
+        F.array_max(e).alias("mx"),
+        F.array_min(e).alias("mn"),
+        F.array_contains(F.transform(e, lambda x: x > 0.5), True).alias("any_big"),
+        F.flatten(F.array(F.slice(e, 1, 2), F.slice(e, 3, 2))).alias("flat4"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "fn_json_battery",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') IS NULL AS BOOLEAN) AS no_key,
+           CAST(json_valid(props) AS BOOLEAN) AS ok
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("functions", "json"),
+)
+def fn_json_battery(spark, sf_dir):
+    """JSON library (reference extension/json/json_functions/) →
+    get_json_object / from_json. json_valid emulated via try-parse
+    (Spark has no json_valid built-in)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.get_json_object("props", "$.missing").isNull().alias("no_key"),
+        F.try_variant_get(F.try_parse_json("props"), "$", "string")
+        .isNotNull()
+        .alias("ok"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_struct_map_battery",
+    oracle="""
+    SELECT n_nationkey,
+           struct_extract(struct_pack(k := n_nationkey, nm := n_name), 'nm') AS s_nm,
+           struct_extract(struct_pack(k := n_nationkey, nm := n_name), 'k') AS s_k,
+           map(['key'], [n_name])['key'][1] AS m_val,
+           CAST(cardinality(map([n_name], [n_nationkey])) AS INT) AS m_size,
+           map_keys(map([n_name], [n_nationkey]))[1] AS m_key
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("functions", "struct", "map"),
+)
+def fn_struct_map_battery(spark, sf_dir):
+    """Struct/map construction + extraction (reference
+    src/core_functions/scalar/{struct,map}/). Results projected back to
+    scalars so the value-hash compares engine-neutrally."""
+    nat = load_table(spark, sf_dir, "nation")
+    st = F.struct(F.col("n_nationkey").alias("k"), F.col("n_name").alias("nm"))
+    mp = F.create_map(F.lit("key"), F.col("n_name"))
+    mp2 = F.create_map(F.col("n_name"), F.col("n_nationkey"))
+    return nat.select(
+        "n_nationkey",
+        st.getField("nm").alias("s_nm"),
+        st.getField("k").alias("s_k"),
+        F.element_at(mp, "key").alias("m_val"),
+        F.size(mp2).alias("m_size"),
+        F.element_at(F.map_keys(mp2), 1).alias("m_key"),
+    ).orderBy("n_nationkey")

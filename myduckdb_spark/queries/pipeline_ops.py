@@ -39,12 +39,12 @@ _SHINGLES_SQL = (
 # (measured ~1e-6 divergence); exact decimal sums of identical per-element
 # double products are. Matches pipeline.dedup.cosine_sim_expr bit-for-bit.
 _DOT_DEC_SQL = (
-    "CAST(list_sum(list_transform(list_zip({a}, {b}),"
-    " s -> CAST(CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE) AS DECIMAL(30,15)))) AS DOUBLE)"
+    "CAST(CAST(list_sum(list_transform(list_zip({a}, {b}),"
+    " s -> CAST(CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE) AS DECIMAL(18,15)))) AS DECIMAL(18,15)) AS DOUBLE)"
 )
 _NSQ_DEC_SQL = (
-    "CAST(list_sum(list_transform({v},"
-    " x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(30,15)))) AS DOUBLE)"
+    "CAST(CAST(list_sum(list_transform({v},"
+    " x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,15)))) AS DECIMAL(18,15)) AS DOUBLE)"
 )
 
 _EXACT_JACCARD_PAIRS_SQL = f"""

@@ -13,10 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# events.parquet stores ts as TIMESTAMP(NANOS); Spark's parquet reader
+# has no nanosecond timestamp type, so the file schema must declare the
+# column as raw INT64 nanos (matching spark.sql.legacy.parquet.nanosAsLong,
+# which the batch path in catalog.py relies on) and convert after read.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -28,10 +32,15 @@ EVENTS_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, dir_path: str, max_files: int = 1) -> DataFrame:
     """File-source stream over parquet events (one file per trigger —
     deterministic smoke runs; swap for kafka in production)."""
-    return (
+    raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files)
         .parquet(dir_path)
+    )
+    # plain TIMESTAMP (not NTZ like the batch catalog): watermarks and
+    # window()/session_window() require event time on TimestampType.
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
     )
 
 

@@ -1,0 +1,116 @@
+"""Function-registry spot checks vs DuckDB (mini sqllogictest: same
+expression evaluated in both engines; reference corpus test/sql/function/)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from myduckdb_spark.functions.registry import REGISTRY, fn, has
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+CASES = [
+    # (registry name, args (literals), duckdb expression)
+    ("upper", ["'abc'"], "upper('abc')"),
+    ("concat_ws", [("raw", "-"), "'a'", "'b'"], "concat_ws('-', 'a', 'b')"),
+    ("starts_with", ["'hello'", "'he'"], "starts_with('hello', 'he')"),
+    ("lpad", ["'7'", 3, "'0'"], "lpad('7', 3, '0')"),
+    ("split_part", ["'a,b,c'", "','", 2], "split_part('a,b,c', ',', 2)"),
+    ("levenshtein", ["'kitten'", "'sitting'"], "levenshtein('kitten', 'sitting')"),
+    ("md5", ["'abc'"], "md5('abc')"),
+    ("reverse", ["'abc'"], "reverse('abc')"),
+    ("translate", ["'abc'", ("raw", "ab"), ("raw", "xy")], "translate('abc', 'ab', 'xy')"),
+    ("instr", ["'hello'", "'ll'"], "instr('hello', 'll')"),
+    ("repeat", ["'ab'", 3], "repeat('ab', 3)"),
+    ("year", ["TIMESTAMP '2024-03-05 01:02:03'"], "year(TIMESTAMP '2024-03-05 01:02:03')"),
+    ("date_trunc", ["'month'", "TIMESTAMP '2024-03-05 01:02:03'"],
+     "CAST(date_trunc('month', TIMESTAMP '2024-03-05 01:02:03') AS TIMESTAMP)"),
+    ("abs", [-3.5], "abs(-3.5)"),
+    ("ceil", [1.2], "ceil(1.2)"),
+    ("round", [2.567, 2], "round(2.567, 2)"),
+    ("pow", [2, 10], "pow(2, 10)"),
+    ("gcd", [12, 18], "gcd(12, 18)"),
+    ("lcm", [4, 6], "lcm(4, 6)"),
+    ("factorial", [5], "factorial(5)"),
+    ("greatest", [1, 7, 3], "greatest(1, 7, 3)"),
+    ("sign", [-2.0], "sign(-2.0)"),
+]
+
+
+def _spark_lit(spark, name, args):
+    cols = []
+    for a in args:
+        if isinstance(a, tuple) and a[0] == "raw":
+            cols.append(a[1])
+        elif isinstance(a, str) and a.startswith("'") and a.endswith("'"):
+            cols.append(F.lit(a[1:-1]))
+        elif isinstance(a, str) and a.upper().startswith("TIMESTAMP"):
+            cols.append(F.expr(a))
+        else:
+            cols.append(a)
+    # date_trunc-style: first arg is a plain string option
+    if name in ("date_trunc", "date_part"):
+        cols[0] = args[0][1:-1]
+    return spark.range(1).select(fn(name)(*cols).alias("v")).collect()[0]["v"]
+
+
+@pytest.mark.parametrize("name,args,ducksql", CASES, ids=[c[0] for c in CASES])
+def test_function_matches_duckdb(spark, duck, name, args, ducksql):
+    got = _spark_lit(spark, name, args)
+    want = duck.sql(f"SELECT {ducksql}").fetchone()[0]
+    if isinstance(want, float):
+        assert got == pytest.approx(want, rel=1e-12)
+    else:
+        sg, sw = str(got), str(want)
+        assert sg == sw or got == want
+
+
+def test_registry_breadth():
+    # the reference registers 382 names (function_list.cpp); we cover the
+    # practically-used surface — keep a floor so regressions are caught
+    assert len(REGISTRY) >= 170
+
+
+def test_list_hofs(spark):
+    row = spark.range(1).select(
+        fn("list_transform")(F.array(F.lit(1), F.lit(2)), lambda x: x + 1).alias("t"),
+        fn("list_filter")(F.array(F.lit(1), F.lit(2), F.lit(3)), lambda x: x > 1).alias("f"),
+        fn("list_sum")(F.array(F.lit(1.0), F.lit(2.5))).alias("s"),
+        fn("list_cosine_similarity")(
+            F.array(F.lit(1.0), F.lit(0.0)), F.array(F.lit(1.0), F.lit(0.0))
+        ).alias("cos"),
+        fn("list_distance")(
+            F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(3.0), F.lit(4.0))
+        ).alias("dist"),
+    ).collect()[0]
+    assert row["t"] == [2, 3]
+    assert row["f"] == [2, 3]
+    assert row["s"] == 3.5
+    assert row["cos"] == pytest.approx(1.0)
+    assert row["dist"] == pytest.approx(5.0)
+
+
+def test_json_functions(spark):
+    j = F.lit('{"a": {"b": 7}, "xs": [1, 2, 3]}')
+    row = spark.range(1).select(
+        fn("json_extract")(j, "$.a.b").alias("e"),
+        fn("json_extract")(j, "/a/b").alias("e2"),
+        fn("json_array_length")(F.lit("[1,2,3]")).alias("n"),
+        fn("json_valid")(F.lit("not json")).alias("bad"),
+    ).collect()[0]
+    assert row["e"] == "7" and row["e2"] == "7"
+    assert row["n"] == 3
+    assert row["bad"] is False
+
+
+def test_missing_intrinsics_raise():
+    with pytest.raises(NotImplementedError):
+        fn("gamma")(F.lit(1.0))
+
+
+def test_has():
+    assert has("list_transform") and has("LIST_TRANSFORM") and not has("nope_fn")

@@ -1,0 +1,125 @@
+"""Pipeline operators: dedup recall, similarity ranking, text stats,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from myduckdb_spark.pipeline.dedup import (
+    char_shingles_expr,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    word_ngrams_expr,
+)
+from myduckdb_spark.pipeline.multimodal import attach_fake_media, extract_features
+from myduckdb_spark.pipeline.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+    numpy_topk_per_partition,
+)
+from myduckdb_spark.pipeline.textstats import lang_id, quality_score, text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 1
+        (3, "der hund ist nicht ein katze und das ist gut", "de"),
+        (4, "le chat est un animal et le chien est un ami", "fr"),
+        (5, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (6, "completely different text about spark engines", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs)
+    assert out.count() == 5
+    rep = out.filter(F.col("n_copies") == 2).collect()[0]
+    assert rep["doc_id"] == 1
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([("abcd", "bcde")], "a string, b string")
+    row = df.select(
+        char_shingles_expr("a", 2).alias("sa"),
+        char_shingles_expr("b", 2).alias("sb"),
+    ).select(jaccard(F.col("sa"), F.col("sb")).alias("j")).collect()[0]
+    # 2-grams: {ab,bc,cd} vs {bc,cd,de} → 2/4
+    assert row["j"] == pytest.approx(0.5)
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    row = df.select(word_ngrams_expr("t", 2).alias("g")).collect()[0]
+    assert row["g"] == ["a b", "b c", "c d"]
+
+
+def test_minhash_lsh_finds_exact_pairs(docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.6, num_hashes=128, bands=32).collect()
+    }
+    assert (1, 5) in exact and (1, 2) in exact
+    assert lsh == exact  # high-band LSH must not lose pairs at this scale
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert (1, 5) in pairs  # identical text → identical fingerprint
+
+
+def test_similarity_rankings_agree(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") < 3)
+    bf = brute_force_topk(probes, emb, k=3)
+    np_ = numpy_topk_per_partition(probes, emb, k=3)
+    got_bf = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in bf.collect()}
+    got_np = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in np_.collect()}
+    assert got_bf == got_np
+    # LSH output is a subset relation on ranks: every returned neighbor must
+    # share the probe's bucket; just check shape/determinism here
+    lsh = lsh_bucketed_topk(probes, emb, k=3, planes=4, dim=16)
+    assert lsh.count() == lsh.dropDuplicates(["probe_id", "neighbor_id"]).count()
+
+
+def test_text_stats_and_quality(docs):
+    s = text_stats(docs).filter(F.col("doc_id") == 1).collect()[0]
+    assert s["n_tokens"] == 9 and s["n_distinct_tokens"] == 8
+    q = quality_score(docs)
+    vals = {r["doc_id"]: r["quality"] for r in q.collect()}
+    assert all(0.0 <= v <= 1.0 for v in vals.values())
+
+
+def test_lang_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert out[1] == "en" and out[3] == "de" and out[4] == "fr"
+
+
+def test_multimodal_roundtrip(docs):
+    media = attach_fake_media(docs)
+    assert dict(media.dtypes)["content"] == "binary"
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    r = {x["doc_id"]: x for x in rows}
+    assert len(r[1]["feat"]) == 8
+    assert r[1]["feat"] == r[5]["feat"]  # deterministic: same bytes → same features
+    assert r[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+
+
+def test_multimodal_codec_stub(docs):
+    media = attach_fake_media(docs)
+    with pytest.raises(Exception, match="codec"):
+        extract_features(media, decoder="jpeg").collect()
