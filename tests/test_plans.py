@@ -1,0 +1,95 @@
+"""Physical-plan quality gates — the 100 TB discipline, asserted.
+
+Correctness tests prove WHAT each operator computes; these prove the
+plan Catalyst picks is the one that survives a 1000-executor scale-up:
+filters reach the parquet scan, unused columns are pruned, small
+dimensions broadcast, hot paths stay inside whole-stage codegen, and
+pre-aggregation runs map-side before the shuffle.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from myduckdb_spark.catalog import load_table
+from myduckdb_spark.operators.groupjoin import group_join
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = load_table(spark, SF, "lineitem").filter(F.col("l_quantity") < 5).select(
+        "l_orderkey", "l_quantity"
+    )
+    scan = df._jdf.queryExecution().sparkPlan().toString()
+    # predicate pushed into the scan (zone-map analog) …
+    assert "PushedFilters: [" in scan and "LessThan(l_quantity" in scan
+    # … and column pruning: ReadSchema carries only the 2 referenced cols
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark):
+    nation = load_table(spark, SF, "nation")
+    cust = load_table(spark, SF, "customer")
+    plan = _plan(cust.join(nation, cust.c_nationkey == nation.n_nationkey))
+    assert "BroadcastHashJoin" in plan, "25-row dim must broadcast, not shuffle"
+
+
+def test_agg_is_two_phase_partial_final(spark):
+    li = load_table(spark, SF, "lineitem")
+    plan = _plan(li.groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    # map-side combine before the exchange (reference: thread-local
+    # partial HTs in radix_partitioned_hashtable.cpp) — Spark shows two
+    # HashAggregate nodes around one Exchange
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_hot_path_stays_in_codegen(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev"))
+    )
+    q.collect()  # AQE shows the final plan only after execution
+    plan = _plan(q)
+    # '*(n)' marks a WholeStageCodegen span; the scan→filter→partial-agg
+    # pipeline must be inside one
+    assert "*(1) HashAggregate" in plan and "*(1) Filter" in plan
+
+
+def test_group_join_rewrite_prunes_probe_shuffle(spark):
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    fused = group_join(
+        orders, li, keys=[("o_orderkey", "l_orderkey")],
+        aggs=[F.sum("l_quantity").alias("qty")],
+    )
+    plan = _plan(fused)
+    # the aggregate must run on the BUILD side before the join (the
+    # GROUP_JOIN fusion), so the plan is Join(HashAggregate(lineitem)),
+    # not HashAggregate(Join(...)): after the join there is no further
+    # aggregate over the joined width
+    join_pos = min(p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"), plan.find("ShuffledHashJoin")) if p >= 0)
+    assert "HashAggregate" in plan[join_pos:], "aggregate should be below the join (build side)"
+
+
+def test_topk_uses_take_ordered(spark):
+    li = load_table(spark, SF, "lineitem")
+    plan = _plan(li.orderBy(F.col("l_extendedprice").desc()).limit(5))
+    assert "TakeOrderedAndProject" in plan, "ORDER BY+LIMIT must not global-sort"
+
+
+def test_session_scale_configs(spark):
+    # AQE (runtime re-plan + skew-join splitting) must be on, and shuffle
+    # partitions sized to the session's core count (conftest uses 8)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == int(
+        spark.sparkContext.defaultParallelism
+    )
