@@ -40,8 +40,10 @@ def main() -> None:
     spark = get_spark("bench")
     all_q = q.queries()
 
-    # JVM/codegen warm-up (not timed)
+    # JVM/codegen/parquet-reader warm-up (not timed): one trivial scan so
+    # per-query timings measure the queries, not one-time init costs
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

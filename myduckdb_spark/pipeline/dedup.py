@@ -115,6 +115,14 @@ def ngram_jaccard_pairs(
 # hashed-shingle array intersection.
 _BITMAP_VOCAB_MAX = 4096
 
+# Small-input policy (the reference's AM_US idea — prefer brute force
+# below a cardinality threshold, src/execution/physical_plan/
+# plan_comparison_join.cpp:158-170): when the bitmap path is active and
+# the corpus has ≤ this many docs, exact all-pairs bitmap Jaccard
+# (n²/2 codegen bit-ops) is cheaper than MinHash banding + candidate
+# dedup, and has zero LSH miss probability.
+_ALLPAIRS_MAX_DOCS = 20_000
+
 
 def minhash_lsh_pairs(
     docs: DataFrame,
@@ -160,6 +168,14 @@ def minhash_lsh_pairs(
     collisions are rare, so the fallback — one array_intersect on
     per-doc hashed-shingle LONG arrays per candidate pair — touches few
     pairs, and longs compare far cheaper than strings.
+
+    Small-input policy (mirrors the reference's AM_US join threshold,
+    ``plan_comparison_join.cpp:158-170``): when the bitmap path is
+    active and the corpus has ≤ ``_ALLPAIRS_MAX_DOCS`` docs, signatures
+    and banding are skipped entirely and ALL pairs are bitmap-verified
+    (broadcast nested-loop of bit-ops) — cheaper than candidate
+    generation on dense corpora and exactly equal to the all-pairs
+    oracle. LSH remains the plan for everything larger.
     """
     r = num_hashes // bands
     par = docs.sparkSession.sparkContext.defaultParallelism
@@ -170,6 +186,50 @@ def minhash_lsh_pairs(
     )
     exploded = sh.select("id", F.explode("sh").alias("s")).persist()
     hashed = exploded.select("id", F.xxhash64("s").alias("h"))
+
+    vocab = [
+        row[0]
+        for row in exploded.select("s").distinct().limit(_BITMAP_VOCAB_MAX + 1).collect()
+    ]
+    bitmap_ok = len(vocab) <= _BITMAP_VOCAB_MAX
+    if bitmap_ok:
+        nwords = (len(vocab) + 63) // 64
+        vocab_df = docs.sparkSession.createDataFrame(
+            [(s, i) for i, s in enumerate(sorted(vocab))], "s string, idx int"
+        )
+        bm = (
+            exploded.join(F.broadcast(vocab_df), "s")
+            .groupBy("id")
+            .agg(
+                *[
+                    F.bit_or(
+                        F.expr(
+                            f"CASE WHEN idx DIV 64 = {w}"
+                            " THEN shiftleft(1L, CAST(idx % 64 AS INT))"
+                            " ELSE 0L END"
+                        )
+                    ).alias(f"w{w}")
+                    for w in range(nwords)
+                ]
+            )
+        )
+        av = bm.select(F.col("id").alias("id_a"), *[F.col(f"w{w}").alias(f"a{w}") for w in range(nwords)])
+        bv = bm.select(F.col("id").alias("id_b"), *[F.col(f"w{w}").alias(f"b{w}") for w in range(nwords)])
+        inter = sum(F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}"))) for w in range(nwords))
+        union = sum(F.bit_count(F.col(f"a{w}").bitwiseOR(F.col(f"b{w}"))) for w in range(nwords))
+        # small-input policy: a narrow vocabulary means candidates would
+        # be ~n² anyway (most pairs are mid-similarity), so below the doc
+        # threshold skip signatures+banding and bitmap-verify ALL pairs —
+        # a broadcast nested-loop join of pure bit-ops, with exact output
+        # (no LSH miss probability at all)
+        if sh.count() <= _ALLPAIRS_MAX_DOCS:
+            return (
+                av.join(F.broadcast(bv), F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", (inter / union).alias("__j"))
+                .filter(F.col("__j") >= threshold)
+                .select("id_a", "id_b", F.round(F.col("__j"), 6).alias("jacc"))
+            )
+
     sig = hashed.groupBy("id").agg(
         *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
     )
@@ -196,36 +256,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-
-    vocab = [
-        row[0]
-        for row in exploded.select("s").distinct().limit(_BITMAP_VOCAB_MAX + 1).collect()
-    ]
-    if len(vocab) <= _BITMAP_VOCAB_MAX:
-        nwords = (len(vocab) + 63) // 64
-        vocab_df = docs.sparkSession.createDataFrame(
-            [(s, i) for i, s in enumerate(sorted(vocab))], "s string, idx int"
-        )
-        bm = (
-            exploded.join(F.broadcast(vocab_df), "s")
-            .groupBy("id")
-            .agg(
-                *[
-                    F.bit_or(
-                        F.expr(
-                            f"CASE WHEN idx DIV 64 = {w}"
-                            " THEN shiftleft(1L, CAST(idx % 64 AS INT))"
-                            " ELSE 0L END"
-                        )
-                    ).alias(f"w{w}")
-                    for w in range(nwords)
-                ]
-            )
-        )
-        av = bm.select(F.col("id").alias("id_a"), *[F.col(f"w{w}").alias(f"a{w}") for w in range(nwords)])
-        bv = bm.select(F.col("id").alias("id_b"), *[F.col(f"w{w}").alias(f"b{w}") for w in range(nwords)])
-        inter = sum(F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}"))) for w in range(nwords))
-        union = sum(F.bit_count(F.col(f"a{w}").bitwiseOR(F.col(f"b{w}"))) for w in range(nwords))
+    if bitmap_ok:
         verified = (
             cands.join(F.broadcast(av), "id_a")
             .join(F.broadcast(bv), "id_b")

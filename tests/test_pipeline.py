@@ -71,6 +71,30 @@ def test_minhash_lsh_finds_exact_pairs(docs):
     assert lsh == exact  # high-band LSH must not lose pairs at this scale
 
 
+def test_minhash_lsh_banded_path_matches_allpairs(docs, monkeypatch):
+    """Force every physical strategy of minhash_lsh_pairs and require
+    identical output: the small-input all-pairs bitmap plan (default
+    here), the banded-LSH plan with bitmap verify, and the banded-LSH
+    plan with hashed-array verify (bitmap disabled)."""
+    from myduckdb_spark.pipeline import dedup as D
+
+    allpairs = {
+        (r["id_a"], r["id_b"], r["jacc"])
+        for r in minhash_lsh_pairs(docs, threshold=0.6, num_hashes=128, bands=32).collect()
+    }
+    monkeypatch.setattr(D, "_ALLPAIRS_MAX_DOCS", 0)  # force banded LSH
+    banded_bitmap = {
+        (r["id_a"], r["id_b"], r["jacc"])
+        for r in minhash_lsh_pairs(docs, threshold=0.6, num_hashes=128, bands=32).collect()
+    }
+    monkeypatch.setattr(D, "_BITMAP_VOCAB_MAX", 0)  # force array verify
+    banded_arrays = {
+        (r["id_a"], r["id_b"], r["jacc"])
+        for r in minhash_lsh_pairs(docs, threshold=0.6, num_hashes=128, bands=32).collect()
+    }
+    assert allpairs == banded_bitmap == banded_arrays and allpairs
+
+
 def test_simhash_pairs(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(docs, max_hamming=10).collect()}
     assert (1, 5) in pairs  # identical text → identical fingerprint
