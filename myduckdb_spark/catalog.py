@@ -38,7 +38,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos (spark.sql.legacy.parquet.nanosAsLong); converted here to a
     microsecond TIMESTAMP_NTZ (the data carries no sub-µs precision, and
     NTZ matches how Spark reads the other tables' naive timestamps).
+
+    The nanosAsLong conf is set HERE (it is a runtime SQL conf), not only in
+    ``session.py``: callers such as the correctness driver build their own
+    vanilla SparkSession, which would otherwise fail the read outright with
+    PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS).
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -135,7 +135,15 @@ _reg("day")(lambda ts: F.dayofmonth(_c(ts)))
 _reg("hour")(lambda ts: F.hour(_c(ts)))
 _reg("minute")(lambda ts: F.minute(_c(ts)))
 _reg("second")(lambda ts: F.second(_c(ts)))
-_reg("dayofweek", "weekday")(lambda ts: F.dayofweek(_c(ts)))
+# DuckDB dayofweek/weekday: 0=Sunday..6=Saturday; Spark's dayofweek is
+# 1=Sunday..7=Saturday — shift so the DuckDB-name contract holds.
+_reg("dayofweek", "weekday")(lambda ts: (F.dayofweek(_c(ts)) - F.lit(1)).cast("int"))
+# DuckDB isodow: 1=Monday..7=Sunday.
+_reg("isodow")(
+    lambda ts: F.when(F.dayofweek(_c(ts)) == 1, F.lit(7))
+    .otherwise(F.dayofweek(_c(ts)) - 1)
+    .cast("int")
+)
 _reg("dayofyear")(lambda ts: F.dayofyear(_c(ts)))
 _reg("week", "weekofyear")(lambda ts: F.weekofyear(_c(ts)))
 _reg("quarter")(lambda ts: F.quarter(_c(ts)))

@@ -67,12 +67,26 @@ def sniff_csv(spark: SparkSession, path: str, sample_lines: int = 64) -> dict:
         except ValueError:
             return False
 
-    later_numeric = any(
-        _numeric(c)
-        for line in lines[1:]
-        for c in next(_csv.reader(_io.StringIO(line), delimiter=best_sep), [])
-    )
-    header = bool(first) and not any(_numeric(c) for c in first) and later_numeric
+    later_rows = [
+        next(_csv.reader(_io.StringIO(line), delimiter=best_sep), []) for line in lines[1:]
+    ]
+    later_numeric = any(_numeric(c) for row in later_rows for c in row)
+    first_non_numeric = bool(first) and not any(_numeric(c) for c in first)
+    if first_non_numeric and later_numeric:
+        header = True
+    elif first_non_numeric:
+        # All-string file (no numeric cell anywhere) — the reference's
+        # header_detection also falls back to name/shape heuristics here:
+        # treat a first row of distinct, non-empty cells that never repeats
+        # verbatim in the data as a header (column names are unique and
+        # don't recur as data).
+        header = (
+            len(set(first)) == len(first)
+            and all(c.strip() for c in first)
+            and first not in later_rows
+        )
+    else:
+        header = False
     return {"sep": best_sep, "header": header}
 
 

@@ -31,10 +31,16 @@ def reservoir_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
 
 
 def system_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
-    """Block-level sample: keep whole partitions with probability ~fraction."""
-    keep = F.when(
-        (F.xxhash64(F.spark_partition_id(), F.lit(seed)) % 10_000) < int(fraction * 10_000), True
-    ).otherwise(False)
+    """Block-level sample: keep whole partitions with probability ~fraction.
+
+    pmod, not %: Spark's % keeps the dividend's sign, so a plain modulo of
+    xxhash64 (negative ~half the time) would always pass the `< threshold`
+    test for those partitions, inflating the keep rate to ~0.5+fraction/2.
+    """
+    keep = (
+        F.pmod(F.xxhash64(F.spark_partition_id(), F.lit(seed)), F.lit(10_000))
+        < int(fraction * 10_000)
+    )
     return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
 
 

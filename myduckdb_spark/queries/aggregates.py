@@ -303,19 +303,22 @@ def agg_bool_bit(spark, sf_dir):
     "agg_collect_histogram",
     oracle="""
     SELECT lang,
-           LIST_SORT(LIST(DISTINCT source)) AS sources,
+           array_to_string(LIST_SORT(LIST(DISTINCT source)), ',') AS sources,
            COUNT(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang ORDER BY lang
     """,
     tags=("aggregate", "nested"),
 )
 def agg_collect_histogram(spark, sf_dir):
-    """LIST/array_agg (reference nested/list.cpp → collect_list/collect_set)."""
+    """LIST/array_agg (reference nested/list.cpp → collect_list/collect_set).
+
+    The collected list is serialized with array_join on both sides — the
+    driver's canonicalizer cannot hash list cells."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy("lang")
         .agg(
-            F.array_sort(F.collect_set("source")).alias("sources"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
             F.countDistinct("source").alias("n_sources"),
         )
         .orderBy("lang")

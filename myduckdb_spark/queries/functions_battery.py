@@ -92,7 +92,7 @@ def fn_string_battery(spark, sf_dir):
            CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS sg,
            CAST(ceil(p_retailprice) AS BIGINT) AS ce,
            CAST(floor(p_retailprice) AS BIGINT) AS fl,
-           round(p_retailprice, 1) AS rnd,
+           CAST(round(CAST(p_retailprice AS DECIMAL(12,2)), 1) AS DECIMAL(12,1)) AS rnd,
            sqrt(p_retailprice) AS sq,
            p_retailprice * p_retailprice AS sqr,
            CAST(p_size % 7 AS INT) AS md,
@@ -125,7 +125,9 @@ def fn_math_battery(spark, sf_dir):
         F.signum(p - 1000.0).alias("sg"),
         F.ceil(p).alias("ce"),
         F.floor(p).alias("fl"),
-        F.round(p, 1).alias("rnd"),
+        # decimal round, not double round: double round(x, 1) is engine- and
+        # session-sensitive at representation boundaries; decimal is exact
+        F.round(p.cast("decimal(12,2)"), 1).cast("decimal(12,1)").alias("rnd"),
         F.sqrt(p).alias("sq"),
         (p * p).alias("sqr"),
         (s % 7).alias("md"),
@@ -200,14 +202,17 @@ def fn_datetime_battery(spark, sf_dir):
            CAST(len(embedding) AS INT) AS n,
            embedding[1] AS first_el,
            embedding[len(embedding)] AS last_el,
-           embedding[1:3] AS head3,
+           array_to_string(list_transform(embedding[1:3],
+             x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) AS VARCHAR)), ',') AS head3,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
-           list_transform(embedding[1:2], x -> CAST(x AS DOUBLE) * 2.0) AS twice,
+           array_to_string(list_transform(embedding[1:2],
+             x -> CAST(CAST(CAST(x AS DOUBLE) * 2.0 AS DECIMAL(18,9)) AS VARCHAR)), ',') AS twice,
            CAST(CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))) AS DECIMAL(18,9)) AS DOUBLE) AS total,
            list_reverse_sort(embedding)[1] AS mx,
            list_sort(embedding)[1] AS mn,
            CAST(list_contains(list_transform(embedding, x -> x > 0.5), true) AS BOOLEAN) AS any_big,
-           flatten([embedding[1:2], embedding[3:4]]) AS flat4
+           array_to_string(list_transform(flatten([embedding[1:2], embedding[3:4]]),
+             x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) AS VARCHAR)), ',') AS flat4
     FROM embeddings
     ORDER BY vec_id
     """,
@@ -217,17 +222,27 @@ def fn_list_battery(spark, sf_dir):
     """List/lambda library (reference src/core_functions/scalar/list/ +
     lambda engine src/core_functions/lambda_functions.cpp) → Spark
     higher-order functions, all JVM-side. Float sums accumulate in
-    decimal for cross-engine exactness."""
+    decimal for cross-engine exactness. Array outputs are serialized to
+    strings (decimal-canonical elements, comma-joined) — the driver's
+    canonicalizer cannot hash list cells."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
+
+    def dec_str(x):
+        return x.cast("decimal(18,9)").cast("string")
+
     return emb.select(
         "vec_id",
         F.size(e).alias("n"),
         e.getItem(0).alias("first_el"),
         F.element_at(e, -1).alias("last_el"),
-        F.slice(e, 1, 3).alias("head3"),
+        F.array_join(F.transform(F.slice(e, 1, 3), lambda x: dec_str(x.cast("double"))), ",").alias(
+            "head3"
+        ),
         F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
-        F.transform(F.slice(e, 1, 2), lambda x: x.cast("double") * 2.0).alias("twice"),
+        F.array_join(
+            F.transform(F.slice(e, 1, 2), lambda x: dec_str(x.cast("double") * 2.0)), ","
+        ).alias("twice"),
         F.aggregate(
             F.transform(e, lambda x: x.cast("double").cast("decimal(18,9)")),
             F.lit(0).cast("decimal(18,9)"),
@@ -238,7 +253,13 @@ def fn_list_battery(spark, sf_dir):
         F.array_max(e).alias("mx"),
         F.array_min(e).alias("mn"),
         F.array_contains(F.transform(e, lambda x: x > 0.5), True).alias("any_big"),
-        F.flatten(F.array(F.slice(e, 1, 2), F.slice(e, 3, 2))).alias("flat4"),
+        F.array_join(
+            F.transform(
+                F.flatten(F.array(F.slice(e, 1, 2), F.slice(e, 3, 2))),
+                lambda x: dec_str(x.cast("double")),
+            ),
+            ",",
+        ).alias("flat4"),
     ).orderBy("vec_id")
 
 

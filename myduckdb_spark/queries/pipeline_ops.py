@@ -187,7 +187,7 @@ def sim_topk_lsh(spark, sf_dir):
            SUM(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS total_tokens,
            SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')))
              AS total_bpe_tokens,
-           ROUND(AVG(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
     tags=("textstats",),
@@ -202,7 +202,13 @@ def text_token_stats(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size(tokens_expr("text"))).alias("total_tokens"),
             F.sum(bpe_ish_token_count("text")).alias("total_bpe_tokens"),
-            F.round(F.avg(F.length("text").cast("double")), 6).alias("avg_chars"),
+            # exact integer sum + ONE double division: order-independent across
+            # any shuffle-partition count (a double AVG is not — the driver's
+            # 200-partition session reduced in a different order and flipped
+            # the 6th decimal at a rounding boundary)
+            (F.sum(F.length("text").cast("bigint")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_chars"
+            ),
         )
         .orderBy("lang")
     )
@@ -300,7 +306,18 @@ def text_fingerprint(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: binary content column + metadata
     struct + Arrow-batched mapInPandas feature extraction (deterministic
-    fake decoder; real codecs are stubbed — not in this container)."""
+    fake decoder; real codecs are stubbed — not in this container).
+
+    The feature vector is serialized to a string (fixed 3-decimal elements)
+    — the driver's canonicalizer cannot hash list cells."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     media = attach_fake_media(docs)
-    return extract_features(media).orderBy("doc_id")
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        F.array_join(
+            F.transform(F.col("feat"), lambda x: x.cast("decimal(6,3)").cast("string")), ","
+        ).alias("feat"),
+    ).orderBy("doc_id")

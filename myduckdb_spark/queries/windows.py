@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from myduckdb_spark.catalog import load_table
 from myduckdb_spark.functions.compat import DEC
-from myduckdb_spark.operators.window_ex import qualify, sum_exclude
+from myduckdb_spark.operators.window_ex import agg_exclude, qualify, sum_exclude
 from myduckdb_spark.queries import register
 
 
@@ -200,6 +200,50 @@ def win_exclude_current_row(spark, sf_dir):
         .select("n_nationkey", "n_regionkey", "sum_others")
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "win_exclude_group_ties",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           MIN(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)
+                RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS mn_group,
+           MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)
+                RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS mx_ties,
+           COUNT(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)
+                RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS cnt_group
+    FROM orders WHERE o_custkey % 50 = 1
+    ORDER BY o_orderkey
+    """,
+    tags=("window", "exclude"),
+)
+def win_exclude_group_ties(spark, sf_dir):
+    """EXCLUDE GROUP / TIES for non-additive aggregates (min/max) over a
+    bounded RANGE frame (reference window_expression.hpp:16-25: EXCLUDE is
+    orthogonal to the aggregate). RANGE keeps peer membership value-based,
+    so results are engine-deterministic even with order-key ties — which a
+    bounded ROWS frame with ties is not, on any engine. min/max run on the
+    frame-materialization path; count on the subtraction path."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 1)
+    yr = F.year("o_orderdate").cast("long")
+    common = dict(
+        partition_by=["o_custkey"],
+        order_by=[yr],
+        frame=(-1, 1),
+        frame_type="range",
+    )
+    out = agg_exclude(
+        orders, F.col("o_totalprice"), exclude="group", agg="min", out_col="mn_group", **common
+    )
+    out = agg_exclude(
+        out, F.col("o_totalprice"), exclude="ties", agg="max", out_col="mx_ties", **common
+    )
+    out = agg_exclude(
+        out, F.col("o_totalprice"), exclude="group", agg="count", out_col="cnt_group", **common
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "mn_group", "mx_ties", "cnt_group"
+    ).orderBy("o_orderkey")
 
 
 @register(

@@ -2,10 +2,23 @@
 SURVEY.md §3 — all replaced by spark.sql).
 
 ``sql()`` registers the catalog views and runs the text through Spark SQL
-after a light dialect-translation pass for the DuckDB-isms that appear in
-the reference's test corpus. The translation is intentionally textual and
-conservative: Spark SQL already accepts the large shared ANSI surface;
-only the named idioms below are rewritten.
+after a dialect-translation pass for the DuckDB-isms that appear in the
+reference's test corpus (reference parser surface: src/parser/parser.cpp:190,
+transformer under src/parser/transform/).
+
+The translator is intentionally small but *token-aware*, not blind regex:
+
+* string literals and comments are masked first — nothing inside them is
+  ever rewritten;
+* function-name rewrites fire only on call sites (``name(``) outside
+  literals;
+* argument-sensitive forms (``len``, ``list_sort`` comparators,
+  ``list_reverse_sort``) are rewritten with a balanced-paren argument
+  parser, so nested calls and commas in subexpressions are handled;
+* the JSON arrow rewrite distinguishes ``j -> '$.k'`` from a lambda arrow
+  (``x -> 'y'`` inside transform/filter/...) by locating lambda-header
+  arrows inside higher-order-function arguments and leaving exactly those
+  alone — Spark SQL itself accepts ``->`` lambdas.
 """
 
 from __future__ import annotations
@@ -16,44 +29,235 @@ from pyspark.sql import DataFrame, SparkSession
 
 from myduckdb_spark.catalog import register_views
 
-# (pattern, replacement) — applied in order.
-_REWRITES: list[tuple[re.Pattern, str]] = [
-    # json arrow operators: j->'k' / j->>'k'  →  get_json_object(j, '$.k')
-    (re.compile(r"(\w+)\s*->>\s*'([^']+)'"), r"get_json_object(\1, '$.\2')"),
-    (re.compile(r"(\w+)\s*->\s*'([^']+)'"), r"get_json_object(\1, '$.\2')"),
-    # list_* higher-order aliases → Spark HOF names
-    (re.compile(r"\blist_transform\(", re.I), "transform("),
-    (re.compile(r"\blist_filter\(", re.I), "filter("),
-    (re.compile(r"\blist_reduce\(", re.I), "reduce("),
-    (re.compile(r"\blist_sort\(", re.I), "array_sort("),
-    (re.compile(r"\blist_distinct\(", re.I), "array_distinct("),
-    (re.compile(r"\blist_contains\(", re.I), "array_contains("),
-    (re.compile(r"\blist_concat\(", re.I), "concat("),
-    (re.compile(r"\blen\(", re.I), "length("),
-    (re.compile(r"\bstring_split\(", re.I), "split("),
-    (re.compile(r"\bstrftime\(", re.I), "date_format("),
-    # string_agg(x, sep) — Spark 4 has string_agg? keep listagg fallback
-    (re.compile(r"\bstring_agg\(", re.I), "listagg("),
-    # USING SAMPLE n% (bernoulli) → TABLESAMPLE
-    (re.compile(r"\bUSING\s+SAMPLE\s+(\d+)\s*%", re.I), r"TABLESAMPLE (\1 PERCENT)"),
-    # exclusion of unsupported storage-era syntax is intentional: sequences,
-    # ART indexes, transactions are out of scope (SURVEY.md §7).
+# ---------------------------------------------------------------- masking
+
+_LITERAL = re.compile(r"'(?:[^']|'')*'|--[^\n]*|/\*.*?\*/", re.S)
+
+
+def _literal_spans(text: str) -> list[tuple[int, int]]:
+    return [m.span() for m in _LITERAL.finditer(text)]
+
+
+def _in_spans(pos: int, spans: list[tuple[int, int]]) -> bool:
+    return any(a <= pos < b for a, b in spans)
+
+
+# ------------------------------------------------- balanced-paren helpers
+
+
+def _matching_paren(text: str, open_idx: int) -> int:
+    """Index of the ')' closing the '(' at open_idx (literal-blind callers
+    should mask first). Returns -1 if unbalanced."""
+    depth = 0
+    i = open_idx
+    spans = _literal_spans(text)
+    while i < len(text):
+        if _in_spans(i, spans):
+            i += 1
+            continue
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _split_args(argtext: str) -> list[str]:
+    """Split a call's argument text on top-level commas (literal-aware)."""
+    spans = _literal_spans(argtext)
+    args, depth, start = [], 0, 0
+    for i, c in enumerate(argtext):
+        if _in_spans(i, spans):
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            args.append(argtext[start:i])
+            start = i + 1
+    args.append(argtext[start:])
+    return args
+
+
+def _rewrite_calls(text: str, name: str, fn) -> str:
+    """Rewrite every call site ``name(args...)`` via ``fn(list_of_args) ->
+    replacement_text``. Processes right-to-left so positions stay valid;
+    re-runs until fixpoint to catch calls revealed by inner rewrites."""
+    pat = re.compile(rf"\b{name}\s*\(", re.I)
+    while True:
+        spans = _literal_spans(text)
+        sites = [m for m in pat.finditer(text) if not _in_spans(m.start(), spans)]
+        if not sites:
+            return text
+        changed = False
+        for m in reversed(sites):
+            open_idx = m.end() - 1
+            close_idx = _matching_paren(text, open_idx)
+            if close_idx < 0:
+                continue
+            args = _split_args(text[open_idx + 1 : close_idx])
+            rep = fn([a.strip() for a in args])
+            if rep is None:
+                continue
+            text = text[: m.start()] + rep + text[close_idx + 1 :]
+            changed = True
+        if not changed:
+            return text
+
+
+# ------------------------------------------------------ arrow vs lambda
+
+_HOFS = (
+    "transform|filter|reduce|aggregate|exists|forall|zip_with|map_filter|"
+    "map_zip_with|transform_keys|transform_values|array_sort|"
+    "list_transform|list_filter|list_reduce"
+)
+_HOF_CALL = re.compile(rf"\b(?:{_HOFS})\s*\(", re.I)
+_LAMBDA_HEADER = re.compile(r"^\s*(?:\(\s*\w+(?:\s*,\s*\w+)*\s*\)|\w+)\s*(->)")
+
+
+def _lambda_arrow_positions(text: str) -> set[int]:
+    """Positions of arrows that introduce a lambda body inside a known
+    higher-order function's argument — the only arrows that must survive
+    the JSON-operator rewrite."""
+    spans = _literal_spans(text)
+    banned: set[int] = set()
+    for m in _HOF_CALL.finditer(text):
+        if _in_spans(m.start(), spans):
+            continue
+        open_idx = m.end() - 1
+        close_idx = _matching_paren(text, open_idx)
+        if close_idx < 0:
+            continue
+        # argument start offsets at top level of this call
+        arg_start = open_idx + 1
+        depth = 0
+        starts = [arg_start]
+        for i in range(arg_start, close_idx):
+            if _in_spans(i, spans):
+                continue
+            c = text[i]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif c == "," and depth == 0:
+                starts.append(i + 1)
+        for s in starts:
+            hm = _LAMBDA_HEADER.match(text[s:close_idx])
+            if hm:
+                banned.add(s + hm.start(1))
+    return banned
+
+
+_ARROW = re.compile(r"([A-Za-z_][\w.]*(?:\([^()]*\))?)\s*(->>|->)\s*'([^']+)'")
+
+
+def _rewrite_json_arrows(text: str) -> str:
+    # iterate to collapse chains: j->'a'->>'b'
+    prev = None
+    while prev != text:
+        prev = text
+        banned = _lambda_arrow_positions(text)
+        comment_spans = [
+            s for s in _literal_spans(text) if not text[s[0] :].startswith("'")
+        ]
+
+        def rep(m: re.Match) -> str:
+            if m.start(2) in banned or _in_spans(m.start(1), comment_spans):
+                return m.group(0)
+            path = m.group(3)
+            path = path if path.startswith("$") else f"$.{path}"
+            return f"get_json_object({m.group(1)}, '{path}')"
+
+        text = _ARROW.sub(rep, text)
+    return text
+
+
+# ------------------------------------------------------------- name rules
+
+# simple name→name (call sites only, outside literals)
+_NAME_RULES: list[tuple[str, str]] = [
+    ("list_transform", "transform"),
+    ("list_filter", "filter"),
+    ("list_reduce", "reduce"),
+    ("list_distinct", "array_distinct"),
+    ("list_contains", "array_contains"),
+    ("list_concat", "concat"),
+    ("string_split_regex", "split"),
+    ("string_split", "split"),
+    ("str_split", "split"),
+    ("strftime", "date_format"),
+    ("array_to_string", "array_join"),
+    ("json_extract_string", "get_json_object"),
+    ("regexp_matches", "rlike"),
 ]
 
-_QUALIFY = re.compile(r"\bQUALIFY\b", re.I)
+_LISTY = re.compile(
+    r"^\s*\[|\b(split|string_split\w*|string_to_array|regexp_extract_all|sequence|"
+    r"array\w*|collect_list|collect_set|list_\w+|map_keys|map_values|transform|"
+    r"filter|slice|flatten)\s*\(",
+    re.I,
+)
 
 
 def translate(text: str) -> str:
-    """DuckDB dialect → Spark SQL dialect (textual, conservative)."""
-    out = text
-    for pat, rep in _REWRITES:
-        out = pat.sub(rep, out)
+    """DuckDB dialect → Spark SQL dialect (token-aware, conservative)."""
+    out = _rewrite_json_arrows(text)
+
+    # len(x): DuckDB len() is list-or-string; Spark splits that into
+    # size() (arrays/maps) vs length() (strings). Choose by argument shape.
+    out = _rewrite_calls(
+        out, "len", lambda a: f"size({a[0]})" if _LISTY.search(a[0]) else f"length({a[0]})"
+    )
+    # list_sort comparator/order forms (DuckDB: list_sort(l [, 'ASC'|'DESC' [, nulls]]))
+    def _list_sort(args: list[str]):
+        if len(args) == 1:
+            return f"array_sort({args[0]})"
+        order = args[1].strip().strip("'\"").upper()
+        return f"sort_array({args[0]}, {'true' if order == 'ASC' else 'false'})"
+
+    out = _rewrite_calls(out, "list_sort", _list_sort)
+    out = _rewrite_calls(out, "list_reverse_sort", lambda a: f"sort_array({a[0]}, false)")
+    # list_sum(l) → aggregate sum (DuckDB sums a list directly)
+    out = _rewrite_calls(
+        out,
+        "list_sum",
+        lambda a: f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        if len(a) == 1
+        else None,
+    )
+
+    spans_free_sub = _make_call_renamer(out)
+    for old, new in _NAME_RULES:
+        out = spans_free_sub(out, old, new)
+        spans_free_sub = _make_call_renamer(out)
+
+    # USING SAMPLE n% (bernoulli) → TABLESAMPLE
+    out = re.sub(r"\bUSING\s+SAMPLE\s+(\d+)\s*%", r"TABLESAMPLE (\1 PERCENT)", out, flags=re.I)
     return out
 
 
+def _make_call_renamer(current: str):
+    def rename(text: str, old: str, new: str) -> str:
+        spans = _literal_spans(text)
+        pat = re.compile(rf"\b{old}\s*\(", re.I)
+        return pat.sub(
+            lambda m: m.group(0) if _in_spans(m.start(), spans) else f"{new}(", text
+        )
+
+    return rename
+
+
 def sql(spark: SparkSession, text: str, sf_dir: str | None = None) -> DataFrame:
-    """Run SQL against the engine catalog. Spark ≥3.5 supports QUALIFY-less
-    dialect only; translated text must be valid Spark SQL."""
+    """Run SQL against the engine catalog. Translated text must be valid
+    Spark SQL (Spark 4 natively accepts QUALIFY-less ANSI plus listagg /
+    string_agg, lambdas, TABLESAMPLE)."""
     if sf_dir:
         register_views(spark, sf_dir)
     return spark.sql(translate(text))

@@ -82,13 +82,30 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="driver parity: bare SparkSession (default 200 shuffle partitions, "
+        "no UTC pin, no tuned confs) — catches session-sensitive queries the "
+        "tuned session masks",
+    )
     args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
 
     from myduckdb_spark import queries as q
     from myduckdb_spark.catalog import TABLES
     from myduckdb_spark.session import get_spark
 
-    spark = get_spark("check")
+    if args.vanilla:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("check-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
