@@ -107,34 +107,110 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     planes: int = 12,
     dim: int = 64,
+    tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: equi-join probe and corpus on the hyperplane
-    bucket (ONE shuffle, hash-partitioned by bucket), score within bucket,
-    window top-k. Recall grows with fewer planes / multi-probe; at 100 TB
-    this is the path — brute force is P·N dot products."""
-    # norms precomputed per VECTOR (P+N evals), only the dot is per pair
-    sig = lambda df, idn, vn, nn: df.select(  # noqa: E731
-        F.col(id_col).alias(idn),
-        F.col(vec_col).alias(vn),
-        F.sqrt(norm_sq_dec_expr(vec_col)).alias(nn),
-        hyperplane_signature(vec_col, planes, dim).alias("bucket"),
-    )
+    """Approximate top-k: equi-join probe and corpus on hyperplane
+    buckets, score ONLY the candidate pairs, window top-k.
+
+    Scale design (the 100 TB path — brute force is P·N dot products):
+
+    * The bucket self-join carries ONLY ids — never vectors. A vector
+      payload through the bucket join multiplies the shuffle by the
+      candidate fan-out (measured 30×/100× on this repo's other pair
+      pipelines before the same fix).
+    * Candidate scoring is the same whole-stage-codegen formulation as
+      ``brute_force_topk``: attach the corpus vector once per candidate
+      (one shuffle on neighbor_id), posexplode on dimension index,
+      broadcast-join the exploded probes on (probe_id, pos), and
+      groupBy-sum decimal products with map-side partial aggregation.
+      No interpreted higher-order-function runs per pair.
+    * Recall is tuned by OR-amplification: ``tables`` independent
+      hyperplane sets (seeded xxhash64, no stored model) union their
+      candidates. P(candidate) = 1-(1-p^planes)^tables for per-plane
+      agreement p — more tables → higher recall, proportionally more
+      candidates; fewer planes → bigger buckets. Measure with
+      ``recall_at_k`` (registered as the sim_lsh_recall query).
+    """
     par = probes.sparkSession.sparkContext.defaultParallelism
-    p = sig(probes.repartition(par), "probe_id", "pv", "pn")
-    c = sig(corpus.repartition(par), "neighbor_id", "cv", "cn")
-    scored = (
-        p.join(c, "bucket")
+
+    def sigs(df: DataFrame, idn: str) -> DataFrame:
+        tbl = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(vec_col, planes, dim, seed=42 + 7 * t).alias("sig"),
+            )
+            for t in range(tables)
+        ]
+        return df.select(
+            F.col(id_col).alias(idn), F.explode(F.array(*tbl)).alias("b")
+        ).select(idn, F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig"))
+
+    p_sig = sigs(probes.repartition(par), "probe_id")
+    c_sig = sigs(corpus.repartition(par), "neighbor_id")
+    cands = (
+        p_sig.join(c_sig, ["tbl", "sig"])
         .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id")
+    )
+    if tables > 1:  # a pair colliding in several tables must score once
+        cands = cands.dropDuplicates(["probe_id", "neighbor_id"])
+
+    pe = probes.select(
+        F.col(id_col).alias("probe_id"), F.posexplode(vec_col).alias("pos", "px")
+    ).select("probe_id", "pos", F.col("px").cast("double").alias("px"))
+    cvec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    dots = (
+        cands.join(cvec, "neighbor_id")
+        .select("probe_id", "neighbor_id", F.posexplode("cv").alias("pos", "cx"))
+        .join(F.broadcast(pe), ["probe_id", "pos"])
+        .groupBy("probe_id", "neighbor_id")
+        .agg(
+            F.sum((F.col("px") * F.col("cx").cast("double")).cast("decimal(18,15)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    pn = probes.select(
+        F.col(id_col).alias("probe_id"), F.sqrt(norm_sq_dec_expr(vec_col)).alias("p_norm")
+    )
+    cn = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.sqrt(norm_sq_dec_expr(vec_col)).alias("c_norm")
+    )
+    # probe norms broadcast (probes are the small side by construction);
+    # corpus norms join on neighbor_id and AQE picks broadcast when they fit
+    scored = (
+        dots.join(F.broadcast(pn), "probe_id")
+        .join(cn, "neighbor_id")
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(
-                dot_dec_expr("pv", "cv") / (F.col("pn") * F.col("cn")), 6
-            ).alias("cos_sim"),
+            F.round(F.col("dot") / (F.col("p_norm") * F.col("c_norm")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 5) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one:
+    |approx ∩ exact| / |exact| over (probe_id, neighbor_id) pairs with
+    rank ≤ k. One row: (k, n_probes, n_exact, n_hit, recall)."""
+    a = approx.filter(F.col("rank") <= k).select("probe_id", "neighbor_id")
+    e = exact.filter(F.col("rank") <= k).select("probe_id", "neighbor_id")
+    hit = e.join(a, ["probe_id", "neighbor_id"], "semi")
+    return e.agg(
+        F.lit(k).alias("k"),
+        F.countDistinct("probe_id").alias("n_probes"),
+        F.count(F.lit(1)).alias("n_exact"),
+    ).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    ).select(
+        "k",
+        "n_probes",
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+    )
 
 
 def numpy_topk_per_partition(

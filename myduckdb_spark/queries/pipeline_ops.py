@@ -17,7 +17,11 @@ from myduckdb_spark.pipeline.dedup import (
     simhash_near_pairs,
 )
 from myduckdb_spark.pipeline.multimodal import attach_fake_media, extract_features
-from myduckdb_spark.pipeline.similarity import brute_force_topk, lsh_bucketed_topk
+from myduckdb_spark.pipeline.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+    recall_at_k,
+)
 from myduckdb_spark.pipeline.textstats import (
     STOPWORDS,
     bpe_ish_token_count,
@@ -172,11 +176,27 @@ def sim_topk_bruteforce(spark, sf_dir):
 
 @register("sim_topk_lsh", oracle=None, tags=("similarity", "lsh"))
 def sim_topk_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed top-k (approximate; bucket join instead of
-    P×N scoring — the scale path). Rows-only driver check by design."""
+    """Hyperplane-LSH bucketed top-k (approximate; ids-only bucket join +
+    codegen candidate scoring instead of P×N — the scale path). Rows-only
+    driver check by design; recall is measured by sim_lsh_recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
-    return lsh_bucketed_topk(probes, emb, k=5, planes=8).orderBy("probe_id", "rank")
+    return lsh_bucketed_topk(probes, emb, k=5, planes=8, tables=4).orderBy(
+        "probe_id", "rank"
+    )
+
+
+@register("sim_lsh_recall", oracle=None, tags=("similarity", "lsh", "recall"))
+def sim_lsh_recall(spark, sf_dir):
+    """Measured recall@5 of the LSH scale path against the exact
+    brute-force baseline on the same probes — the quality metric that
+    makes the approximate path auditable (no SQL oracle: the metric is
+    defined against this engine's own exact result)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = lsh_bucketed_topk(probes, emb, k=5, planes=8, tables=4)
+    exact = brute_force_topk(probes, emb, k=5)
+    return recall_at_k(approx, exact, k=5)
 
 
 @register(
