@@ -2,8 +2,11 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Each query is fully materialized via the noop
-sink (no driver-side collect cost). Times are per-query wall seconds;
-"value" is the total.
+sink (no driver-side collect cost). Each query runs
+$SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the MEDIAN —
+single-pass timings proved noise-dominated (round-2's apparent 1.67x
+"regression" was ~1.5x drift on queries whose code had not changed).
+Times are per-query wall seconds; "value" is the total of medians.
 """
 
 from __future__ import annotations
@@ -45,13 +48,22 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = all_q[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            df = all_q[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        print(
+            f"  {name}: median {timings[name]}s of {[round(s, 2) for s in samples]}",
+            file=sys.stderr,
+            flush=True,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

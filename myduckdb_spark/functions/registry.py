@@ -356,3 +356,18 @@ _reg("stats")(lambda c: F.lit("see df.summary()"))
 _reg("encode")(lambda s: F.encode(_c(s), "UTF-8"))
 _reg("decode")(lambda b: F.decode(_c(b), "UTF-8"))
 _reg("ord")(lambda s: F.ascii(_c(s)))
+
+
+# --- regression aggregates (reference src/core_functions/aggregate/
+# regression/regr_*.cpp, registered in function_list.cpp) — 1:1 Spark
+# natives (Spark 3.4+). These are AGGREGATE expressions: use inside
+# df.agg(...)/groupBy().agg(...). ---
+_reg("regr_count")(lambda y, x: F.regr_count(_c(y), _c(x)))
+_reg("regr_avgx")(lambda y, x: F.regr_avgx(_c(y), _c(x)))
+_reg("regr_avgy")(lambda y, x: F.regr_avgy(_c(y), _c(x)))
+_reg("regr_slope")(lambda y, x: F.regr_slope(_c(y), _c(x)))
+_reg("regr_intercept")(lambda y, x: F.regr_intercept(_c(y), _c(x)))
+_reg("regr_r2")(lambda y, x: F.regr_r2(_c(y), _c(x)))
+_reg("regr_sxx")(lambda y, x: F.regr_sxx(_c(y), _c(x)))
+_reg("regr_syy")(lambda y, x: F.regr_syy(_c(y), _c(x)))
+_reg("regr_sxy")(lambda y, x: F.regr_sxy(_c(y), _c(x)))

@@ -169,14 +169,19 @@ def agg_string_agg_ordered(spark, sf_dir):
 @register(
     "agg_stats_exact",
     oracle="""
-    WITH s AS (
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS qx,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cy
+      FROM lineitem
+    ), s AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag
+             CAST(SUM(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(qx * qx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(cy AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sy,
+             CAST(SUM(CAST(qx * cy AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sxy
+      FROM c GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
            (sxx - sx*sx/n) / (n - 1) AS var_qty,
@@ -186,21 +191,22 @@ def agg_string_agg_ordered(spark, sf_dir):
     tags=("aggregate", "stats"),
 )
 def agg_stats_exact(spark, sf_dir):
-    """Variance/covariance computed from exact decimal moments — the
+    """Variance/covariance computed from exact integer moments — the
     order-independent formulation of the reference's algebraic aggregates
-    (stddev.cpp, covar.cpp). Native F.var_samp/F.covar_samp are exercised
+    (stddev.cpp, covar.cpp). Quantities/prices scale to exact BIGINTs
+    (qty integral, price 2-decimal cents) so every sum is bit-identical
+    across engines; double→DECIMAL casts of large products are NOT
+    (see agg_regression). Native F.var_samp/F.covar_samp are exercised
     in tests; this query is the hash-exact variant."""
     li = load_table(spark, sf_dir, "lineitem")
-    s = li.groupBy("l_returnflag").agg(
+    qx = F.round(F.col("l_quantity")).cast("bigint")
+    cy = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    s = li.select("l_returnflag", qx.alias("qx"), cy.alias("cy")).groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sx"),
-        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,12)"))
-        .cast("double")
-        .alias("sxx"),
-        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sy"),
-        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(28,12)"))
-        .cast("double")
-        .alias("sxy"),
+        F.sum(F.col("qx").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum((F.col("qx") * F.col("qx")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        (F.sum(F.col("cy").cast("decimal(38,0)")).cast("double") / 100).alias("sy"),
+        (F.sum((F.col("qx") * F.col("cy")).cast("decimal(38,0)")).cast("double") / 100).alias("sxy"),
     )
     return s.select(
         "l_returnflag",
@@ -339,4 +345,144 @@ def agg_approx(spark, sf_dir):
             F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS qx,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cy
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(cy AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sy,
+             CAST(SUM(CAST(qx * qx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(cy * cy AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS syy,
+             CAST(SUM(CAST(qx * cy AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sxy
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n AS regr_count,
+           sx / n AS regr_avgx,
+           sy / n AS regr_avgy,
+           sxx - sx*sx/n AS regr_sxx,
+           syy - sy*sy/n AS regr_syy,
+           sxy - sx*sy/n AS regr_sxy,
+           (sxy - sx*sy/n) / (sxx - sx*sx/n) AS regr_slope,
+           sy / n - (sxy - sx*sy/n) / (sxx - sx*sx/n) * (sx / n) AS regr_intercept,
+           ((sxy - sx*sy/n) * (sxy - sx*sy/n)) / ((sxx - sx*sx/n) * (syy - sy*sy/n)) AS regr_r2
+    FROM m ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "regression"),
+)
+def agg_regression(spark, sf_dir):
+    """regr_* regression aggregates (reference src/core_functions/aggregate/
+    regression/regr_slope.cpp et al., registered in function_list.cpp):
+    y = l_extendedprice regressed on x = l_quantity per return flag.
+
+    Computed from EXACT integer moments on both sides: quantities are
+    integral and prices have 2 decimals, so round(x), round(100·y) are
+    exactly representable BIGINTs, their products are exact integers, and
+    the DECIMAL(38,0) sums are bit-identical across engines. (A
+    double→DECIMAL(p,s) cast of large products is NOT cross-engine
+    stable — Spark converts through the double's shortest decimal
+    representation, DuckDB through a different rounding, diverging near
+    the 17th significant digit — measured on this exact query.) The
+    native streaming F.regr_* forms are registered in
+    functions/registry.py and tolerance-tested against these values in
+    tests/test_functions.py. Map-side partial sums → one shuffle of 6
+    numbers per group: scale-safe at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qx = F.round(F.col("l_quantity")).cast("bigint")
+    cy = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = li.select("l_returnflag", qx.alias("qx"), cy.alias("cy")).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qx").cast("decimal(38,0)")).cast("double").alias("sx"),
+        (F.sum(F.col("cy").cast("decimal(38,0)")).cast("double") / 100).alias("sy"),
+        F.sum((F.col("qx") * F.col("qx")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        (F.sum((F.col("cy") * F.col("cy")).cast("decimal(38,0)")).cast("double") / 10000).alias("syy"),
+        (F.sum((F.col("qx") * F.col("cy")).cast("decimal(38,0)")).cast("double") / 100).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cxx = F.col("sxx") - sx * sx / n
+    cyy = F.col("syy") - sy * sy / n
+    cxy = F.col("sxy") - sx * sy / n
+    return m.select(
+        "l_returnflag",
+        n.alias("regr_count"),
+        (sx / n).alias("regr_avgx"),
+        (sy / n).alias("regr_avgy"),
+        cxx.alias("regr_sxx"),
+        cyy.alias("regr_syy"),
+        cxy.alias("regr_sxy"),
+        (cxy / cxx).alias("regr_slope"),
+        (sy / n - (cxy / cxx) * (sx / n)).alias("regr_intercept"),
+        ((cxy * cxy) / (cxx * cyy)).alias("regr_r2"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_mad_topk",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_quantity) AS med_qty FROM lineitem GROUP BY l_returnflag
+    ), mad AS (
+      SELECT l.l_returnflag, median(abs(l.l_quantity - m.med_qty)) AS mad_qty
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+      GROUP BY l.l_returnflag
+    ), cnt AS (
+      SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_linenumber) AS rk
+      FROM lineitem GROUP BY l_returnflag, l_linenumber
+    )
+    SELECT mad.l_returnflag, mad.mad_qty, cnt.l_linenumber AS top_linenumber,
+           cnt.n AS top_count, cnt.rk AS rank
+    FROM mad JOIN cnt ON mad.l_returnflag = cnt.l_returnflag
+    WHERE cnt.rk <= 3
+    ORDER BY mad.l_returnflag, cnt.rk
+    """,
+    tags=("aggregate", "holistic"),
+)
+def agg_mad_topk(spark, sf_dir):
+    """Holistic aggregates: mad (reference holistic/mad.cpp = median of
+    absolute deviations from the median, composed from two exact
+    percentile passes) and top-k by frequency (reference
+    holistic/approx_top_k.cpp — computed EXACTLY here via groupBy-count +
+    window, which is also the scale path: the count groupBy is map-side
+    partial, the window partitions by the outer group key).
+
+    l_quantity is integral-valued, so median interpolation ((a+b)/2) is
+    exact in double on both engines — hash-safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty")
+    )
+    mad = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(abs(l_quantity - med_qty), 0.5)").alias("mad_qty"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "l_linenumber")
+    cnt = (
+        li.groupBy("l_returnflag", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+    return (
+        mad.join(cnt, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "mad_qty",
+            F.col("l_linenumber").alias("top_linenumber"),
+            F.col("n").alias("top_count"),
+            F.col("rk").alias("rank"),
+        )
+        .orderBy("l_returnflag", "rank")
     )

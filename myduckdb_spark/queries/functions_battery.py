@@ -92,7 +92,7 @@ def fn_string_battery(spark, sf_dir):
            CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS sg,
            CAST(ceil(p_retailprice) AS BIGINT) AS ce,
            CAST(floor(p_retailprice) AS BIGINT) AS fl,
-           CAST(round(CAST(p_retailprice AS DECIMAL(12,2)), 1) AS DECIMAL(12,1)) AS rnd,
+           CAST(CAST(round(CAST(p_retailprice AS DECIMAL(12,2)), 1) AS DECIMAL(12,1)) AS DOUBLE) AS rnd,
            sqrt(p_retailprice) AS sq,
            p_retailprice * p_retailprice AS sqr,
            CAST(p_size % 7 AS INT) AS md,
@@ -104,7 +104,7 @@ def fn_string_battery(spark, sf_dir):
            CAST(xor(p_size, 5) AS INT) AS bxor,
            CAST(bit_count(p_size) AS INT) AS bcnt,
            CAST(isnan(p_retailprice) AS BOOLEAN) AS nn,
-           CAST(p_retailprice AS DECIMAL(12,2)) AS dec2,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS dec2,
            CAST(try_cast(p_brand AS INTEGER) IS NULL AS BOOLEAN) AS badcast
     FROM part
     ORDER BY p_partkey
@@ -126,8 +126,11 @@ def fn_math_battery(spark, sf_dir):
         F.ceil(p).alias("ce"),
         F.floor(p).alias("fl"),
         # decimal round, not double round: double round(x, 1) is engine- and
-        # session-sensitive at representation boundaries; decimal is exact
-        F.round(p.cast("decimal(12,2)"), 1).cast("decimal(12,1)").alias("rnd"),
+        # session-sensitive at representation boundaries; decimal is exact.
+        # Final cast back to DOUBLE: a DECIMAL output column is driver-hostile
+        # (duckdb's pandas conversion renders DECIMAL as float64 while Spark's
+        # renders Decimal objects — "900.10" vs "900.1" hash-mismatch).
+        F.round(p.cast("decimal(12,2)"), 1).cast("decimal(12,1)").cast("double").alias("rnd"),
         F.sqrt(p).alias("sq"),
         (p * p).alias("sqr"),
         (s % 7).alias("md"),
@@ -140,7 +143,7 @@ def fn_math_battery(spark, sf_dir):
         s.bitwiseXOR(F.lit(5)).alias("bxor"),
         F.bit_count(s).cast("int").alias("bcnt"),
         F.isnan(p).alias("nn"),
-        p.cast("decimal(12,2)").alias("dec2"),
+        p.cast("decimal(12,2)").cast("double").alias("dec2"),
         F.expr("try_cast(p_brand AS INT)").isNull().alias("badcast"),
     ).orderBy("p_partkey")
 

@@ -204,8 +204,8 @@ def sim_lsh_recall(spark, sf_dir):
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS total_tokens,
-           SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')))
+           CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))) AS BIGINT)
              AS total_bpe_tokens,
            CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents GROUP BY lang ORDER BY lang

@@ -114,3 +114,40 @@ def test_missing_intrinsics_raise():
 
 def test_has():
     assert has("list_transform") and has("LIST_TRANSFORM") and not has("nope_fn")
+
+
+def test_regr_aggregates_match_duckdb(spark, duck, sf_dir):
+    """Native F.regr_* (streaming double accumulation) vs DuckDB's native
+    regr_* (reference src/core_functions/aggregate/regression/) — equal to
+    1e-9 relative tolerance; the hash-exact moment formulation lives in the
+    agg_regression oracle query."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        fn("regr_count")("l_extendedprice", "l_quantity").alias("n"),
+        fn("regr_avgx")("l_extendedprice", "l_quantity").alias("ax"),
+        fn("regr_avgy")("l_extendedprice", "l_quantity").alias("ay"),
+        fn("regr_slope")("l_extendedprice", "l_quantity").alias("sl"),
+        fn("regr_intercept")("l_extendedprice", "l_quantity").alias("ic"),
+        fn("regr_r2")("l_extendedprice", "l_quantity").alias("r2"),
+        fn("regr_sxx")("l_extendedprice", "l_quantity").alias("sxx"),
+        fn("regr_syy")("l_extendedprice", "l_quantity").alias("syy"),
+        fn("regr_sxy")("l_extendedprice", "l_quantity").alias("sxy"),
+    ).collect()[0]
+    d = duck.sql(
+        f"""
+        SELECT regr_count(l_extendedprice, l_quantity),
+               regr_avgx(l_extendedprice, l_quantity),
+               regr_avgy(l_extendedprice, l_quantity),
+               regr_slope(l_extendedprice, l_quantity),
+               regr_intercept(l_extendedprice, l_quantity),
+               regr_r2(l_extendedprice, l_quantity),
+               regr_sxx(l_extendedprice, l_quantity),
+               regr_syy(l_extendedprice, l_quantity),
+               regr_sxy(l_extendedprice, l_quantity)
+        FROM '{sf_dir}/lineitem.parquet'
+        """
+    ).fetchone()
+    got = [row["n"], row["ax"], row["ay"], row["sl"], row["ic"], row["r2"],
+           row["sxx"], row["syy"], row["sxy"]]
+    for g, e in zip(got, d):
+        assert g == pytest.approx(float(e), rel=1e-9), (g, e)
