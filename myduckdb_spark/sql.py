@@ -206,9 +206,103 @@ _LISTY = re.compile(
 )
 
 
+# ---------------------------------------------------------------- QUALIFY
+
+_QUALIFY = re.compile(r"\bQUALIFY\b", re.I)
+_SELECT = re.compile(r"\bSELECT\b(\s+DISTINCT\b)?", re.I)
+_Q_TERM = re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|WINDOW)\b", re.I)
+_AS_ALIAS = re.compile(r"\bAS\s+([A-Za-z_]\w*)\s*$", re.I)
+_BARE_COL = re.compile(r"^[A-Za-z_][\w.]*$")
+
+
+def _depth_profile(text: str) -> list[int]:
+    """Paren depth BEFORE each character (literal-blind)."""
+    spans = _literal_spans(text)
+    depths, d = [], 0
+    for i, c in enumerate(text):
+        depths.append(d)
+        if _in_spans(i, spans):
+            continue
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+    return depths
+
+
+def _rewrite_qualify(text: str) -> str:
+    """Hoist ``QUALIFY <pred>`` (reference binder
+    src/planner/binder/query_node/bind_select_node.cpp) into
+    window-projection + filter: the owning SELECT list gains a
+    ``(<pred>) AS __qualify`` column (window functions are legal in a
+    select list), and an outer SELECT of the original output names filters
+    on it. Requires every select-list item to be a bare column or carry an
+    ``AS`` alias — the shape of the reference's QUALIFY corpus."""
+    while True:
+        spans = _literal_spans(text)
+        depths = _depth_profile(text)
+        qm = next((m for m in _QUALIFY.finditer(text) if not _in_spans(m.start(), spans)), None)
+        if qm is None:
+            return text
+        qd = depths[qm.start()]
+        sel = None
+        for sm in _SELECT.finditer(text):
+            if sm.start() < qm.start() and not _in_spans(sm.start(), spans) and depths[sm.start()] == qd:
+                sel = sm
+        if sel is None:
+            raise ValueError("QUALIFY without owning SELECT")
+        # end of this query block: first ')' dropping below qd, else EOS
+        end = len(text)
+        for i in range(qm.end(), len(text)):
+            if not _in_spans(i, spans) and text[i] == ")" and depths[i] == qd:
+                end = i
+                break
+        # predicate runs to the first same-depth terminator clause
+        pred_end = end
+        for tm in _Q_TERM.finditer(text, qm.end(), end):
+            if not _in_spans(tm.start(), spans) and depths[tm.start()] == qd:
+                pred_end = tm.start()
+                break
+        pred = text[qm.end() : pred_end].strip()
+        tail = text[pred_end:end]
+        # select list spans from after SELECT [DISTINCT] to the same-depth FROM
+        from_m = None
+        for fm in re.finditer(r"\bFROM\b", text, re.I):
+            if sel.end() < fm.start() < qm.start() and not _in_spans(fm.start(), spans) and depths[fm.start()] == qd:
+                from_m = fm
+                break
+        if from_m is None:
+            raise ValueError("QUALIFY SELECT without FROM")
+        items = [a.strip() for a in _split_args(text[sel.end() : from_m.start()])]
+        names = []
+        for it in items:
+            am = _AS_ALIAS.search(it)
+            if am:
+                names.append(am.group(1))
+            elif _BARE_COL.match(it):
+                names.append(it.split(".")[-1])
+            elif it == "*":
+                raise ValueError("QUALIFY with SELECT * needs explicit columns")
+            else:
+                raise ValueError(f"QUALIFY select item needs an alias: {it!r}")
+        inner = (
+            text[sel.start() : from_m.start()]
+            + f", ({pred}) AS __qualify "
+            + text[from_m.start() : qm.start()]
+        )
+        new_block = (
+            "SELECT " + ", ".join(names) + f" FROM ({inner}) __qt WHERE __qualify" + tail
+        )
+        text = text[: sel.start()] + new_block + text[end:]
+
+
 def translate(text: str) -> str:
     """DuckDB dialect → Spark SQL dialect (token-aware, conservative)."""
-    out = _rewrite_json_arrows(text)
+    from myduckdb_spark.functions.macros import expand_macros
+
+    out = expand_macros(text)  # bind-time macro expansion, before all rules
+    out = _rewrite_qualify(out)
+    out = _rewrite_json_arrows(out)
 
     # len(x): DuckDB len() is list-or-string; Spark splits that into
     # size() (arrays/maps) vs length() (strings). Choose by argument shape.
@@ -254,10 +348,38 @@ def _make_call_renamer(current: str):
     return rename
 
 
-def sql(spark: SparkSession, text: str, sf_dir: str | None = None) -> DataFrame:
+def sql(
+    spark: SparkSession,
+    text: str,
+    sf_dir: str | None = None,
+    args: dict | list | None = None,
+) -> DataFrame:
     """Run SQL against the engine catalog. Translated text must be valid
     Spark SQL (Spark 4 natively accepts QUALIFY-less ANSI plus listagg /
-    string_agg, lambdas, TABLESAMPLE)."""
+    string_agg, lambdas, TABLESAMPLE).
+
+    ``args`` = prepared-statement parameters (reference EP2,
+    src/main/prepared_statement.cpp; PREPARE/EXECUTE with ``?`` or ``$n``
+    placeholders). Spark 3.4+ binds them natively via spark.sql(..., args):
+    a list binds positional ``?``; a dict binds named ``:name``. DuckDB's
+    ``$n``/``$name`` forms are translated to ``:pn``/``:name``, and a list
+    given with ``$n`` placeholders is converted to the matching dict. The
+    plan is rebuilt per call — Spark has no plan cache to reuse, which is
+    acceptable (Catalyst re-optimization is cheap relative to execution)."""
     if sf_dir:
         register_views(spark, sf_dir)
-    return spark.sql(translate(text))
+    out = translate(text)
+    if args is None:
+        return spark.sql(out)
+    spans = _literal_spans(out)
+    dollars = [m for m in re.finditer(r"\$([A-Za-z_]\w*|\d+)", out) if not _in_spans(m.start(), spans)]
+    if dollars:
+        out = re.sub(
+            r"\$([A-Za-z_]\w*|\d+)",
+            lambda m: m.group(0) if _in_spans(m.start(), spans) else
+            (f":p{m.group(1)}" if m.group(1).isdigit() else f":{m.group(1)}"),
+            out,
+        )
+        if isinstance(args, (list, tuple)):
+            args = {f"p{i}": v for i, v in enumerate(args, 1)}
+    return spark.sql(out, args=args)

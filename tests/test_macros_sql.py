@@ -1,0 +1,134 @@
+"""CREATE MACRO round-trips (reference scalar_macro_function.hpp:21,
+table_macro_function.hpp:21) + SQL front-door QUALIFY rewrite (reference
+bind_select_node.cpp) + prepared-statement parameters (reference EP2,
+src/main/prepared_statement.cpp)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from myduckdb_spark.functions import macros
+from myduckdb_spark.sql import sql, translate
+
+
+@pytest.fixture(autouse=True)
+def _clean_macros():
+    yield
+    for n in macros.macro_names():
+        macros.drop_macro(n)
+
+
+def test_scalar_macro_dataframe_path(spark):
+    add_tax = macros.create_macro("add_tax", ["amount", "rate"], "amount * (1 + rate)")
+    df = spark.range(3).select(add_tax(F.col("id").cast("double"), "0.5").alias("v"))
+    assert [r["v"] for r in df.collect()] == [0.0, 1.5, 3.0]
+
+
+def test_scalar_macro_sql_front_door(spark):
+    macros.create_macro("add_tax", ["amount", "rate"], "amount * (1 + rate)")
+    df = sql(spark, "SELECT add_tax(CAST(id AS DOUBLE), 0.5) AS v FROM range(3)")
+    assert [r["v"] for r in df.collect()] == [0.0, 1.5, 3.0]
+
+
+def test_scalar_macro_default_param(spark):
+    eight = macros.create_macro("with_default", ["x", "pct"], "x + pct", pct="8")
+    assert spark.range(1).select(eight("1").alias("v")).collect()[0]["v"] == 9
+
+
+def test_macro_calls_macro(spark):
+    macros.create_macro("twice", ["x"], "x * 2")
+    macros.create_macro("quad", ["x"], "twice(twice(x))")
+    df = sql(spark, "SELECT quad(id) AS v FROM range(3)")
+    assert [r["v"] for r in df.collect()] == [0, 4, 8]
+
+
+def test_macro_cycle_raises():
+    macros.create_macro("a_cyc", ["x"], "b_cyc(x)")
+    macros.create_macro("b_cyc", ["x"], "a_cyc(x)")
+    with pytest.raises(RecursionError):
+        macros.expand_macros("SELECT a_cyc(1)")
+
+
+def test_table_macro_sql_body(spark):
+    macros.create_table_macro("first_n", ["n"], "SELECT id FROM range(100) LIMIT n")
+    df = macros.run_table_macro(spark, "first_n", "5")
+    assert df.count() == 5
+    # front door: table macro call expands to a subquery in FROM
+    df2 = sql(spark, "SELECT count(*) AS c FROM first_n(7) t")
+    assert df2.collect()[0]["c"] == 7
+
+
+def test_table_macro_python_fn(spark):
+    macros.create_table_macro(
+        "doubled_range", ["n"], fn=lambda sp, n: sp.range(int(n)).select((F.col("id") * 2).alias("v"))
+    )
+    df = macros.run_table_macro(spark, "doubled_range", 4)
+    assert [r["v"] for r in df.collect()] == [0, 2, 4, 6]
+
+
+# ------------------------------------------------------------------ QUALIFY
+
+
+def test_qualify_rewrite_translates():
+    out = translate(
+        "SELECT o_custkey, o_totalprice AS tp FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) <= 2 "
+        "ORDER BY o_custkey"
+    )
+    assert "QUALIFY" not in out.upper().replace("__QUALIFY", "")
+    assert "__qualify" in out and "WHERE __qualify" in out
+
+
+def test_qualify_runs(spark, sf_dir):
+    df = sql(
+        spark,
+        "SELECT o_custkey, o_totalprice AS tp FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2",
+        sf_dir=sf_dir,
+    )
+    pdf = df.toPandas()
+    assert (pdf.groupby("o_custkey").size() <= 2).all()
+    # spot-check one customer's rows are its top-2 prices
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    ck = pdf["o_custkey"].iloc[0]
+    want = sorted(orders[orders.o_custkey == ck].o_totalprice, reverse=True)[:2]
+    got = sorted(pdf[pdf.o_custkey == ck].tp, reverse=True)
+    assert got == pytest.approx(want)
+
+
+def test_qualify_in_subquery(spark):
+    df = sql(
+        spark,
+        "SELECT v FROM (SELECT id AS v FROM range(10) "
+        "QUALIFY row_number() OVER (ORDER BY id DESC) <= 3) t ORDER BY v",
+    )
+    assert [r["v"] for r in df.collect()] == [7, 8, 9]
+
+
+# ----------------------------------------------------------- parameters EP2
+
+
+def test_sql_positional_params(spark):
+    df = sql(spark, "SELECT id FROM range(10) WHERE id > ? AND id < ?", args=[5, 8])
+    assert [r["id"] for r in df.collect()] == [6, 7]
+
+
+def test_sql_named_params(spark):
+    df = sql(spark, "SELECT id FROM range(10) WHERE id = :target", args={"target": 4})
+    assert [r["id"] for r in df.collect()] == [4]
+
+
+def test_sql_dollar_params(spark):
+    df = sql(spark, "SELECT id FROM range(10) WHERE id > $1 AND id != $2", args=[6, 8])
+    assert [r["id"] for r in df.collect()] == [7, 9]
+    df2 = sql(spark, "SELECT id FROM range(10) WHERE id = $pick", args={"pick": 3})
+    assert [r["id"] for r in df2.collect()] == [3]
+
+
+def test_macro_arg_containing_other_param_name(spark):
+    """Simultaneous substitution: an argument whose text contains another
+    parameter's name must not be re-substituted."""
+    macros.create_macro("sub2", ["a", "b"], "a - b")
+    out = macros.expand_macros("SELECT sub2(y, x) FROM t")
+    assert out == "SELECT (y) - (x) FROM t"
+    out2 = macros.expand_macros("SELECT sub2(b, 1) FROM t")  # arg literally named 'b'
+    assert out2 == "SELECT (b) - (1) FROM t"
