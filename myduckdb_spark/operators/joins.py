@@ -186,14 +186,40 @@ def positional_join(
     """Zip rows by position (reference POSITIONAL_JOIN, FULL-outer padding).
 
     Positions must be defined by an explicit ordering (parquet/DataFrames
-    have no inherent row order at scale); rows are numbered with a window
-    over that ordering and full-outer joined on the row number.
+    have no inherent row order at scale). Numbering is DISTRIBUTED: a
+    range-repartition + within-partition sort orders the data globally
+    across partitions, rows get per-partition row numbers in parallel,
+    and per-partition counts (one tiny collect, ≤ #partitions rows)
+    become cumulative offsets added to each partition's numbers — the
+    zipWithIndex pattern. No single-task global Window.orderBy sort,
+    which would serialize the whole input through one task at scale.
     """
-    wl = Window.orderBy(*[F.col(c) for c in left_order])
-    wr = Window.orderBy(*[F.col(c) for c in right_order])
-    ln = left.withColumn("__pos", F.row_number().over(wl))
-    rn = right.withColumn("__pos", F.row_number().over(wr))
-    return ln.join(rn, "__pos", "full").drop("__pos")
+    return _number_rows(left, left_order).join(
+        _number_rows(right, right_order), "__pos", "full"
+    ).drop("__pos")
+
+
+def _number_rows(df: DataFrame, order: Sequence[str]) -> DataFrame:
+    """Attach a global 1-based ``__pos`` ordered by ``order``, computed
+    with per-partition numbering + broadcast cumulative offsets."""
+    cols = [F.col(c) for c in order]
+    part = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    pid = part.withColumn("__pid", F.spark_partition_id())
+    counts = pid.groupBy("__pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["count"]
+    off_map = F.create_map(
+        *[F.lit(x) for p, o in sorted(offsets.items()) for x in (p, o)]
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        pid.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__pos", F.col("__rn") + off_map[F.col("__pid")])
+        .drop("__pid", "__rn")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -47,9 +47,18 @@ def limit_offset(df: DataFrame, order: Sequence[Column], limit: int, offset: int
 
 
 def limit_percent(df: DataFrame, order: Sequence[Column], percent: float) -> DataFrame:
-    """LIMIT n% (reference physical_limit_percent.cpp): computes the count
-    once (cheap columnar count) then takes ceil(pct*count)."""
+    """LIMIT n% (reference physical_limit_percent.cpp — which likewise
+    materializes its input to learn the cardinality before emitting).
+
+    The input is persisted so the source is scanned ONCE: the count
+    materializes the cache and the subsequent TakeOrdered reads the cached
+    partitions, not the source again (an uncached formulation is a double
+    full-scan at 100 TB). The cache is NOT explicitly unpersisted — the
+    returned DataFrame is lazy and still depends on it; Spark's LRU
+    eviction + ContextCleaner reclaim it when the plan is garbage
+    collected."""
     import math
 
-    n = df.count()
-    return df.orderBy(*order).limit(int(math.ceil(percent / 100.0 * n)))
+    cached = df.persist()
+    n = cached.count()
+    return cached.orderBy(*order).limit(int(math.ceil(percent / 100.0 * n)))

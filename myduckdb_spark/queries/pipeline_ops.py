@@ -178,10 +178,17 @@ def sim_topk_bruteforce(spark, sf_dir):
 def sim_topk_lsh(spark, sf_dir):
     """Hyperplane-LSH bucketed top-k (approximate; ids-only bucket join +
     codegen candidate scoring instead of P×N — the scale path). Rows-only
-    driver check by design; recall is measured by sim_lsh_recall."""
+    driver check by design; recall is measured by sim_lsh_recall.
+
+    Parameter note (measured): this synthetic corpus is near-RANDOM
+    (top-5 neighbor cos ≈ 0.32, collision prob ≈ 0.6/plane), so buckets
+    must be coarse — planes=2, tables=8 reaches recall@5 ≈ 0.98 here.
+    On a clustered corpus (neighbor cos ≥ 0.9, the realistic regime)
+    fine buckets (planes≈10-12) prune aggressively at the same recall —
+    proven in tests/test_pipeline.py::test_lsh_clustered_corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
-    return lsh_bucketed_topk(probes, emb, k=5, planes=8, tables=4).orderBy(
+    return lsh_bucketed_topk(probes, emb, k=5, planes=2, tables=8).orderBy(
         "probe_id", "rank"
     )
 
@@ -191,12 +198,18 @@ def sim_lsh_recall(spark, sf_dir):
     """Measured recall@5 of the LSH scale path against the exact
     brute-force baseline on the same probes — the quality metric that
     makes the approximate path auditable (no SQL oracle: the metric is
-    defined against this engine's own exact result)."""
+    defined against this engine's own exact result).
+
+    Emits ``pass = recall >= 0.9`` so even a rows-only driver check
+    carries signal; tests/test_pipeline.py asserts the floor, so a
+    recall regression fails the suite."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
-    approx = lsh_bucketed_topk(probes, emb, k=5, planes=8, tables=4)
+    approx = lsh_bucketed_topk(probes, emb, k=5, planes=2, tables=8)
     exact = brute_force_topk(probes, emb, k=5)
-    return recall_at_k(approx, exact, k=5)
+    return recall_at_k(approx, exact, k=5).withColumn(
+        "pass", F.col("recall") >= 0.9
+    )
 
 
 @register(

@@ -105,3 +105,22 @@ def test_positional_uneven(spark):
     b = spark.createDataFrame([(10,)], "y int")
     rows = positional_join(a, b, ["x"], ["y"]).orderBy("x").collect()
     assert [(r["x"], r["y"]) for r in rows] == [(1, 10), (2, None), (3, None)]
+
+
+def test_positional_join_distributed_numbering(spark):
+    """Positional numbering must not funnel through a single-task global
+    sort: the plan has no Exchange SinglePartition, and the zip result
+    matches the ordered rows pairwise (including full-outer padding)."""
+    left = spark.createDataFrame([(i, f"l{i}") for i in range(10)], "k int, lv string")
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(7)], "j int, rv string")
+    out = positional_join(left, right, ["k"], ["j"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    rows = sorted(out.collect(), key=lambda r: (r["k"] is None, r["k"]))
+    assert len(rows) == 10
+    for i, r in enumerate(rows):
+        assert r["k"] == i and r["lv"] == f"l{i}"
+        if i < 7:
+            assert r["j"] == i and r["rv"] == f"r{i}"
+        else:
+            assert r["j"] is None and r["rv"] is None
