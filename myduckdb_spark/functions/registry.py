@@ -371,3 +371,45 @@ _reg("regr_r2")(lambda y, x: F.regr_r2(_c(y), _c(x)))
 _reg("regr_sxx")(lambda y, x: F.regr_sxx(_c(y), _c(x)))
 _reg("regr_syy")(lambda y, x: F.regr_syy(_c(y), _c(x)))
 _reg("regr_sxy")(lambda y, x: F.regr_sxy(_c(y), _c(x)))
+
+
+# --- bitstring family (reference src/core_functions/scalar/bit/
+# bitstring.cpp). DuckDB's BIT type is emulated as a '0'/'1' string
+# (SURVEY §1.2); integer bit ops are native. ---
+_reg("bitstring")(lambda s, n: F.lpad(_c(s), n, "0"))
+_reg("get_bit")(
+    lambda b, i: F.substring(_c(b), _c(i) + 1 if isinstance(i, Column) else i + 1, 1).cast("int")
+)
+_reg("set_bit")(lambda b, i, v: F.concat(
+    F.substring(_c(b), 1, i), F.lit(str(v)), F.expr(f"substring({_sql(b)}, {i + 2})")
+))
+_reg("bit_position")(lambda sub, b: F.instr(_c(b), sub))
+_reg("bitstring_len")(lambda b: F.length(_c(b)))
+
+# --- enum family (reference src/core_functions/scalar/enum/
+# enum_functions.cpp). Spark has no enum type; an enum is a registered
+# ordered value list (string storage + dictionary metadata, SURVEY §1.2),
+# and the enum functions are metadata lookups producing literals. ---
+_ENUMS: dict[str, list[str]] = {}
+
+
+def create_enum(name: str, values: list[str]) -> None:
+    """CREATE TYPE name AS ENUM (values...)."""
+    _ENUMS[name.lower()] = list(values)
+
+
+def enum_values(name: str) -> list[str]:
+    return list(_ENUMS[name.lower()])
+
+
+_reg("enum_first")(lambda e: F.lit(_ENUMS[str(e).lower()][0]))
+_reg("enum_last")(lambda e: F.lit(_ENUMS[str(e).lower()][-1]))
+_reg("enum_range")(lambda e: F.array(*[F.lit(v) for v in _ENUMS[str(e).lower()]]))
+_reg("enum_range_boundary")(lambda e, lo, hi: F.array(*[
+    F.lit(v) for v in _ENUMS[str(e).lower()][
+        _ENUMS[str(e).lower()].index(lo) : _ENUMS[str(e).lower()].index(hi) + 1
+    ]
+]))
+_reg("enum_code")(lambda e, v: F.array_position(
+    F.array(*[F.lit(x) for x in _ENUMS[str(e).lower()]]), _c(v)
+).cast("int") - 1)

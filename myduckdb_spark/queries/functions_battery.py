@@ -325,3 +325,36 @@ def fn_struct_map_battery(spark, sf_dir):
         F.size(mp2).alias("m_size"),
         F.element_at(F.map_keys(mp2), 1).alias("m_key"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "fn_union_battery",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(union_tag(union_value(num := n_nationkey)) AS VARCHAR) AS tag_num,
+           union_extract(union_value(num := n_nationkey), 'num') AS uval,
+           CAST(union_tag(union_value(nm := n_name)) AS VARCHAR) AS tag_nm,
+           union_extract(union_value(nm := n_name), 'nm') AS sval
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("functions", "union"),
+)
+def fn_union_battery(spark, sf_dir):
+    """UNION-type functions (reference src/core_functions/scalar/union/
+    union_value.cpp, union_tag.cpp, union_extract.cpp). Spark has no
+    tagged-union type; the documented emulation (SURVEY §1.2) is a struct
+    carrying the active tag + one field per member — tag/extract become
+    struct field accesses, which hash-match DuckDB's native union ops."""
+    from myduckdb_spark.functions.registry import fn
+
+    nat = load_table(spark, sf_dir, "nation")
+    u_num = fn("union_value")(num=F.col("n_nationkey"))
+    u_nm = fn("union_value")(nm=F.col("n_name"))
+    return nat.select(
+        "n_nationkey",
+        fn("union_tag")(u_num).alias("tag_num"),
+        fn("union_extract")(u_num, "num").alias("uval"),
+        fn("union_tag")(u_nm).alias("tag_nm"),
+        fn("union_extract")(u_nm, "nm").alias("sval"),
+    ).orderBy("n_nationkey")

@@ -140,3 +140,10 @@ class Relation:
     def cache(self) -> "Relation":
         """Materialized CTE analog (reference physical_cte.cpp)."""
         return Relation(self._df.cache())
+
+    def summarize(self) -> "Relation":
+        """SUMMARIZE (reference src/function/table/summary.cpp): per-column
+        profile — count / mean / stddev / min / quartiles / max. Maps to
+        DataFrame.summary(), which computes all stats in a single
+        distributed pass (approx quantiles; exact count/mean/stddev)."""
+        return Relation(self._df.summary())

@@ -151,3 +151,65 @@ def test_regr_aggregates_match_duckdb(spark, duck, sf_dir):
            row["sxx"], row["syy"], row["sxy"]]
     for g, e in zip(got, d):
         assert g == pytest.approx(float(e), rel=1e-9), (g, e)
+
+
+def test_bitstring_family(spark):
+    from myduckdb_spark.functions.registry import fn
+
+    df = spark.range(1).select(
+        fn("bitstring")(F.lit("101"), 8).alias("bs"),
+        fn("get_bit")(F.lit("0110"), 1).alias("g1"),
+        fn("set_bit")(F.lit("0110"), 0, 1).alias("s0"),
+        fn("bit_position")(F.lit("11"), F.lit("0110")).alias("pos"),
+    )
+    r = df.collect()[0]
+    assert r["bs"] == "00000101"
+    assert r["g1"] == 1
+    assert r["s0"] == "1110"
+    assert r["pos"] == 2  # 1-based, as DuckDB's bit_position
+
+
+def test_enum_family(spark, duck):
+    from myduckdb_spark.functions.registry import create_enum, fn
+
+    create_enum("mood", ["sad", "ok", "happy"])
+    df = spark.range(1).select(
+        fn("enum_first")("mood").alias("f"),
+        fn("enum_last")("mood").alias("l"),
+        fn("enum_range")("mood").alias("r"),
+        fn("enum_code")("mood", F.lit("ok")).alias("c"),
+    )
+    r = df.collect()[0]
+    assert (r["f"], r["l"], list(r["r"]), r["c"]) == ("sad", "happy", ["sad", "ok", "happy"], 1)
+
+
+def test_udf_surface(spark):
+    from myduckdb_spark.functions.udf import create_aggregate_function, create_scalar_function
+
+    def plus_one(s):
+        return s + 1
+
+    create_scalar_function(spark, "py_plus_one", plus_one, "long")
+    got = spark.sql("SELECT py_plus_one(id) v FROM range(3)").collect()
+    assert [r["v"] for r in got] == [1, 2, 3]
+
+    def p90(s):
+        return float(s.quantile(0.9))
+
+    udaf = create_aggregate_function(spark, "py_p90", p90, "double")
+    df = spark.range(100).withColumn("g", F.col("id") % 2)
+    got = df.groupBy("g").agg(udaf("id").alias("p")).orderBy("g").collect()
+    assert got[0]["p"] == pytest.approx(88.2)
+    sql_got = spark.sql(
+        "SELECT id % 2 g, py_p90(id) p FROM range(100) GROUP BY 1 ORDER BY 1"
+    ).collect()
+    assert sql_got[1]["p"] == pytest.approx(89.2)
+
+
+def test_summarize(spark, sf_dir):
+    from myduckdb_spark.relation import Relation
+
+    rel = Relation.table(spark, sf_dir, "part").project("p_size", "p_retailprice")
+    prof = rel.summarize().df.toPandas()
+    assert "summary" in prof.columns and set(prof.columns) >= {"p_size", "p_retailprice"}
+    assert "count" in list(prof["summary"]) and "50%" in list(prof["summary"])
