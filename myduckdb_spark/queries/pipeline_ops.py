@@ -354,3 +354,40 @@ def multimodal_features(spark, sf_dir):
             F.transform(F.col("feat"), lambda x: x.cast("decimal(6,3)").cast("string")), ","
         ).alias("feat"),
     ).orderBy("doc_id")
+
+
+@register(
+    "tableinout_normalize",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(lower(trim(text))) AS BIGINT) AS n_norm,
+           CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS n_e
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("tableinout", "udf"),
+)
+def tableinout_normalize(spark, sf_dir):
+    """TABLEINOUT function with an oracle (reference
+    physical_tableinout_function.cpp → mapInPandas): an Arrow-batched
+    table-in/table-out transform whose per-row results are deterministic
+    and SQL-expressible, so the Python batch path itself is hash-checked
+    against DuckDB (the multimodal query exercises the same plumbing but
+    is rows-only). pandas ops mirror SQL semantics exactly: strip(' ')
+    (space-only, = SQL trim), code-point lengths, literal count."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def normalize(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_norm": pdf["text"].str.strip(" ").str.lower().str.len().astype("int64"),
+                    "n_e": pdf["text"].str.count("e").astype("int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        normalize, schema="doc_id long, n_norm long, n_e long"
+    ).orderBy("doc_id")
