@@ -358,3 +358,45 @@ def fn_union_battery(spark, sf_dir):
         fn("union_tag")(u_nm).alias("tag_nm"),
         fn("union_extract")(u_nm, "nm").alias("sval"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "fn_blob_battery",
+    oracle="""
+    SELECT p_partkey,
+           base64(encode(p_name)) AS b64,
+           decode(from_base64(base64(encode(p_brand)))) AS b64_rt,
+           hex(p_brand) AS hx,
+           sha256(p_name) AS sh,
+           to_base(p_size, 2) AS base2,
+           to_base(p_size, 16) AS base16,
+           CAST(hamming(substring(p_name, 1, 3), substring(p_type, 1, 3)) AS INT) AS ham,
+           ROUND(jaccard(p_name, p_type), 6) AS jac
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("functions", "blob"),
+)
+def fn_blob_battery(spark, sf_dir):
+    """Blob/encoding + similarity-metric functions (reference
+    src/core_functions/scalar/blob/base64.cpp, string/hex.cpp,
+    sha256, to_base; hamming/jaccard in string/levenshtein-family).
+    All JVM built-ins or composed expressions — no UDFs. jaccard is
+    DuckDB's character-SET jaccard, reproduced with
+    array_distinct/intersect/union over split characters."""
+    from myduckdb_spark.functions.registry import fn
+
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.base64(F.col("p_name").cast("binary")).alias("b64"),
+        F.unbase64(F.base64(F.col("p_brand").cast("binary"))).cast("string").alias("b64_rt"),
+        F.hex(F.col("p_brand")).alias("hx"),
+        F.sha2(F.col("p_name"), 256).alias("sh"),
+        F.conv(F.col("p_size").cast("string"), 10, 2).alias("base2"),
+        F.conv(F.col("p_size").cast("string"), 10, 16).alias("base16"),
+        fn("hamming")(F.substring("p_name", 1, 3), F.substring("p_type", 1, 3))
+        .cast("int")
+        .alias("ham"),
+        F.round(fn("jaccard")(F.col("p_name"), F.col("p_type")), 6).alias("jac"),
+    ).orderBy("p_partkey")

@@ -83,3 +83,49 @@ def test_relation_write_roundtrip(spark, sf_dir, tmp_path):
     p = str(tmp_path / "region_out")
     r.write_parquet(p)
     assert spark.read.parquet(p).count() == r.count()
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState custom stateful operator: after draining the
+    stream (files arrive across multiple triggers), the LAST emitted
+    snapshot per user equals the batch groupBy totals."""
+    import shutil
+
+    from myduckdb_spark.streaming.ops import read_events_stream
+    from myduckdb_spark.streaming.stateful import running_user_totals
+
+    d = tmp_path / "events_state"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+
+    stream = running_user_totals(read_events_stream(spark, str(d)))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        spark.sql(
+            "SELECT user_id, n_events, total_value FROM ("
+            " SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rk"
+            " FROM state_out) WHERE rk = 1"
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    from pyspark.sql import functions as F
+
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got["n_events"] == want["n_events"]).all()
