@@ -42,34 +42,29 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# Names that already have a fully-green row in CORRECTNESS_r01.json.
-# The correctness driver verified exactly the FIRST 50 registry entries in
-# round 1, leaving 32 registered-later queries unverified. queries() therefore
-# yields not-yet-green entries first (new queries and round-1 reds included),
-# so a driver that again takes the first 50 verifies everything that still
-# needs a green row; already-green names fill the remaining slots.
-R01_GREEN = frozenset(
-    {
-        "agg_distinct_and_filter", "agg_rollup", "agg_cube", "agg_grouping_sets",
-        "agg_min_max_by", "agg_string_agg_ordered", "agg_stats_exact",
-        "agg_median_quantile", "agg_mode_deterministic", "agg_bool_bit",
-        "q01_pricing_summary", "q03_top_revenue_orders", "q05_local_supplier_volume",
-        "q06_forecast_revenue", "q10_returned_items", "groupjoin_order_items",
-        "amus_theta_join", "fn_string_battery", "fn_datetime_battery",
-        "fn_struct_map_battery", "join_left_outer_counts", "join_full_outer",
-        "join_semi", "join_anti", "join_mark_in_subquery",
-        "join_single_scalar_subquery", "join_cross_product", "join_range_theta",
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_embedding_cosine", "sim_topk_bruteforce", "text_quality_scores",
-        "text_lang_id_confusion", "text_fingerprint", "setop_union_distinct",
-        "setop_except_intersect", "setop_all_variants",
-    }
+# The correctness driver verifies a 50-query window of the registry in
+# registration order, so queries() yields highest-priority entries first:
+# queries needing a (re-)verification this round — previously hash-red rows
+# whose fix must be proven, brand-new queries, queries whose implementation
+# or oracle changed since their last green row, and the rows-only
+# (no-oracle) entries — then everything already green in r1/r2.
+R03_PRIORITY = (
+    # red in r1+r2, root-caused (pandas DECIMAL/HUGEINT coercion) and fixed
+    "fn_math_battery", "text_token_stats", "q12_priority_shipping",
+    # new this round
+    "agg_regression", "agg_mad_topk", "fn_union_battery", "fn_blob_battery",
+    "tableinout_normalize",
+    # implementation or oracle changed this round
+    "agg_stats_exact", "join_positional", "sim_topk_lsh", "sim_lsh_recall",
+    # rows-only by design (re-run is cheap signal)
+    "agg_approx", "dedup_simhash", "multimodal_features",
 )
 
 
 def _ordered_names() -> list[str]:
     names = list(REGISTRY)
-    return [n for n in names if n not in R01_GREEN] + [n for n in names if n in R01_GREEN]
+    prio = [n for n in R03_PRIORITY if n in names]
+    return prio + [n for n in names if n not in set(prio)]
 
 
 def queries() -> dict[str, Builder]:
