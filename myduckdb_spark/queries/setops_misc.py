@@ -310,3 +310,34 @@ def recursive_cte_series(spark, sf_dir):
         max_iterations=30,
     )
     return out.orderBy("n")
+
+
+@register(
+    "stream_window_counts_batch",
+    oracle="""
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS bucket, event_type,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+    """,
+    tags=("streaming", "window", "time_bucket"),
+)
+def stream_window_counts_batch(spark, sf_dir):
+    """The batch/stream-symmetric windowed aggregation
+    (streaming/ops.py::windowed_counts) run in BATCH mode and
+    oracle-checked against DuckDB's time_bucket (reference
+    src/core_functions/scalar/date/time_bucket.cpp): F.window's tumbling
+    bucket start == time_bucket for the same width. Proves the streaming
+    operator's window semantics with a hash row (the stream-mode run of
+    the identical function is covered by tests/test_streaming_sql.py)."""
+    from myduckdb_spark.streaming.ops import windowed_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_counts(ev, window="5 minutes")
+    return (
+        out.select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            F.col("n"),
+        )
+        .orderBy("bucket", "event_type")
+    )
