@@ -93,3 +93,26 @@ def test_session_scale_configs(spark):
     assert int(spark.conf.get("spark.sql.shuffle.partitions")) == int(
         spark.sparkContext.defaultParallelism
     )
+
+
+def test_regression_aggregates_partial_final(spark):
+    """agg_regression's moment sums must pre-aggregate map-side: the plan
+    shows partial + final HashAggregate pairs, and only one shuffle
+    (Exchange) between them — 6 numbers per group cross the wire."""
+    from myduckdb_spark.queries import queries
+
+    df = queries()["agg_regression"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 3, plan  # agg + sort + AQE reads
+    assert "partial_" in plan.lower() or plan.count("HashAggregate") >= 2, plan
+
+
+def test_tableinout_is_arrow_batched(spark):
+    """The TABLEINOUT path must run mapInPandas (Arrow batches), not a
+    row-at-a-time python UDF."""
+    from myduckdb_spark.queries import queries
+
+    df = queries()["tableinout_normalize"](spark, SF)
+    plan = _plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, "row-at-a-time python UDF in hot path"
