@@ -147,3 +147,42 @@ class Relation:
         DataFrame.summary(), which computes all stats in a single
         distributed pass (approx quantiles; exact count/mean/stddev)."""
         return Relation(self._df.summary())
+
+    # --- round-3 builder additions (reference src/main/relation/:
+    # pivot via aggregate_relation, unnest in projection binder,
+    # QUALIFY in bind_select_node, TOP_N from topn_optimizer) -----------
+    def pivot(self, group_by, pivot_col: str, agg: Column, values=None) -> "Relation":
+        from myduckdb_spark.operators.pivots import pivot as _pivot
+
+        groups = [group_by] if isinstance(group_by, str) else list(group_by)
+        return Relation(_pivot(self._df, groups, pivot_col, values, agg))
+
+    def unpivot(self, ids, cols, var_name: str = "name", value_name: str = "value") -> "Relation":
+        from myduckdb_spark.operators.pivots import unpivot as _unpivot
+
+        return Relation(_unpivot(self._df, ids, cols, var_name, value_name))
+
+    def unnest(self, col: str, out: str | None = None) -> "Relation":
+        from myduckdb_spark.operators.pivots import unnest as _unnest
+
+        return Relation(_unnest(self._df, col, out))
+
+    def qualify(self, pred_builder) -> "Relation":
+        """QUALIFY: pred_builder receives the DataFrame, returns a boolean
+        Column over window expressions (reference bind_select_node.cpp)."""
+        from myduckdb_spark.operators.window_ex import qualify as _qualify
+
+        return Relation(_qualify(self._df, pred_builder))
+
+    def top_k(self, order: Sequence[Column], k: int) -> "Relation":
+        from myduckdb_spark.operators.topk import top_k as _topk
+
+        return Relation(_topk(self._df, order, k))
+
+    def macro(self, name: str, *args) -> Column:
+        """Call a registered scalar macro (functions/macros.py) as a Column."""
+        from myduckdb_spark.functions.macros import _SCALAR, _subst, expand_macros
+
+        m = _SCALAR[name.lower()]
+        texts = [a._jc.toString() if isinstance(a, Column) else str(a) for a in args]
+        return F.expr(expand_macros(_subst(m.body, m.params, texts, m.defaults)))

@@ -115,3 +115,48 @@ def test_unpivot_unnest_multi(spark):
     df2 = spark.createDataFrame([(1, [1, 2], ["x"])], "id int, xs array<int>, ys array<string>")
     rows = unnest_multi(df2, ["xs", "ys"]).collect()
     assert sorted((r["xs"], r["ys"]) for r in rows) == [(1, "x"), (2, None)]
+
+
+def test_relation_builder_additions(spark, sf_dir):
+    """Round-3 Relation builders: pivot/unpivot/unnest/qualify/top_k/macro
+    route through the engine operators (reference EP3 relation surface)."""
+    from pyspark.sql import functions as F
+
+    from myduckdb_spark.functions import macros
+    from myduckdb_spark.relation import Relation
+
+    orders = Relation.table(spark, sf_dir, "orders")
+    piv = orders.pivot("o_orderpriority", "o_orderstatus", F.count(F.lit(1))).df
+    assert "o_orderpriority" in piv.columns and len(piv.columns) >= 2
+
+    unp = (
+        Relation.table(spark, sf_dir, "part")
+        .project("p_partkey", "p_size", "p_retailprice")
+        .unpivot(["p_partkey"], ["p_size", "p_retailprice"])
+        .df
+    )
+    assert set(unp.columns) == {"p_partkey", "name", "value"}
+
+    unn = Relation.values(spark, [(1, [10, 20])], "id int, xs array<int>").unnest("xs").df
+    assert unn.count() == 2
+
+    q = (
+        orders.qualify(
+            lambda df: F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "o_custkey"
+                ).orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            )
+            <= 1
+        )
+        .df
+    )
+    assert q.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0] == 1
+
+    top = orders.top_k([F.col("o_totalprice").desc()], 3).df
+    assert top.count() == 3
+
+    macros.create_macro("rel_tax", ["x"], "x * 2")
+    got = orders.project(Relation.from_df(orders.df).macro("rel_tax", F.col("o_totalprice")).alias("t")).df
+    assert got.columns == ["t"]
+    macros.drop_macro("rel_tax")
