@@ -413,3 +413,22 @@ _reg("enum_range_boundary")(lambda e, lo, hi: F.array(*[
 _reg("enum_code")(lambda e, v: F.array_position(
     F.array(*[F.lit(x) for x in _ENUMS[str(e).lower()]]), _c(v)
 ).cast("int") - 1)
+
+
+# --- interval constructors (reference src/core_functions/scalar/date/
+# to_interval.cpp) → make_interval components. INTERVAL maps to Spark's
+# interval types (SURVEY §1.2); TIME maps to the micros-since-midnight
+# BIGINT convention. ---
+_reg("to_years")(lambda n: F.make_interval(years=_c(n)))
+_reg("to_months")(lambda n: F.make_interval(months=_c(n)))
+_reg("to_days")(lambda n: F.make_interval(days=_c(n)))
+_reg("to_hours")(lambda n: F.make_interval(hours=_c(n)))
+_reg("to_minutes")(lambda n: F.make_interval(mins=_c(n)))
+_reg("to_seconds")(lambda n: F.make_interval(secs=_c(n).cast("double")))
+_reg("to_milliseconds")(lambda n: F.make_interval(secs=(_c(n) / 1000.0)))
+_reg("to_microseconds")(lambda n: F.make_interval(secs=(_c(n) / 1000000.0)))
+_reg("make_time")(lambda h, m, s: (
+    (_c(h).cast("bigint") * 3600_000_000)
+    + (_c(m).cast("bigint") * 60_000_000)
+    + (_c(s).cast("double") * 1_000_000).cast("bigint")
+))

@@ -213,3 +213,17 @@ def test_summarize(spark, sf_dir):
     prof = rel.summarize().df.toPandas()
     assert "summary" in prof.columns and set(prof.columns) >= {"p_size", "p_retailprice"}
     assert "count" in list(prof["summary"]) and "50%" in list(prof["summary"])
+
+
+def test_interval_and_time_helpers(spark):
+    from myduckdb_spark.functions.registry import fn
+
+    df = spark.sql("SELECT TIMESTAMP '2024-01-31 12:00:00' AS ts").select(
+        (F.col("ts") + fn("to_days")(F.lit(30))).alias("plus30d"),
+        (F.col("ts") + fn("to_hours")(F.lit(5))).alias("plus5h"),
+        fn("make_time")(F.lit(13), F.lit(30), F.lit(1.5)).alias("t_us"),
+    )
+    r = df.collect()[0]
+    assert str(r["plus30d"]).startswith("2024-03-01 12:00:00")
+    assert str(r["plus5h"]).startswith("2024-01-31 17:00:00")
+    assert r["t_us"] == 13 * 3600_000_000 + 30 * 60_000_000 + 1_500_000
