@@ -57,7 +57,7 @@ def amus_join(
     right: DataFrame,
     on: Column | str | Sequence[str] | None = None,
     how: str = "inner",
-    threshold: int = DEFAULT_AMUS_THRESHOLD,
+    threshold: int | None = None,
 ) -> DataFrame:
     """Join with the fork's AM_US small-input policy.
 
@@ -66,7 +66,15 @@ def amus_join(
     BroadcastNestedLoopJoin and equi conditions as BroadcastHashJoin —
     no shuffle, matching the reference's "materialize small side, loop"
     strategy (plan_comparison_join.cpp:158-223) but distributed-safe.
+
+    ``threshold`` defaults to the engine option ``am_us_join_threshold``
+    (SET-able via the SQL front door, like the reference's
+    settings.cpp:1402-1411 knob).
     """
+    if threshold is None:
+        from myduckdb_spark.config import get_option
+
+        threshold = int(get_option("am_us_join_threshold"))
     lrows, rrows = _estimated_rows(left), _estimated_rows(right)
     if min(lrows, rrows) <= threshold:
         if rrows <= lrows:

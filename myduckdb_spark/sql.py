@@ -348,6 +348,49 @@ def _make_call_renamer(current: str):
     return rename
 
 
+_SET_STMT = re.compile(r"^\s*SET\s+(\w[\w.]*)\s*(?:=|TO)\s*(.+?)\s*;?\s*$", re.I)
+_PRAGMA_TI = re.compile(r"^\s*PRAGMA\s+table_info\s*\(\s*'([\w.]+)'\s*\)\s*;?\s*$", re.I)
+_EXPLAIN = re.compile(r"^\s*EXPLAIN\s+(.*)$", re.I | re.S)
+
+
+def _statement_command(spark: SparkSession, text: str) -> DataFrame | None:
+    """Client-config / introspection statements the reference serves from
+    its shell (SET: settings.cpp; PRAGMA table_info; EXPLAIN). Returns a
+    DataFrame result, or None if ``text`` is a plain query."""
+    m = _SET_STMT.match(text)
+    if m:
+        name, raw = m.group(1), m.group(2).strip().strip("'\"")
+        if "." in name:  # dotted → Spark conf (e.g. spark.sql.shuffle.partitions)
+            spark.conf.set(name, raw)
+        else:
+            from myduckdb_spark.config import set_option
+
+            set_option(name, raw)
+        return spark.createDataFrame([(name, raw)], "name string, value string")
+    m = _PRAGMA_TI.match(text)
+    if m:
+        fields = spark.table(m.group(1)).schema.fields
+        rows = [
+            (i, f.name, f.dataType.simpleString(), not f.nullable, None, False)
+            for i, f in enumerate(fields)
+        ]
+        return spark.createDataFrame(
+            rows, "cid int, name string, type string, notnull boolean, "
+            "dflt_value string, pk boolean"
+        )
+    m = _EXPLAIN.match(text)
+    if m and not m.group(1).lstrip().upper().startswith("ANALYZE"):
+        plan = (
+            spark.sql(translate(m.group(1)))
+            ._jdf.queryExecution()
+            .explainString(spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        )
+        return spark.createDataFrame(
+            [("physical_plan", plan)], "explain_key string, explain_value string"
+        )
+    return None
+
+
 def sql(
     spark: SparkSession,
     text: str,
@@ -368,6 +411,9 @@ def sql(
     acceptable (Catalyst re-optimization is cheap relative to execution)."""
     if sf_dir:
         register_views(spark, sf_dir)
+    cmd = _statement_command(spark, text)
+    if cmd is not None:
+        return cmd
     out = translate(text)
     if args is None:
         return spark.sql(out)

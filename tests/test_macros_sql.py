@@ -132,3 +132,62 @@ def test_macro_arg_containing_other_param_name(spark):
     assert out == "SELECT (y) - (x) FROM t"
     out2 = macros.expand_macros("SELECT sub2(b, 1) FROM t")  # arg literally named 'b'
     assert out2 == "SELECT (b) - (1) FROM t"
+
+
+# ------------------------------------------------- SET / PRAGMA / EXPLAIN
+
+
+def test_set_engine_option(spark):
+    from myduckdb_spark.config import get_option, reset_option
+
+    try:
+        out = sql(spark, "SET am_us_join_threshold = 500")
+        assert out.collect()[0]["name"] == "am_us_join_threshold"
+        assert get_option("am_us_join_threshold") == 500
+    finally:
+        reset_option("am_us_join_threshold")
+
+
+def test_set_spark_conf(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        sql(spark, "SET spark.sql.shuffle.partitions = 7")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_set_unknown_option_raises(spark):
+    with pytest.raises(KeyError):
+        sql(spark, "SET not_a_real_option = 1")
+
+
+def test_pragma_table_info(spark, sf_dir):
+    from myduckdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["nation"])
+    out = sql(spark, "PRAGMA table_info('nation')").toPandas()
+    assert list(out["name"])[:2] == ["n_nationkey", "n_name"]
+    assert set(out.columns) == {"cid", "name", "type", "notnull", "dflt_value", "pk"}
+
+
+def test_explain_returns_plan(spark, sf_dir):
+    out = sql(spark, "EXPLAIN SELECT count(*) FROM nation", sf_dir=sf_dir).collect()
+    assert out[0]["explain_key"] == "physical_plan"
+    assert "Physical Plan" in out[0]["explain_value"]
+
+
+def test_amus_threshold_option_drives_join(spark):
+    from myduckdb_spark.config import reset_option
+    from myduckdb_spark.operators.joins import amus_join
+
+    left = spark.range(50).toDF("a")
+    right = spark.range(50).toDF("b")
+    try:
+        sql(spark, "SET am_us_join_threshold = 1000")
+        plan = amus_join(
+            left, right, left["a"] != right["b"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+    finally:
+        reset_option("am_us_join_threshold")
