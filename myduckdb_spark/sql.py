@@ -296,12 +296,104 @@ def _rewrite_qualify(text: str) -> str:
         text = text[: sel.start()] + new_block + text[end:]
 
 
+_DISTINCT_ON = re.compile(r"\bDISTINCT\s+ON\s*\(", re.I)
+
+
+def _rewrite_distinct_on(text: str) -> str:
+    """DuckDB ``SELECT DISTINCT ON (keys) cols ... [ORDER BY o]`` → keep the
+    first row per key combination in ORDER BY order (reference transformer
+    src/parser/transform/statement/transform_select_node.cpp): rewritten to
+    a row_number()-over-keys projection filtered to 1 — the same plan the
+    reference builds. Select-list items must be bare columns or aliased
+    (as with QUALIFY)."""
+    while True:
+        spans = _literal_spans(text)
+        m = next((m for m in _DISTINCT_ON.finditer(text) if not _in_spans(m.start(), spans)), None)
+        if m is None:
+            return text
+        depths = _depth_profile(text)
+        keys_close = _matching_paren(text, m.end() - 1)
+        keys = text[m.end() : keys_close].strip()
+        qd = depths[m.start()]
+        end = len(text)
+        for i in range(keys_close, len(text)):
+            if not _in_spans(i, spans) and text[i] == ")" and depths[i] == qd:
+                end = i
+                break
+        # FROM at the same depth bounds the select list
+        from_m = None
+        for fm in re.finditer(r"\bFROM\b", text, re.I):
+            if keys_close < fm.start() < end and not _in_spans(fm.start(), spans) and depths[fm.start()] == qd:
+                from_m = fm
+                break
+        if from_m is None:
+            raise ValueError("DISTINCT ON without FROM")
+        items = [a.strip() for a in _split_args(text[keys_close + 1 : from_m.start()])]
+        names = []
+        for it in items:
+            am = _AS_ALIAS.search(it)
+            if am:
+                names.append(am.group(1))
+            elif _BARE_COL.match(it):
+                names.append(it.split(".")[-1])
+            else:
+                raise ValueError(f"DISTINCT ON select item needs an alias: {it!r}")
+        # optional same-depth ORDER BY orders within each key partition
+        ob = None
+        for om in re.finditer(r"\bORDER\s+BY\b", text, re.I):
+            if from_m.end() < om.start() < end and not _in_spans(om.start(), spans) and depths[om.start()] == qd:
+                ob = om
+                break
+        if ob is not None:
+            lim = next(
+                (
+                    lm
+                    for lm in re.finditer(r"\bLIMIT\b", text, re.I)
+                    if ob.end() < lm.start() < end
+                    and not _in_spans(lm.start(), spans)
+                    and depths[lm.start()] == qd
+                ),
+                None,
+            )
+            order = text[ob.end() : lim.start() if lim else end].strip()
+            body = text[from_m.start() : ob.start()]
+            # the outer result can only be ordered by PROJECTED columns;
+            # if the ORDER BY references others (legal in DuckDB, which
+            # orders pre-projection) the outer ordering is dropped — row
+            # order of a DISTINCT ON result is then unspecified, as in SQL
+            order_ids = {
+                re.match(r"[A-Za-z_][\w.]*", it.strip()).group(0).split(".")[-1]
+                for it in _split_args(order)
+                if re.match(r"[A-Za-z_][\w.]*", it.strip())
+            }
+            keep_outer = order_ids <= set(names)
+            tail = (" " + text[ob.start() : end]) if keep_outer else (
+                " " + text[lim.start() : end] if lim else ""
+            )
+        else:
+            order = keys
+            body = text[from_m.start() : end]
+            tail = ""
+        sel_start = text.rfind("SELECT", 0, m.start())
+        inner = (
+            "SELECT "
+            + ", ".join(items)
+            + f", row_number() OVER (PARTITION BY {keys} ORDER BY {order}) AS __don "
+            + body
+        )
+        new_block = "SELECT " + ", ".join(names) + f" FROM ({inner}) __dt WHERE __don = 1" + tail
+        text = text[:sel_start] + new_block + text[end:]
+
+
 def translate(text: str) -> str:
     """DuckDB dialect → Spark SQL dialect (token-aware, conservative)."""
     from myduckdb_spark.functions.macros import expand_macros
 
     out = expand_macros(text)  # bind-time macro expansion, before all rules
     out = _rewrite_qualify(out)
+    out = _rewrite_distinct_on(out)
+    # star modifiers: DuckDB `* EXCLUDE (cols)` == Spark 4 `* EXCEPT (cols)`
+    out = re.sub(r"(\*\s*)EXCLUDE\b", r"\1EXCEPT", out)
     out = _rewrite_json_arrows(out)
 
     # len(x): DuckDB len() is list-or-string; Spark splits that into

@@ -191,3 +191,25 @@ def test_amus_threshold_option_drives_join(spark):
         assert "BroadcastNestedLoopJoin" in plan
     finally:
         reset_option("am_us_join_threshold")
+
+
+# -------------------------------------------------- DISTINCT ON / EXCLUDE
+
+
+def test_distinct_on_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    text = (
+        "SELECT DISTINCT ON (l_orderkey) l_orderkey, l_partkey, l_quantity "
+        "FROM lineitem ORDER BY l_orderkey, l_quantity DESC, l_partkey"
+    )
+    got = sorted(tuple(r) for r in sql(spark, text, sf_dir=sf_dir).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'")
+    want = sorted(tuple(r) for r in con.sql(text).fetchall())
+    assert got == want
+
+
+def test_star_exclude(spark):
+    df = sql(spark, "SELECT * EXCLUDE (b) FROM (SELECT id AS a, id*2 AS b FROM range(3)) t")
+    assert df.columns == ["a"]
