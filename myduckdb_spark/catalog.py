@@ -44,6 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     vanilla SparkSession, which would otherwise fail the read outright with
     PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS).
     """
+    # Session-proofing (callers may bring a vanilla SparkSession — e.g. the
+    # correctness driver): timestamp LITERALS in queries parse in the
+    # session timezone, and the DuckDB oracle is timezone-naive, so a
+    # non-UTC session would shift every TIMESTAMP '...' comparison. Pin
+    # UTC here, at the same choke point as the nanosAsLong conf.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
