@@ -252,3 +252,141 @@ def numpy_topk_per_partition(
     return probes.select(id_col, vec_col).mapInPandas(
         score, schema="probe_id long, neighbor_id long, cos_sim double, rank int"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the clustered-corpus scale path.
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample_cap: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+):
+    """Train the coarse quantizer: k-means on a BOUNDED corpus sample.
+
+    Sample-based training is the standard IVF recipe (train on a bounded
+    subset, assign the full corpus distributed) — the driver-side numpy
+    work is O(sample_cap·dim·iters) regardless of corpus size, so this
+    holds at 100 TB; only assignment and search are distributed."""
+    import numpy as np
+
+    n = corpus.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    rows = corpus.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-300)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)  # cosine on normalized
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) + 1e-300)
+    return cents
+
+
+def _nearest_lists(df: DataFrame, cents, idn: str, vec_col: str, nprobe: int) -> DataFrame:
+    """Attach the ``nprobe`` nearest centroid ids per vector — centroids
+    are a broadcast literal array; scoring is a codegen expression, no
+    Python in the distributed path."""
+    k = len(cents)
+    cent_lits = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("list_id"),
+                F.array(*[F.lit(float(v)) for v in cents[c]]).alias("cv"),
+            )
+            for c in range(k)
+        ]
+    )
+    scored = F.expr(
+        f"""
+        slice(
+          array_sort(
+            transform(__cents, c -> struct(
+              -aggregate(zip_with({vec_col}, c.cv, (x, y) -> CAST(x AS DOUBLE) * y),
+                         CAST(0 AS DOUBLE), (a, v) -> a + v) AS negdot,
+              c.list_id AS list_id)),
+            (a, b) -> CASE WHEN a.negdot < b.negdot THEN -1
+                           WHEN a.negdot > b.negdot THEN 1
+                           WHEN a.list_id < b.list_id THEN -1 ELSE 1 END),
+          1, {nprobe})
+        """
+    )
+    id_src = df.columns[0]
+    return (
+        df.withColumn("__cents", cent_lits)
+        .withColumn("__near", scored)
+        .select(id_src, F.explode("__near").alias("__n"))
+        .select(F.col(id_src).alias(idn), F.col("__n.list_id").alias("list_id"))
+    )
+
+
+def ivf_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors are assigned to their nearest
+    centroid's inverted list (1 list each); each probe searches its
+    ``nprobe`` nearest lists only. Candidates carry ids; scoring reuses
+    the codegen decimal-dot path of ``lsh_bucketed_topk``. Candidate
+    fraction ≈ nprobe/n_centroids of the corpus per probe on clustered
+    data — the sublinear path when locality exists (LSH with coarse
+    buckets covers the near-random regime)."""
+    cents = ivf_train_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    c_assign = _nearest_lists(
+        corpus.select(F.col(id_col), F.col(vec_col)), cents, "neighbor_id", vec_col, 1
+    )
+    p_assign = _nearest_lists(
+        probes.select(F.col(id_col), F.col(vec_col)), cents, "probe_id", vec_col, nprobe
+    )
+    cands = (
+        p_assign.join(c_assign, "list_id")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id")
+        .distinct()
+    )
+    pe = probes.select(
+        F.col(id_col).alias("probe_id"), F.posexplode(vec_col).alias("pos", "px")
+    ).select("probe_id", "pos", F.col("px").cast("double").alias("px"))
+    cvec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    dots = (
+        cands.join(cvec, "neighbor_id")
+        .select("probe_id", "neighbor_id", F.posexplode("cv").alias("pos", "cx"))
+        .join(F.broadcast(pe), ["probe_id", "pos"])
+        .groupBy("probe_id", "neighbor_id")
+        .agg(
+            F.sum((F.col("px") * F.col("cx").cast("double")).cast("decimal(18,15)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    pn = probes.select(
+        F.col(id_col).alias("probe_id"), F.sqrt(norm_sq_dec_expr(vec_col)).alias("p_norm")
+    )
+    cn = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.sqrt(norm_sq_dec_expr(vec_col)).alias("c_norm")
+    )
+    scored = (
+        dots.join(F.broadcast(pn), "probe_id")
+        .join(cn, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(F.col("dot") / (F.col("p_norm") * F.col("c_norm")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

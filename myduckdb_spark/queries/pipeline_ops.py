@@ -19,6 +19,7 @@ from myduckdb_spark.pipeline.dedup import (
 from myduckdb_spark.pipeline.multimodal import attach_fake_media, extract_features
 from myduckdb_spark.pipeline.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_bucketed_topk,
     recall_at_k,
 )
@@ -189,6 +190,24 @@ def sim_topk_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
     return lsh_bucketed_topk(probes, emb, k=5, planes=2, tables=8).orderBy(
+        "probe_id", "rank"
+    )
+
+
+@register("sim_topk_ivf", oracle=None, tags=("similarity", "ivf"))
+def sim_topk_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN top-k — the FAISS-style scale path:
+    k-means coarse quantizer trained on a bounded sample, corpus assigned
+    to inverted lists distributed, probes search nprobe lists only.
+    Rows-only driver check (approximate by design); recall floor is
+    asserted on a clustered corpus in
+    tests/test_pipeline.py::test_ivf_clustered_corpus. On this
+    near-random corpus nprobe/n_centroids bounds recall exactly like the
+    coarse-bucket LSH tradeoff — 12/16 lists reaches ~the same recall as
+    planes=2/tables=8."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(probes, emb, k=5, n_centroids=16, nprobe=12).orderBy(
         "probe_id", "rank"
     )
 

@@ -228,3 +228,30 @@ def test_lsh_clustered_corpus(spark):
         .count()
     )
     assert cands < 0.25 * n_probes * n_corpus, (cands, n_probes * n_corpus)
+
+
+def test_ivf_clustered_corpus(spark):
+    """IVF ANN: on a clustered corpus, searching nprobe of n_centroids
+    inverted lists reaches recall@5 >= 0.9 with a sublinear candidate
+    set (the FAISS-style scale path; centroids train on a bounded
+    sample, assignment/search stay distributed)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from myduckdb_spark.pipeline.similarity import brute_force_topk, ivf_topk, recall_at_k
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(16, 64))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(30):
+            v = c + 0.15 * rng.normal(size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") % 24 == 0)
+    approx = ivf_topk(probes, emb, k=5, n_centroids=16, nprobe=3)
+    exact = brute_force_topk(probes, emb, k=5)
+    row = recall_at_k(approx, exact, k=5).collect()[0]
+    assert row["recall"] >= 0.9, row
