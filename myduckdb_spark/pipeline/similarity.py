@@ -32,13 +32,19 @@ def brute_force_topk(
     """Exact top-k cosine neighbors for each probe (excluding self).
 
     The P·N dot products run as explode → broadcast-join on dim index →
-    codegen decimal sum: the corpus explodes to (id, pos, x) rows once,
-    each row joins the (broadcast) exploded probes on pos, and
+    codegen sum: the corpus explodes to (id, pos, x) rows once, each row
+    joins the (broadcast) exploded probes on pos, and
     groupBy(probe, neighbor) sums the per-position products — all
     whole-stage codegen with map-side partial aggregation. A per-PAIR
     higher-order-function dot (interpreted, ~ms/eval) measured 30×
     slower at 80k pairs. Norms are decimal-exact per VECTOR (P+N HOF
-    evals, not P·N)."""
+    evals, not P·N).
+
+    Products accumulate as SCALED BIGINTs (round(px·cx·1e15), exact and
+    engine-identical for |scaled| < 2^53) instead of DECIMAL(18,15):
+    plain long addition in codegen vs int128 decimal — measured 2-3×
+    faster on the 32M-row aggregation at sf0.1, same rounded-6 output,
+    and the oracle uses the identical formulation."""
     par = corpus.sparkSession.sparkContext.defaultParallelism
     pn = probes.select(
         F.col(id_col).alias("probe_id"),
@@ -59,8 +65,7 @@ def brute_force_topk(
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .groupBy("probe_id", "neighbor_id")
         .agg(
-            F.sum((F.col("px") * F.col("cx")).cast("decimal(18,15)"))
-            .cast("double")
+            (F.sum(F.round(F.col("px") * F.col("cx") * 1e15).cast("bigint")) / 1e15)
             .alias("dot")
         )
     )
@@ -165,8 +170,7 @@ def lsh_bucketed_topk(
         .join(F.broadcast(pe), ["probe_id", "pos"])
         .groupBy("probe_id", "neighbor_id")
         .agg(
-            F.sum((F.col("px") * F.col("cx").cast("double")).cast("decimal(18,15)"))
-            .cast("double")
+            (F.sum(F.round(F.col("px") * F.col("cx").cast("double") * 1e15).cast("bigint")) / 1e15)
             .alias("dot")
         )
     )
@@ -368,8 +372,7 @@ def ivf_topk(
         .join(F.broadcast(pe), ["probe_id", "pos"])
         .groupBy("probe_id", "neighbor_id")
         .agg(
-            F.sum((F.col("px") * F.col("cx").cast("double")).cast("decimal(18,15)"))
-            .cast("double")
+            (F.sum(F.round(F.col("px") * F.col("cx").cast("double") * 1e15).cast("bigint")) / 1e15)
             .alias("dot")
         )
     )

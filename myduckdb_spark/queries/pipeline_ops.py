@@ -47,6 +47,13 @@ _DOT_DEC_SQL = (
     "CAST(CAST(list_sum(list_transform(list_zip({a}, {b}),"
     " s -> CAST(CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE) AS DECIMAL(18,15)))) AS DECIMAL(18,15)) AS DOUBLE)"
 )
+# scaled-BIGINT accumulation (similarity top-k paths): round(px·cx·1e15) is
+# the same long in both engines (|scaled| < 2^53), and long sums beat int128
+# decimal sums 2-3x in Spark codegen. Matches similarity.brute_force_topk.
+_DOT_LONG_SQL = (
+    "(CAST(list_sum(list_transform(list_zip({a}, {b}),"
+    " s -> CAST(round(CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)*1e15) AS BIGINT))) AS BIGINT) / 1e15)"
+)
 _NSQ_DEC_SQL = (
     "CAST(CAST(list_sum(list_transform({v},"
     " x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,15)))) AS DECIMAL(18,15)) AS DOUBLE)"
@@ -154,7 +161,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     probes AS (SELECT * FROM e WHERE vec_id % 50 = 0),
     scored AS (
       SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-             ROUND({_DOT_DEC_SQL.format(a='p.embedding', b='c.embedding')}
+             ROUND({_DOT_LONG_SQL.format(a='p.embedding', b='c.embedding')}
                    / (sqrt(p.nsq) * sqrt(c.nsq)), 6) AS cos_sim
       FROM probes p, e c WHERE p.vec_id <> c.vec_id
     ), ranked AS (
