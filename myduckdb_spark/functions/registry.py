@@ -432,3 +432,50 @@ _reg("make_time")(lambda h, m, s: (
     + (_c(m).cast("bigint") * 60_000_000)
     + (_c(s).cast("double") * 1_000_000).cast("bigint")
 ))
+
+
+# --- round-3 long-tail fills (reference string/bar.cpp, parse_path.cpp,
+# jaro_winkler in string similarity family, date part extras, generic
+# version/current_setting) ---
+_reg("bar")(lambda x, mn, mx, width=80: F.expr(
+    # reference bar(): ▇-bar of width proportional to (x-mn)/(mx-mn)
+    f"repeat('█', CAST(greatest(least(({_sql(x)} - {mn}) / ({mx} - {mn}), 1.0), 0.0) * {width} AS INT))"
+))
+_reg("parse_path")(lambda p, sep="/": F.split(_c(p), _lit_regex_escape(sep)))
+_reg("parse_filename")(lambda p, trim_ext=False, sep="/": (
+    F.element_at(F.split(F.regexp_replace(_c(p), r"\.[^./\\]+$", ""), _lit_regex_escape(sep)), -1)
+    if trim_ext
+    else F.element_at(F.split(_c(p), _lit_regex_escape(sep)), -1)
+))
+_reg("parse_dirname")(lambda p, sep="/": F.expr(
+    f"array_join(slice(split({_sql(p)}, '{sep}'), 1, greatest(size(split({_sql(p)}, '{sep}')) - 1, 0)), '{sep}')"
+))
+_reg("cot")(lambda x: F.lit(1.0) / F.tan(_c(x)))
+_reg("isoyear")(lambda d: F.expr(f"extract(YEAROFWEEK FROM {_sql(d)})"))
+_reg("era")(lambda d: F.when(F.year(_c(d)) > 0, 1).otherwise(0))
+_reg("timezone")(lambda: F.expr("current_timezone()"))
+_reg("julian")(lambda d: (
+    F.datediff(_c(d).cast("date"), F.lit("2000-01-01").cast("date")) + F.lit(2451544.5)
+))
+_reg("to_centuries")(lambda n: F.make_interval(years=_c(n) * 100))
+_reg("current_setting")(lambda name: F.lit(None).cast("string"))
+_reg("txid_current")(lambda: F.lit(0).cast("bigint"))
+_reg("version")(lambda: F.expr("version()"))
+_reg("list_negative_inner_product", "list_negative_dot_product")(lambda a, b: -REGISTRY["list_inner_product"](a, b))
+_reg("array_distance")(lambda a, b: REGISTRY["list_distance"](a, b))
+
+
+def _jaro(a, b) -> Column:
+    """Jaro similarity as a SQL expression would be unreadable; the
+    reference's jaro/jaro_winkler/damerau metrics need per-pair dynamic
+    programming — served by an Arrow-batched pandas UDF on demand
+    (functions/udf.py), not a codegen expression. Registered here to
+    raise a clear pointer instead of a silent absence."""
+    raise NotImplementedError(
+        "jaro_winkler/damerau_levenshtein need per-pair DP: create one via "
+        "myduckdb_spark.functions.udf.create_scalar_function (Arrow-batched); "
+        "levenshtein/hamming/jaccard are native expressions in this registry"
+    )
+
+
+_reg("jaro_similarity", "jaro_winkler_similarity", "jaro_winkler", "damerau_levenshtein")(_jaro)

@@ -227,3 +227,26 @@ def test_interval_and_time_helpers(spark):
     assert str(r["plus30d"]).startswith("2024-03-01 12:00:00")
     assert str(r["plus5h"]).startswith("2024-01-31 17:00:00")
     assert r["t_us"] == 13 * 3600_000_000 + 30 * 60_000_000 + 1_500_000
+
+
+def test_long_tail_functions(spark, duck):
+    row = spark.range(1).select(
+        fn("bar")(F.lit(5.0), 0, 10, 10).alias("bar"),
+        fn("parse_path")(F.lit("a/b/c.txt")).alias("pp"),
+        fn("parse_filename")(F.lit("a/b/c.txt")).alias("pf"),
+        fn("parse_filename")(F.lit("a/b/c.txt"), True).alias("pfe"),
+        fn("parse_dirname")(F.lit("a/b/c.txt")).alias("pd"),
+        fn("cot")(F.lit(1.0)).alias("cot"),
+        fn("julian")(F.lit("2000-01-01")).alias("jd"),
+    ).collect()[0]
+    assert row["bar"] == "█████"
+    assert list(row["pp"]) == ["a", "b", "c.txt"]
+    assert row["pf"] == "c.txt" and row["pfe"] == "c"
+    assert row["pd"] == "a/b"
+    assert row["cot"] == pytest.approx(float(duck.sql("SELECT cot(1.0)").fetchone()[0]))
+    assert row["jd"] == pytest.approx(float(duck.sql("SELECT julian(DATE '2000-01-01')").fetchone()[0]))
+
+
+def test_jaro_pointer_raises():
+    with pytest.raises(NotImplementedError):
+        fn("jaro_winkler")(F.lit("a"), F.lit("b"))
