@@ -56,3 +56,101 @@ def create_aggregate_function(
 
 def created() -> dict[str, object]:
     return dict(_CREATED)
+
+
+# ---------------------------------------------------------------------------
+# Prebuilt pandas-UDF string metrics (reference jaro_winkler.cpp /
+# damerau_levenshtein in src/core_functions/scalar/string/): per-pair
+# dynamic programming has no codegen-expression form, so these run as
+# Arrow-batched UDFs — the sanctioned slow path. levenshtein / hamming /
+# jaccard ARE expressions (functions/registry.py).
+# ---------------------------------------------------------------------------
+
+
+def _jaro_sim(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if not n1 or not n2:
+        return 0.0
+    window = max(n1, n2) // 2 - 1
+    m1 = [False] * n1
+    m2 = [False] * n2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(n1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / n1 + matches / n2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1) -> float:
+    """Jaro-Winkler similarity (common-prefix boost, scaling ``p``)."""
+    j = _jaro_sim(s1 or "", s2 or "")
+    prefix = 0
+    for a, b in zip((s1 or "")[:4], (s2 or "")[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * p * (1.0 - j)
+
+
+def damerau_levenshtein(s1: str, s2: str) -> int:
+    """Unrestricted Damerau-Levenshtein distance (adjacent transpositions),
+    the reference's variant."""
+    s1, s2 = s1 or "", s2 or ""
+    n1, n2 = len(s1), len(s2)
+    maxdist = n1 + n2
+    da: dict[str, int] = {}
+    d = [[maxdist] * (n2 + 2) for _ in range(n1 + 2)]
+    for i in range(n1 + 1):
+        d[i + 1][1] = i
+    for j in range(n2 + 1):
+        d[1][j + 1] = j
+    for i in range(1, n1 + 1):
+        db = 0
+        for j in range(1, n2 + 1):
+            k = da.get(s2[j - 1], 0)
+            l = db
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[s1[i - 1]] = i
+    return d[n1 + 1][n2 + 1]
+
+
+def register_string_metrics(spark: SparkSession) -> None:
+    """Register jaro_winkler_similarity / damerau_levenshtein as
+    Arrow-batched UDFs (SQL + Column callable via spark.udf)."""
+
+    def _jw(a, b):
+        return a.combine(b, jaro_winkler)
+
+    def _dl(a, b):
+        return a.combine(b, damerau_levenshtein)
+
+    create_scalar_function(spark, "jaro_winkler_similarity", _jw, "double")
+    create_scalar_function(spark, "damerau_levenshtein", _dl, "int")

@@ -341,3 +341,32 @@ def stream_window_counts_batch(spark, sf_dir):
         )
         .orderBy("bucket", "event_type")
     )
+
+
+@register(
+    "order_nulls_parity",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS pr
+    FROM orders
+    ORDER BY pr NULLS FIRST, o_orderkey DESC
+    LIMIT 50
+    """,
+    tags=("order", "nulls"),
+)
+def order_nulls_parity(spark, sf_dir):
+    """NULLS FIRST/LAST ordering parity (reference external sort
+    src/common/sort/; DuckDB defaults to NULLS LAST, Spark to NULLS FIRST
+    on ASC — so portable queries must pin the placement EXPLICITLY, as
+    here with asc_nulls_first). The LIMIT makes the returned SET depend
+    on the null placement, so the driver's order-insensitive hash still
+    proves it."""
+    orders = load_table(spark, sf_dir, "orders")
+    pr = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    return (
+        orders.select("o_orderkey", pr.alias("pr"))
+        .orderBy(F.col("pr").asc_nulls_first(), F.col("o_orderkey").desc())
+        .limit(50)
+    )

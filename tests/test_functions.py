@@ -250,3 +250,23 @@ def test_long_tail_functions(spark, duck):
 def test_jaro_pointer_raises():
     with pytest.raises(NotImplementedError):
         fn("jaro_winkler")(F.lit("a"), F.lit("b"))
+
+
+def test_string_metric_udfs_match_duckdb(spark, duck):
+    from myduckdb_spark.functions.udf import register_string_metrics
+
+    register_string_metrics(spark)
+    cases = [("martha", "marhta"), ("dwayne", "duane"), ("kitten", "sitting"),
+             ("ca", "abc"), ("", "x"), ("same", "same")]
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in cases)
+    got = spark.sql(
+        f"SELECT jaro_winkler_similarity(a, b) jw, damerau_levenshtein(a, b) dl"
+        f" FROM VALUES {vals} AS t(a, b)"
+    ).collect()
+    want = duck.sql(
+        f"SELECT jaro_winkler_similarity(a, b), damerau_levenshtein(a, b)"
+        f" FROM (VALUES {vals}) t(a, b)"
+    ).fetchall()
+    for g, w in zip(got, want):
+        assert g["jw"] == pytest.approx(float(w[0]), abs=1e-9), (g, w)
+        assert g["dl"] == w[1], (g, w)
