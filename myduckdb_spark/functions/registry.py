@@ -465,17 +465,13 @@ _reg("list_negative_inner_product", "list_negative_dot_product")(lambda a, b: -R
 _reg("array_distance")(lambda a, b: REGISTRY["list_distance"](a, b))
 
 
-def _jaro(a, b) -> Column:
-    """Jaro similarity as a SQL expression would be unreadable; the
-    reference's jaro/jaro_winkler/damerau metrics need per-pair dynamic
-    programming — served by an Arrow-batched pandas UDF on demand
-    (functions/udf.py), not a codegen expression. Registered here to
-    raise a clear pointer instead of a silent absence."""
-    raise NotImplementedError(
-        "jaro_winkler/damerau_levenshtein need per-pair DP: create one via "
-        "myduckdb_spark.functions.udf.create_scalar_function (Arrow-batched); "
-        "levenshtein/hamming/jaccard are native expressions in this registry"
-    )
-
-
-_reg("jaro_similarity", "jaro_winkler_similarity", "jaro_winkler", "damerau_levenshtein")(_jaro)
+# jaro/damerau need per-pair dynamic programming — no codegen-expression
+# form exists, so they resolve to the Arrow-batched pandas UDFs that
+# functions/udf.py::register_string_metrics registers (call it once per
+# session; verified value-equal to DuckDB's native functions in tests).
+_reg("jaro_similarity", "jaro_winkler_similarity", "jaro_winkler")(
+    lambda a, b: F.call_udf("jaro_winkler_similarity", _c(a), _c(b))
+)
+_reg("damerau_levenshtein")(
+    lambda a, b: F.call_udf("damerau_levenshtein", _c(a), _c(b))
+)

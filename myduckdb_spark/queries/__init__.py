@@ -53,9 +53,11 @@ R03_PRIORITY = (
     "fn_math_battery", "text_token_stats", "q12_priority_shipping",
     # new this round
     "agg_regression", "agg_mad_topk", "fn_union_battery", "fn_blob_battery",
-    "tableinout_normalize",
+    "tableinout_normalize", "stream_window_counts_batch", "order_nulls_parity",
+    "sim_topk_ivf",
     # implementation or oracle changed this round
     "agg_stats_exact", "join_positional", "sim_topk_lsh", "sim_lsh_recall",
+    "sim_topk_bruteforce", "dedup_minhash_lsh",
     # rows-only by design (re-run is cheap signal)
     "agg_approx", "dedup_simhash", "multimodal_features",
 )
