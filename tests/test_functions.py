@@ -247,9 +247,18 @@ def test_long_tail_functions(spark, duck):
     assert row["jd"] == pytest.approx(float(duck.sql("SELECT julian(DATE '2000-01-01')").fetchone()[0]))
 
 
-def test_jaro_pointer_raises():
-    with pytest.raises(NotImplementedError):
-        fn("jaro_winkler")(F.lit("a"), F.lit("b"))
+def test_jaro_registry_routes_to_udf(spark):
+    """Registry jaro/damerau names resolve via call_udf to the
+    Arrow-batched metrics once register_string_metrics has run."""
+    from myduckdb_spark.functions.udf import register_string_metrics
+
+    register_string_metrics(spark)
+    row = spark.range(1).select(
+        fn("jaro_winkler")(F.lit("martha"), F.lit("marhta")).alias("jw"),
+        fn("damerau_levenshtein")(F.lit("ca"), F.lit("abc")).alias("dl"),
+    ).collect()[0]
+    assert row["jw"] == pytest.approx(0.9611111111111111)
+    assert row["dl"] == 2
 
 
 def test_string_metric_udfs_match_duckdb(spark, duck):
