@@ -182,3 +182,37 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED managed table (hash-partitioned into
+    ``n_buckets`` files per partition on ``bucket_cols``, optionally
+    sorted within buckets).
+
+    This is the 100 TB co-location primitive: two tables bucketed on the
+    same key with the same bucket count join WITHOUT a shuffle — Spark's
+    planner sees the matching hash distribution and elides both
+    Exchanges (the reference gets the analogous effect from its
+    radix-partitioned hash join building in-memory; at cluster scale
+    pre-bucketing is how that partitioning is made durable). Asserted in
+    tests/test_plans.py::test_bucketed_join_has_no_exchange."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *cols)
+    if sort_cols:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sc)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a managed (possibly bucketed) table; bucket metadata flows
+    into the plan so joins/aggregations on the bucket key avoid
+    shuffles."""
+    return spark.table(table)

@@ -116,3 +116,25 @@ def test_tableinout_is_arrow_batched(spark):
     plan = _plan(df)
     assert "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, "row-at-a-time python UDF in hot path"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the join key with equal
+    bucket counts must join with ZERO Exchange operators — the durable
+    form of the reference's partitioned hash join at cluster scale."""
+    from myduckdb_spark.io import read_table, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(10_000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(10_000).selectExpr("id AS k", "id * 3 AS vb")
+        write_bucketed(a, "bk_a", "k", n_buckets=8, sort_cols="k")
+        write_bucketed(b, "bk_b", "k", n_buckets=8, sort_cols="k")
+        joined = read_table(spark, "bk_a").join(read_table(spark, "bk_b"), "k")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
