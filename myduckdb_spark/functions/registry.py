@@ -475,3 +475,18 @@ _reg("jaro_similarity", "jaro_winkler_similarity", "jaro_winkler")(
 _reg("damerau_levenshtein")(
     lambda a, b: F.call_udf("damerau_levenshtein", _c(a), _c(b))
 )
+
+
+# --- pattern matching (reference src/function/scalar/string/like.cpp,
+# regexp.cpp; glob in like.cpp's glob kernel) ---
+_reg("like")(lambda s, p: _c(s).like(p))
+_reg("ilike")(lambda s, p: _c(s).ilike(p))
+_reg("not_like")(lambda s, p: ~_c(s).like(p))
+_reg("glob")(lambda s, p: _c(s).rlike(
+    "^" + "".join(
+        ".*" if ch == "*" else "." if ch == "?" else
+        ch if ch.isalnum() else "\\" + ch
+        for ch in p
+    ) + "$"
+))
+_reg("regexp_full_match", "similar_to")(lambda s, p: _c(s).rlike(f"^(?:{p})$"))

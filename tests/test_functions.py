@@ -279,3 +279,16 @@ def test_string_metric_udfs_match_duckdb(spark, duck):
     for g, w in zip(got, want):
         assert g["jw"] == pytest.approx(float(w[0]), abs=1e-9), (g, w)
         assert g["dl"] == w[1], (g, w)
+
+
+def test_pattern_matching_family(spark):
+    row = spark.range(1).select(
+        fn("like")(F.lit("widget"), "w%t").alias("lk"),
+        fn("ilike")(F.lit("WIDGET"), "w%t").alias("il"),
+        fn("glob")(F.lit("file_01.txt"), "file_??.t*").alias("gl"),
+        fn("similar_to")(F.lit("abc123"), "[a-z]+[0-9]+").alias("st"),
+        fn("regexp_full_match")(F.lit("abc"), "ab").alias("nf"),
+    ).collect()[0]
+    assert (row["lk"], row["il"], row["gl"], row["st"], row["nf"]) == (
+        True, True, True, True, False,
+    )
