@@ -469,8 +469,14 @@ _reg("array_distance")(lambda a, b: REGISTRY["list_distance"](a, b))
 # form exists, so they resolve to the Arrow-batched pandas UDFs that
 # functions/udf.py::register_string_metrics registers (call it once per
 # session; verified value-equal to DuckDB's native functions in tests).
-_reg("jaro_similarity", "jaro_winkler_similarity", "jaro_winkler")(
+# jaro_similarity is plain Jaro (no prefix boost) in the reference
+# (src/core_functions/scalar/string/jaro_winkler.cpp:10); only the
+# *_winkler names carry the boosted metric.
+_reg("jaro_winkler_similarity", "jaro_winkler")(
     lambda a, b: F.call_udf("jaro_winkler_similarity", _c(a), _c(b))
+)
+_reg("jaro_similarity")(
+    lambda a, b: F.call_udf("jaro_similarity", _c(a), _c(b))
 )
 _reg("damerau_levenshtein")(
     lambda a, b: F.call_udf("damerau_levenshtein", _c(a), _c(b))

@@ -100,8 +100,12 @@ def _jaro_sim(s1: str, s2: str) -> float:
 
 
 def jaro_winkler(s1: str, s2: str, p: float = 0.1) -> float:
-    """Jaro-Winkler similarity (common-prefix boost, scaling ``p``)."""
+    """Jaro-Winkler similarity. The prefix boost applies only when the base
+    Jaro score exceeds 0.7, matching the reference implementation
+    (third_party/jaro_winkler/details/jaro_impl.hpp:463)."""
     j = _jaro_sim(s1 or "", s2 or "")
+    if j <= 0.7:
+        return j
     prefix = 0
     for a, b in zip((s1 or "")[:4], (s2 or "")[:4]):
         if a != b:
@@ -149,8 +153,12 @@ def register_string_metrics(spark: SparkSession) -> None:
     def _jw(a, b):
         return a.combine(b, jaro_winkler)
 
+    def _j(a, b):
+        return a.combine(b, lambda x, y: _jaro_sim(x or "", y or ""))
+
     def _dl(a, b):
         return a.combine(b, damerau_levenshtein)
 
     create_scalar_function(spark, "jaro_winkler_similarity", _jw, "double")
+    create_scalar_function(spark, "jaro_similarity", _j, "double")
     create_scalar_function(spark, "damerau_levenshtein", _dl, "int")

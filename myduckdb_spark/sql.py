@@ -285,13 +285,22 @@ def _rewrite_qualify(text: str) -> str:
                 raise ValueError("QUALIFY with SELECT * needs explicit columns")
             else:
                 raise ValueError(f"QUALIFY select item needs an alias: {it!r}")
+        # the reference binder applies DISTINCT *after* QUALIFY
+        # (bind_select_node.cpp) — so strip it from the inner projection
+        # (which carries the extra __qualify column) and dedupe the outer
+        # projection of the original output columns instead.
+        distinct = " DISTINCT" if sel.group(1) else ""
         inner = (
-            text[sel.start() : from_m.start()]
+            "SELECT "
+            + text[sel.end() : from_m.start()]
             + f", ({pred}) AS __qualify "
             + text[from_m.start() : qm.start()]
         )
         new_block = (
-            "SELECT " + ", ".join(names) + f" FROM ({inner}) __qt WHERE __qualify" + tail
+            f"SELECT{distinct} "
+            + ", ".join(names)
+            + f" FROM ({inner}) __qt WHERE __qualify"
+            + tail
         )
         text = text[: sel.start()] + new_block + text[end:]
 
@@ -374,7 +383,15 @@ def _rewrite_distinct_on(text: str) -> str:
             order = keys
             body = text[from_m.start() : end]
             tail = ""
-        sel_start = text.rfind("SELECT", 0, m.start())
+        # owning SELECT: last same-depth, non-literal SELECT before the
+        # DISTINCT ON token (case-insensitive — rfind("SELECT") missed
+        # lowercase sources and then spliced at -1, looping forever)
+        sel_start = None
+        for sm in re.finditer(r"\bSELECT\b", text, re.I):
+            if sm.start() < m.start() and not _in_spans(sm.start(), spans) and depths[sm.start()] == qd:
+                sel_start = sm.start()
+        if sel_start is None:
+            raise ValueError("DISTINCT ON without owning SELECT")
         inner = (
             "SELECT "
             + ", ".join(items)

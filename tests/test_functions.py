@@ -265,20 +265,26 @@ def test_string_metric_udfs_match_duckdb(spark, duck):
     from myduckdb_spark.functions.udf import register_string_metrics
 
     register_string_metrics(spark)
+    # ('abcxxxxx','abcyyyyyyy') pins the boost gate: common prefix 3 but
+    # base jaro <= 0.7, where the reference applies NO Winkler boost
     cases = [("martha", "marhta"), ("dwayne", "duane"), ("kitten", "sitting"),
-             ("ca", "abc"), ("", "x"), ("same", "same")]
+             ("ca", "abc"), ("", "x"), ("same", "same"),
+             ("abcxxxxx", "abcyyyyyyy"), ("prefixonly", "prefabbbbbbbbb")]
     vals = ", ".join(f"('{a}', '{b}')" for a, b in cases)
     got = spark.sql(
-        f"SELECT jaro_winkler_similarity(a, b) jw, damerau_levenshtein(a, b) dl"
+        f"SELECT jaro_winkler_similarity(a, b) jw, jaro_similarity(a, b) js,"
+        f" damerau_levenshtein(a, b) dl"
         f" FROM VALUES {vals} AS t(a, b)"
     ).collect()
     want = duck.sql(
-        f"SELECT jaro_winkler_similarity(a, b), damerau_levenshtein(a, b)"
+        f"SELECT jaro_winkler_similarity(a, b), jaro_similarity(a, b),"
+        f" damerau_levenshtein(a, b)"
         f" FROM (VALUES {vals}) t(a, b)"
     ).fetchall()
     for g, w in zip(got, want):
         assert g["jw"] == pytest.approx(float(w[0]), abs=1e-9), (g, w)
-        assert g["dl"] == w[1], (g, w)
+        assert g["js"] == pytest.approx(float(w[1]), abs=1e-9), (g, w)
+        assert g["dl"] == w[2], (g, w)
 
 
 def test_pattern_matching_family(spark):

@@ -213,3 +213,33 @@ def test_distinct_on_matches_duckdb(spark, sf_dir):
 def test_star_exclude(spark):
     df = sql(spark, "SELECT * EXCLUDE (b) FROM (SELECT id AS a, id*2 AS b FROM range(3)) t")
     assert df.columns == ["a"]
+
+
+def test_distinct_on_lowercase_select(spark, sf_dir):
+    """Lowercase `select distinct on` must rewrite, not hang: the old
+    locator used case-sensitive rfind("SELECT") and looped forever."""
+    import duckdb
+
+    text = (
+        "select distinct on (l_orderkey) l_orderkey, l_quantity "
+        "from lineitem order by l_orderkey, l_quantity desc"
+    )
+    got = sorted(tuple(r) for r in sql(spark, text, sf_dir=sf_dir).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'")
+    want = sorted(tuple(r) for r in con.sql(text).fetchall())
+    assert got == want
+
+
+def test_qualify_with_distinct_dedupes_output(spark):
+    """Reference binder applies DISTINCT after QUALIFY: rows identical in
+    output columns but differing in window values must collapse."""
+    import duckdb
+
+    text = (
+        "SELECT DISTINCT g FROM (VALUES (1, 10), (1, 20), (2, 30)) t(g, v) "
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY v) <= 2"
+    )
+    got = sorted(r["g"] for r in sql(spark, text).collect())
+    want = sorted(r[0] for r in duckdb.sql(text).fetchall())
+    assert got == want == [1, 2]

@@ -1,64 +1,91 @@
 """Reference sqllogictest corpus through the engine (tools/slt.py).
 
-Curated files from /root/reference/test/sql/ whose SQL the dialect front
-door supports — including the fork's OWN amusjoin tests (which exercise
-the AM_US_JOIN operator end-to-end; note their expected-output block has
-a known typo, `108 12` vs inserted `(108, 1)` — irrelevant here because
-the runner verifies against live DuckDB, not the file's expected text).
+Curated files from /root/reference/test/sql/ (the reference's primary test
+asset — 2,535 .test files, SURVEY §5). Every ``query`` block a file
+contains runs through BOTH the SQL front door and live DuckDB; a value
+mismatch fails the test. Statements/queries the harness can't execute
+(fork-file bugs, dialect gaps like Spark's ANSI div-by-zero or
+non-null-aware IN-subquery, DuckDB version drift) are recorded as skips —
+each file asserts a FLOOR of value-checked queries so coverage can't
+silently erode.
+
+The amusjoin group runs its three files against one shared DuckDB state
+(create → insert → join), exactly like the reference runner; note their
+create file INSERTs into a table ``a`` it never creates (a fork-author
+bug — the reference runner itself would fail there), which the runner
+records as a skipped statement.
 """
 
+import duckdb
 import pytest
 
 from tools.slt import run_file
 
 REF = "/root/reference/test/sql"
 
-# One sequential session per GROUP: later files depend on earlier state
-# (create → insert → join), exactly like the reference runner.
-GROUPS = {
-    "amusjoin": [
-        f"{REF}/amusjoin/simple_tables_create.test",
-        f"{REF}/amusjoin/simple_tables_insert.test",
-        f"{REF}/amusjoin/simple_tables_amusjoin.test",
-    ],
+# file → minimum value-checked queries (recorded at curation time; a drop
+# below the floor means a dialect/runner regression, not corpus noise)
+CORPUS = {
+    "aggregate/having/test_scalar_having.test": 12,
+    "aggregate/having/test_having.test": 10,
+    "aggregate/group/test_group_by.test": 21,
+    "aggregate/group/test_group_by_alias.test": 8,
+    "cte/test_cte.test": 13,
+    "cte/test_recursive_cte_union_all.test": 7,
+    "cte/test_recursive_cte_tutorial.test": 4,
+    "conjunction/or_between.test": 1,
+    "conjunction/or_comparison.test": 1,
+    "filter/test_constant_comparisons.test": 11,
+    "join/cross_product/test_cross_product.test": 3,
+    "join/semianti/antijoin.test": 10,
+    "join/semianti/semijoin.test": 11,
+    "join/test_nested_inequality.test": 5,
+    "limit/test_preserve_insertion_order.test": 6,
+    "order/test_nulls_first.test": 13,
+    "order/test_order_by.test": 21,
+    "setops/test_nested_except.test": 1,
+    "setops/union_limit.test": 1,
+    "setops/value_union.test": 8,
+    "setops/union_shared_scan.test": 1,
+    "setops/test_union_binding.test": 17,
+    "setops/test_union_type_cast.test": 6,
+    "subquery/test_neumann.test": 3,
+    "subquery/exists/test_correlated_exists.test": 9,
+    "subquery/scalar/test_complex_correlated_subquery.test": 8,
+    "types/null/test_null.test": 8,
+    "types/null/test_null_aggr.test": 5,
+    "types/null/test_boolean_null.test": 3,
 }
 
 
-@pytest.mark.parametrize("group", sorted(GROUPS))
-def test_slt_group(spark, group):
-    import duckdb
+@pytest.mark.parametrize("relpath", sorted(CORPUS))
+def test_slt_file(spark, relpath):
+    res = run_file(spark, f"{REF}/{relpath}")  # raises on value mismatch
+    assert res.queries >= CORPUS[relpath], (
+        f"checked {res.queries} < floor {CORPUS[relpath]}; "
+        f"skips={res.skipped_queries[:3]}"
+    )
 
-    from tools import slt
 
-    # run all files of the group against ONE shared DuckDB state
+def test_slt_group_amusjoin(spark):
+    """Three files, one shared DuckDB state — exercises AM_US join SQL."""
     con = duckdb.connect()
     total_q = 0
-    for path in GROUPS[group]:
-        recs = slt.parse(path)
-        for rec in recs:
-            if rec.kind == "statement_ok":
-                if rec.sql.strip().upper().startswith("PRAGMA"):
-                    continue
-                con.sql(rec.sql)
-            elif rec.kind == "statement_error":
-                with pytest.raises(Exception):
-                    con.sql(rec.sql)
-            else:
-                tables = [
-                    r[0] for r in con.sql("SELECT table_name FROM duckdb_tables()").fetchall()
-                ]
-                for t in tables:
-                    spark.createDataFrame(con.table(t).df()).createOrReplaceTempView(t)
-                from myduckdb_spark.sql import sql as engine_sql
-
-                got = slt._canon([tuple(r) for r in engine_sql(spark, rec.sql).collect()])
-                want = slt._canon(con.sql(rec.sql).fetchall())
-                assert got == want, (path, rec.sql, got[:5], want[:5])
-                total_q += 1
+    for name in (
+        "simple_tables_create.test",
+        "simple_tables_insert.test",
+        "simple_tables_amusjoin.test",
+    ):
+        res = run_file(spark, f"{REF}/amusjoin/{name}", con=con)
+        total_q += res.queries
+    # the corpus holds exactly one intact query block across the three
+    # files (the join itself); the create file's probe SELECT targets the
+    # never-created table `a`
     assert total_q >= 1
 
 
 def test_slt_single_file_runner(spark):
-    """run_file() drives a self-contained file end-to-end."""
+    """run_file() drives a self-contained file end-to-end, including the
+    loop/require/mode directives used throughout the corpus."""
     n_q, n_s = run_file(spark, f"{REF}/cte/test_cte.test")
     assert n_q >= 5 and n_s >= 2

@@ -12,35 +12,133 @@ including expected-output bugs in the fork's files (the comparison target
 is DuckDB's actual result, not the file's expected block, exactly like
 ``PRAGMA enable_verification`` re-verifies internally).
 
-Scope: files whose SQL the dialect front door supports; the curated list
-lives in tests/test_slt_corpus.py.
+Directive support (reference test/sqlite/sqllogic_parser.cpp):
+
+* ``loop var start end`` / ``foreach var v1 v2 ...`` / ``endloop`` —
+  expanded textually with ``${var}`` substitution (nesting supported);
+* ``mode skip`` .. ``mode unskip`` — the skipped section is dropped;
+* ``require`` / ``require-env`` / ``load`` / ``restart`` / ``reconnect`` /
+  ``set`` / ``reset`` / ``sleep`` / ``hash-threshold`` — ignored: they gate
+  alternative-verification modes / extensions / connection features the
+  runner intentionally doesn't model (we verify against live DuckDB);
+* ``halt`` — stops the file.
+
+State-builder tolerance: a ``statement ok`` that errors is recorded as
+skipped instead of failing the file — the fork's corpus contains broken
+builders (e.g. amusjoin/simple_tables_create.test INSERTs into a table
+``a`` it never creates; the reference runner itself would fail there), and
+the rest of the file remains a valid comparison target.
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 
 @dataclass
 class Record:
-    kind: str  # "statement_ok" | "statement_error" | "query"
+    kind: str  # "statement_ok" | "statement_error" | "statement_maybe" | "query"
     sql: str
     types: str = ""
     sortmode: str = ""
 
 
+@dataclass
+class RunResult:
+    queries: int = 0  # queries value-checked engine-vs-DuckDB
+    statements: int = 0  # state-builder statements applied
+    skipped_statements: list = field(default_factory=list)
+    skipped_queries: list = field(default_factory=list)
+
+    def __iter__(self):  # unpack as (queries, statements)
+        return iter((self.queries, self.statements))
+
+
+_IGNORED_DIRECTIVES = (
+    "require",
+    "require-env",
+    "load",
+    "restart",
+    "reconnect",
+    "set",
+    "reset",
+    "sleep",
+    "unzip",
+    "hash-threshold",
+    "skipif",
+    "onlyif",
+)
+
+
+def _subst(line: str, var: str, val: str) -> str:
+    return line.replace("${" + var + "}", val)
+
+
+def _expand(lines: list[str]) -> list[str]:
+    """Expand loop/foreach blocks and drop mode-skip sections."""
+
+    def block(i: int, stop: tuple[str, ...]) -> tuple[list[str], int]:
+        out: list[str] = []
+        while i < len(lines):
+            s = lines[i].strip()
+            tok = s.split()[0] if s else ""
+            if tok in stop:
+                return out, i
+            if tok in ("loop", "concurrentloop"):
+                parts = s.split()
+                var, lo, hi = parts[1], int(parts[2]), int(parts[3])
+                body, i = block(i + 1, ("endloop",))
+                i += 1
+                for v in range(lo, hi):
+                    out.extend(_subst(b, var, str(v)) for b in body)
+                continue
+            if tok in ("foreach", "concurrentforeach"):
+                parts = s.split()
+                var, vals = parts[1], parts[2:]
+                body, i = block(i + 1, ("endloop",))
+                i += 1
+                for v in vals:
+                    out.extend(_subst(b, var, v) for b in body)
+                continue
+            if tok == "mode":
+                if len(s.split()) > 1 and s.split()[1] == "skip":
+                    # drop everything until `mode unskip` (or EOF)
+                    i += 1
+                    while i < len(lines):
+                        t = lines[i].strip().split()
+                        if t[:2] == ["mode", "unskip"]:
+                            break
+                        i += 1
+                i += 1
+                continue
+            out.append(lines[i])
+            i += 1
+        return out, i
+
+    expanded, _ = block(0, ())
+    return expanded
+
+
 def parse(path: str) -> list[Record]:
     recs: list[Record] = []
-    lines = open(path).read().splitlines()
+    lines = _expand(open(path).read().splitlines())
     i = 0
     while i < len(lines):
         line = lines[i].strip()
         if not line or line.startswith("#"):
             i += 1
             continue
-        if line.startswith("statement"):
-            kind = "statement_error" if "error" in line else "statement_ok"
+        tok = line.split()[0]
+        if tok == "halt":
+            break
+        if tok == "statement":
+            if "error" in line:
+                kind = "statement_error"
+            elif "maybe" in line:
+                kind = "statement_maybe"
+            else:
+                kind = "statement_ok"
             i += 1
             sql_lines = []
             while i < len(lines) and lines[i].strip() not in ("", "----"):
@@ -52,27 +150,30 @@ def parse(path: str) -> list[Record]:
                 while i < len(lines) and lines[i].strip() != "":
                     i += 1
             recs.append(Record(kind, "\n".join(sql_lines)))
-        elif line.startswith("query"):
+        elif tok == "query":
             parts = line.split()
             types = parts[1] if len(parts) > 1 else ""
             sortmode = parts[2] if len(parts) > 2 else ""
             i += 1
             sql_lines = []
-            while i < len(lines) and lines[i].strip() != "----":
+            while i < len(lines) and lines[i].strip() != "----" and lines[i].strip() != "":
                 sql_lines.append(lines[i])
                 i += 1
-            i += 1  # skip ----
-            while i < len(lines) and lines[i].strip() != "":
-                i += 1  # skip expected block (we verify against live DuckDB)
+            if i < len(lines) and lines[i].strip() == "----":
+                i += 1
+                while i < len(lines) and lines[i].strip() != "":
+                    i += 1  # skip expected block (we verify against live DuckDB)
             recs.append(Record("query", "\n".join(sql_lines), types, sortmode))
-        elif line.startswith(("loop", "foreach", "endloop", "mode", "require")):
-            raise NotImplementedError(f"unsupported sqllogictest directive: {line}")
+        elif tok in _IGNORED_DIRECTIVES:
+            i += 1
         else:
             i += 1
     return recs
 
 
 def _canon(rows) -> list[str]:
+    from decimal import Decimal
+
     out = []
     for r in rows:
         cells = []
@@ -81,43 +182,112 @@ def _canon(rows) -> list[str]:
                 cells.append("NULL")
             elif isinstance(v, bool):
                 cells.append(str(int(v)))
-            elif isinstance(v, float):
-                cells.append(f"{v:.6f}")
+            elif isinstance(v, (float, Decimal)):
+                cells.append(f"{float(v):.6f}")
             else:
                 cells.append(str(v))
         out.append("|".join(cells))
     return sorted(out)
 
 
-def run_file(spark, path: str) -> tuple[int, int]:
-    """Returns (queries_checked, statements_applied); raises on mismatch."""
+def _snapshot(spark, con) -> None:
+    """Mirror DuckDB's tables AND views into Spark temp views (Arrow
+    transfer preserves schema even for empty relations)."""
+    names = [
+        r[0]
+        for r in con.execute(
+            "SELECT table_name FROM information_schema.tables WHERE table_schema = 'main'"
+        ).fetchall()
+    ]
+    for t in names:
+        tbl = con.execute(f'SELECT * FROM "{t}"').arrow()
+        # pass the Arrow table straight through (Spark 4 accepts it):
+        # round-tripping via pandas would turn INT-with-NULL into float64
+        spark.createDataFrame(tbl).createOrReplaceTempView(t)
+
+
+def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int | None = None):
+    """Run one .test file; returns RunResult (unpacks as (queries, statements)).
+
+    Raises AssertionError on any engine-vs-DuckDB VALUE mismatch. With
+    ``strict=False`` (default), statements or queries the harness can't
+    execute (broken fork builders, unsupported dialect, missing extensions)
+    are recorded in skipped_* rather than failing — a mismatch is a bug, a
+    skip is a coverage note.
+    """
     import duckdb
 
     from myduckdb_spark.sql import sql as engine_sql
 
-    con = duckdb.connect()
-    n_q = n_s = 0
+    con = con if con is not None else duckdb.connect()
+    res = RunResult()
+    dirty = True
     for rec in parse(path):
-        if rec.kind == "statement_ok":
+        if not rec.sql.strip():
+            continue
+        if rec.kind in ("statement_ok", "statement_maybe"):
             if re.match(r"\s*PRAGMA", rec.sql, re.I):
                 continue  # engine pragmas (enable_verification) are no-ops here
-            con.sql(rec.sql)
-            n_s += 1
+            try:
+                con.execute(rec.sql)
+                res.statements += 1
+                dirty = True
+            except Exception as e:
+                if rec.kind == "statement_maybe":
+                    continue
+                if strict:
+                    raise
+                res.skipped_statements.append((rec.sql, str(e)))
         elif rec.kind == "statement_error":
             try:
-                con.sql(rec.sql)
-                raise AssertionError(f"expected error, statement succeeded: {rec.sql}")
-            except AssertionError:
-                raise
+                # force execution: con.sql() is lazy for SELECTs, so runtime
+                # errors (division by zero) only surface on fetch
+                con.execute(rec.sql).fetchall()
             except Exception:
-                pass
-        else:
-            # snapshot DuckDB state into Spark temp views
-            tables = [r[0] for r in con.sql("SELECT table_name FROM duckdb_tables()").fetchall()]
-            for t in tables:
-                spark.createDataFrame(con.table(t).df()).createOrReplaceTempView(t)
-            got = _canon([tuple(r) for r in engine_sql(spark, rec.sql).collect()])
-            want = _canon(con.sql(rec.sql).fetchall())
-            assert got == want, f"mismatch for {rec.sql!r}:\n spark={got[:5]}\n duck={want[:5]}"
-            n_q += 1
-    return n_q, n_s
+                continue
+            # live DuckDB accepts what the fork's (older) engine rejected —
+            # version drift, not an engine bug of ours (our comparison
+            # target is live DuckDB). Note it and move on.
+            res.skipped_statements.append((rec.sql, "expected error; live DuckDB succeeds"))
+            dirty = True
+        else:  # query
+            if max_queries is not None and res.queries >= max_queries:
+                break
+            # plan/metadata output isn't value-comparable across engines
+            if re.match(r"\s*(EXPLAIN|DESCRIBE|SHOW|PRAGMA)\b", rec.sql, re.I):
+                res.skipped_queries.append((rec.sql, "plan/metadata query"))
+                continue
+            # a few fork files mislabel DDL/DML as `query` blocks — apply
+            # them as state, never feed them to the Spark catalog
+            if re.match(
+                r"\s*(CREATE|INSERT|UPDATE|DELETE|DROP|ALTER|SET|ATTACH|COPY|BEGIN|COMMIT|ROLLBACK)\b",
+                rec.sql,
+                re.I,
+            ):
+                try:
+                    con.execute(rec.sql)
+                    res.statements += 1
+                    dirty = True
+                except Exception as e:
+                    res.skipped_statements.append((rec.sql, str(e)))
+                continue
+            try:
+                want = _canon(con.execute(rec.sql).fetchall())
+            except Exception as e:
+                res.skipped_queries.append((rec.sql, f"duckdb: {e}"))
+                continue
+            if dirty:
+                _snapshot(spark, con)
+                dirty = False
+            try:
+                got = _canon([tuple(r) for r in engine_sql(spark, rec.sql).collect()])
+            except Exception as e:
+                if strict:
+                    raise
+                res.skipped_queries.append((rec.sql, f"engine: {e}"))
+                continue
+            assert got == want, (
+                f"mismatch for {rec.sql!r}:\n spark={got[:5]}\n duck={want[:5]}"
+            )
+            res.queries += 1
+    return res
