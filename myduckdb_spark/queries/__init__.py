@@ -44,28 +44,39 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # The correctness driver verifies a 50-query window of the registry in
 # registration order, so queries() yields highest-priority entries first:
-# queries needing a (re-)verification this round — previously hash-red rows
-# whose fix must be proven, brand-new queries, queries whose implementation
-# or oracle changed since their last green row, and the rows-only
-# (no-oracle) entries — then everything already green in r1/r2.
-R03_PRIORITY = (
-    # red in r1+r2, root-caused (pandas DECIMAL/HUGEINT coercion) and fixed
-    "fn_math_battery", "text_token_stats", "q12_priority_shipping",
-    # new this round
-    "agg_regression", "agg_mad_topk", "fn_union_battery", "fn_blob_battery",
-    "tableinout_normalize", "stream_window_counts_batch", "order_nulls_parity",
-    "sim_topk_ivf",
-    # implementation or oracle changed this round
-    "agg_stats_exact", "join_positional", "sim_topk_lsh", "sim_lsh_recall",
-    "sim_topk_bruteforce", "dedup_minhash_lsh",
-    # rows-only by design (re-run is cheap signal)
-    "agg_approx", "dedup_simhash", "multimodal_features",
+# queries needing a (re-)verification this round — entries whose
+# implementation or oracle changed since their last green row, then the
+# queries whose last green driver row is oldest (r1/r2) so every
+# registered query re-verifies on a rotating schedule.
+R04_PRIORITY = (
+    # output/oracle REDESIGNED this round: previously no_oracle rows now
+    # emit self-checking projections with real oracles — must prove green
+    "sim_topk_lsh", "sim_topk_ivf", "sim_lsh_recall",
+    "dedup_simhash", "agg_approx", "multimodal_features",
+    # stale: last driver-verified in r1/r2 (green then, unchanged since;
+    # 42 entries — rotating them through the 50-query window)
+    "join_asof_purchase_click", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "text_quality_scores", "text_lang_id_confusion",
+    "text_fingerprint", "setop_union_distinct", "setop_except_intersect",
+    "setop_all_variants", "sample_deterministic", "limit_offset_page",
+    "pivot_status_counts", "unpivot_part_measures", "unnest_tokens",
+    "values_and_series", "date_series_buckets", "recursive_cte_series",
+    "q02_best_supplier_per_nation", "q04_order_priority_check",
+    "q07_volume_shipping", "q08_market_share", "q09_product_type_profit",
+    "q11_important_parts", "q13_customer_order_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_discounted_revenue", "q20_excess_inventory_suppliers",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    "win_ranking", "win_lead_lag", "win_running_frames", "win_range_frame",
+    "win_qualify_topk", "win_exclude_current_row", "win_exclude_group_ties",
+    "win_share_of_group",
 )
 
 
 def _ordered_names() -> list[str]:
     names = list(REGISTRY)
-    prio = [n for n in R03_PRIORITY if n in names]
+    prio = [n for n in R04_PRIORITY if n in names]
     return prio + [n for n in names if n not in set(prio)]
 
 

@@ -331,18 +331,45 @@ def agg_collect_histogram(spark, sf_dir):
     )
 
 
-@register("agg_approx", oracle=None, tags=("aggregate", "approx"))
+@register(
+    "agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_ok, TRUE AS median_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "approx"),
+)
 def agg_approx(spark, sf_dir):
     """Approximate aggregates (reference approx_count.cpp HyperLogLog,
     approximate_quantile.cpp T-Digest). Sketch internals differ between
-    engines by design → rows-only driver check; exactness is covered by
-    the *_exact variants above."""
+    engines by design, so the driver-checked output carries error-bound
+    assertions computed in-query: HLL estimate within 15% of the exact
+    distinct count (HLL rsd default 5%), approx median inside the exact
+    [p48, p52] band (accuracy=1000 bounds rank error at 1/1000). A
+    sketch regression flips a boolean and hash-fails the row."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+            F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("ap"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("am"),
+            F.expr("percentile(l_extendedprice, 0.48)").alias("lo"),
+            F.expr("percentile(l_extendedprice, 0.52)").alias("hi"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("ap") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.15
+            ).alias("hll_ok"),
+            ((F.col("am") >= F.col("lo")) & (F.col("am") <= F.col("hi"))).alias(
+                "median_ok"
+            ),
         )
         .orderBy("l_returnflag")
     )
