@@ -402,6 +402,201 @@ def _rewrite_distinct_on(text: str) -> str:
         text = text[:sel_start] + new_block + text[end:]
 
 
+_W_EXCLUDE = re.compile(r"\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*", re.I)
+_ORDER_SUFFIX = re.compile(r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$", re.I)
+
+
+def _exclude_expansion(fn: str, arg: str, spec: str, mode: str) -> str:
+    """Expand ``fn(arg) OVER (spec EXCLUDE mode)`` into the subtraction
+    pattern of operators/window_ex.py (reference window_expression.hpp:63):
+    frame aggregate minus the excluded rows' contribution, with peer rows
+    keyed on order-by VALUE equality. Exact for sum/count/avg whenever
+    every excluded row lies inside the frame — the same eligibility rule
+    agg_exclude enforces on the DataFrame path."""
+    if mode == "no others":
+        return f"{fn}({arg}) OVER ({spec})"
+    if fn not in ("sum", "count", "avg"):
+        raise NotImplementedError(
+            f"window EXCLUDE front-door rewrite supports sum/count/avg, got {fn}"
+        )
+    if re.match(r"DISTINCT\b", arg, re.I):
+        raise NotImplementedError(
+            "EXCLUDE with DISTINCT aggregates is not subtraction-expressible"
+        )
+    part = re.search(
+        r"\bPARTITION\s+BY\s+(.*?)(?=\bORDER\s+BY\b|\bROWS\b|\bRANGE\b|\bGROUPS\b|$)",
+        spec, re.I | re.S,
+    )
+    order = re.search(
+        r"\bORDER\s+BY\s+(.*?)(?=\bROWS\b|\bRANGE\b|\bGROUPS\b|$)", spec, re.I | re.S
+    )
+    frame = re.search(r"\b(ROWS|RANGE|GROUPS)\b(.*)$", spec, re.I | re.S)
+
+    if frame:
+        ftype = frame.group(1).lower()
+        if ftype == "groups":
+            raise NotImplementedError("GROUPS frames are not supported")
+        fspec = frame.group(2).strip()
+        bm = re.match(r"BETWEEN\s+(.+?)\s+AND\s+(.+)$", fspec, re.I | re.S)
+        lo, hi = (bm.group(1), bm.group(2)) if bm else (fspec, "CURRENT ROW")
+
+        def side(b: str) -> int:
+            b = b.strip().upper()
+            return 0 if b == "CURRENT ROW" else (-1 if b.endswith("PRECEDING") else 1)
+
+        straddle = side(lo) <= 0 <= side(hi)
+        unbounded = (
+            lo.strip().upper() == "UNBOUNDED PRECEDING"
+            and hi.strip().upper() == "UNBOUNDED FOLLOWING"
+        )
+    else:
+        # default frame: whole partition without ORDER BY, else
+        # RANGE UNBOUNDED PRECEDING..CURRENT ROW (peers included at the
+        # boundary — subtraction stays exact)
+        ftype, straddle = "range", True
+        unbounded = order is None
+    exact = (
+        (mode == "current row" and straddle)
+        or unbounded
+        or (ftype == "range" and straddle)
+    )
+    if not exact:
+        raise NotImplementedError(
+            f"EXCLUDE {mode.upper()} under a bounded {ftype.upper()} frame needs "
+            "the frame-materialization path (operators/window_ex.agg_exclude)"
+        )
+
+    pkeys = [a.strip() for a in _split_args(part.group(1))] if part else []
+    if order:
+        pkeys += [
+            _ORDER_SUFFIX.sub("", o.strip()) for o in _split_args(order.group(1))
+        ]
+    wspec = f"({spec})"
+    pspec = "(PARTITION BY " + ", ".join(pkeys) + ")" if pkeys else "()"
+    star = arg.strip() == "*"
+    fs, ps = f"SUM({arg}) OVER {wspec}", f"SUM({arg}) OVER {pspec}"
+    fc, pc = f"COUNT({arg}) OVER {wspec}", f"COUNT({arg}) OVER {pspec}"
+    cur = "1" if star else f"(CASE WHEN ({arg}) IS NOT NULL THEN 1 ELSE 0 END)"
+    if mode == "current row":
+        c = f"({fc} - {cur})"
+        s = f"(CASE WHEN ({arg}) IS NULL THEN {fs} ELSE {fs} - ({arg}) END)"
+    elif mode == "group":
+        c = f"({fc} - {pc})"
+        s = f"COALESCE({fs} - {ps}, {fs})"
+    else:  # ties: peers out, self stays
+        c = f"({fc} - {pc} + {cur})"
+        s = (
+            f"(CASE WHEN ({arg}) IS NULL THEN COALESCE({fs} - {ps}, {fs})"
+            f" ELSE {fs} - {ps} + ({arg}) END)"
+        )
+    if fn == "count":
+        return c
+    if fn == "sum":
+        return f"(CASE WHEN {c} > 0 THEN {s} ELSE NULL END)"
+    return f"(CASE WHEN {c} > 0 THEN CAST({s} AS DOUBLE) / {c} ELSE NULL END)"
+
+
+_WINDOW_CLAUSE = re.compile(r"\bWINDOW\s+([A-Za-z_]\w*)\s+AS\s*\(", re.I)
+
+
+def _inline_named_windows(text: str) -> str:
+    """Inline ``WINDOW w AS (...)`` definitions into their ``OVER w`` /
+    ``OVER (w ...)`` use sites. Spark parses the plain named form but not
+    the extension form (inheriting a named window inside a new spec), and
+    the EXCLUDE expansion needs the full inlined spec to derive peer keys
+    — so both forms are substituted and the WINDOW clause removed."""
+    while True:
+        spans = _literal_spans(text)
+        m = next(
+            (m for m in _WINDOW_CLAUSE.finditer(text) if not _in_spans(m.start(), spans)),
+            None,
+        )
+        if m is None:
+            return text
+        # parse the comma-separated definition list: name AS (spec) [, ...]
+        defs: dict[str, str] = {}
+        i = m.start()
+        pos = m.end() - 1  # at the '(' of the first definition
+        name = m.group(1)
+        while True:
+            close = _matching_paren(text, pos)
+            defs[name] = text[pos + 1 : close].strip()
+            nxt = re.match(
+                r"\s*,\s*([A-Za-z_]\w*)\s+AS\s*\(", text[close + 1 :], re.I
+            )
+            if not nxt:
+                clause_end = close + 1
+                break
+            name = nxt.group(1)
+            pos = close + 1 + nxt.end() - 1
+        text = text[:i] + text[clause_end:]
+        for nm, spec in defs.items():
+            # extension form: OVER (w <more>) — splice the spec in front
+            text = re.sub(
+                rf"(\bOVER\s*\(\s*){nm}\b", lambda mm: mm.group(1) + spec + " ",
+                text, flags=re.I,
+            )
+            # plain form: OVER w
+            text = re.sub(
+                rf"\bOVER\s+{nm}\b", f"OVER ({spec})", text, flags=re.I
+            )
+
+
+def _rewrite_window_exclude(text: str) -> str:
+    """``agg(v) OVER (... EXCLUDE mode)`` → subtraction-pattern expansion
+    (Spark has no EXCLUDE frame option)."""
+    while True:
+        spans = _literal_spans(text)
+        m = next(
+            (m for m in _W_EXCLUDE.finditer(text) if not _in_spans(m.start(), spans)),
+            None,
+        )
+        if m is None:
+            return text
+        mode = re.sub(r"\s+", " ", m.group(1).lower())
+        # innermost '(' containing the EXCLUDE token
+        depth, open_idx = 0, None
+        for i in range(m.start() - 1, -1, -1):
+            if _in_spans(i, spans):
+                continue
+            if text[i] == ")":
+                depth += 1
+            elif text[i] == "(":
+                if depth == 0:
+                    open_idx = i
+                    break
+                depth -= 1
+        if open_idx is None:
+            raise ValueError("EXCLUDE outside a window specification")
+        close_idx = _matching_paren(text, open_idx)
+        pre = text[:open_idx].rstrip()
+        if not pre.upper().endswith("OVER"):
+            raise ValueError("EXCLUDE in a non-window parenthesis")
+        over_start = len(pre) - 4
+        call_end = len(text[:over_start].rstrip())
+        if call_end == 0 or text[call_end - 1] != ")":
+            raise ValueError("window EXCLUDE without a direct aggregate call")
+        d, arg_open = 0, None
+        for i in range(call_end - 1, -1, -1):
+            if _in_spans(i, spans):
+                continue
+            if text[i] == ")":
+                d += 1
+            elif text[i] == "(":
+                d -= 1
+                if d == 0:
+                    arg_open = i
+                    break
+        fm = re.search(r"([A-Za-z_]\w*)\s*$", text[:arg_open])
+        if fm is None:
+            raise ValueError("window EXCLUDE without a direct aggregate call")
+        fn = fm.group(1).lower()
+        arg = text[arg_open + 1 : call_end - 1].strip()
+        spec = (text[open_idx + 1 : m.start()] + text[m.end() : close_idx]).strip()
+        repl = _exclude_expansion(fn, arg, spec, mode)
+        text = text[: fm.start(1)] + repl + text[close_idx + 1 :]
+
+
 def translate(text: str) -> str:
     """DuckDB dialect → Spark SQL dialect (token-aware, conservative)."""
     from myduckdb_spark.functions.macros import expand_macros
@@ -409,6 +604,8 @@ def translate(text: str) -> str:
     out = expand_macros(text)  # bind-time macro expansion, before all rules
     out = _rewrite_qualify(out)
     out = _rewrite_distinct_on(out)
+    out = _inline_named_windows(out)
+    out = _rewrite_window_exclude(out)
     # star modifiers: DuckDB `* EXCLUDE (cols)` == Spark 4 `* EXCEPT (cols)`
     out = re.sub(r"(\*\s*)EXCLUDE\b", r"\1EXCEPT", out)
     out = _rewrite_json_arrows(out)

@@ -231,6 +231,50 @@ def test_distinct_on_lowercase_select(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.parametrize(
+    "expr",
+    [
+        "sum(v) OVER (PARTITION BY p ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW)",
+        "sum(v) OVER (PARTITION BY p ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP)",
+        "sum(v) OVER (PARTITION BY p ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES)",
+        "sum(v) OVER (PARTITION BY p ORDER BY i ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+        "count(*) OVER (PARTITION BY p ORDER BY i RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)",
+        "avg(v) OVER (PARTITION BY p ORDER BY i RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)",
+        "sum(v) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP)",
+        "sum(v) OVER (PARTITION BY p ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE NO OTHERS)",
+        "sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) FROM__WINDOW",
+    ],
+)
+def test_window_exclude_front_door(spark, expr):
+    """EXCLUDE CURRENT ROW/GROUP/TIES through the SQL front door matches
+    DuckDB (reference window_expression.hpp:63; subtraction expansion of
+    operators/window_ex.py). The last case exercises the named-window
+    extension form via WINDOW-clause inlining."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(p INTEGER, i INTEGER, v INTEGER)")
+    con.execute(
+        "INSERT INTO t VALUES (1,1,10),(1,2,20),(1,2,25),(1,3,NULL),(1,4,40),"
+        "(2,1,5),(2,1,5),(2,2,NULL),(2,3,15)"
+    )
+    spark.createDataFrame(con.execute("SELECT * FROM t").arrow()).createOrReplaceTempView("t")
+    if expr.endswith("FROM__WINDOW"):
+        expr = expr.replace(" FROM__WINDOW", "")
+        text = f"SELECT p, i, v, {expr} AS x FROM t WINDOW w AS (PARTITION BY p ORDER BY i)"
+    else:
+        text = f"SELECT p, i, v, {expr} AS x FROM t"
+
+    def norm(rows):
+        return sorted(
+            tuple(round(float(c), 9) if c is not None else None for c in r) for r in rows
+        )
+
+    got = norm(tuple(r) for r in sql(spark, text).collect())
+    want = norm(con.execute(text).fetchall())
+    assert got == want, (text, got, want)
+
+
 def test_qualify_with_distinct_dedupes_output(spark):
     """Reference binder applies DISTINCT after QUALIFY: rows identical in
     output columns but differing in window values must collapse."""

@@ -53,6 +53,7 @@ CORPUS = {
     "subquery/exists/test_correlated_exists.test": 9,
     "subquery/scalar/test_complex_correlated_subquery.test": 8,
     "types/null/test_null.test": 8,
+    "window/test_window_exclude.test": 9,
     "types/null/test_null_aggr.test": 5,
     "types/null/test_boolean_null.test": 3,
 }
