@@ -53,6 +53,8 @@ R04_PRIORITY = (
     # emit self-checking projections with real oracles — must prove green
     "sim_topk_lsh", "sim_topk_ivf", "sim_lsh_recall",
     "dedup_simhash", "agg_approx", "multimodal_features",
+    # new this round
+    "collate_nocase_noaccent", "interval_arithmetic",
     # stale: last driver-verified in r1/r2 (green then, unchanged since;
     # 42 entries — rotating them through the 50-query window)
     "join_asof_purchase_click", "dedup_exact", "dedup_ngram_jaccard",

@@ -370,3 +370,94 @@ def order_nulls_parity(spark, sf_dir):
         .orderBy(F.col("pr").asc_nulls_first(), F.col("o_orderkey").desc())
         .limit(50)
     )
+
+
+@register(
+    "collate_nocase_noaccent",
+    oracle="""
+    WITH v(s) AS (VALUES ('Hallo'),('ham'),('HELLO'),('hElp'),('WoRlD'),('world'),
+                         ('Mühleisen'),('MUHLEISEN'),('muhleisen'),('café'),('CAFE')),
+    g AS (
+      SELECT min(s) AS rep, CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY s COLLATE NOCASE.NOACCENT
+    ),
+    f AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_eq
+      FROM v WHERE s COLLATE NOCASE.NOACCENT = 'MÜHLEISEN'
+    )
+    SELECT rep, n, n_eq FROM g, f ORDER BY rep
+    """,
+    tags=("collate",),
+)
+def collate_nocase_noaccent(spark, sf_dir):
+    """Collation shim (reference test/sql/collate/, COLLATE NOCASE /
+    NOACCENT): grouping and equality under the combined collation via
+    collate_key expressions (operators/collation.py) against DuckDB's
+    native COLLATE evaluation. Representative per group = binary min(s),
+    identical in both engines; n_eq counts collated-equality matches."""
+    from myduckdb_spark.operators.collation import collate_key, collated_eq
+
+    v = spark.createDataFrame(
+        [("Hallo",), ("ham",), ("HELLO",), ("hElp",), ("WoRlD",), ("world",),
+         ("Mühleisen",), ("MUHLEISEN",), ("muhleisen",), ("café",), ("CAFE",)],
+        "s string",
+    )
+    g = (
+        v.groupBy(collate_key("s", "nocase.noaccent").alias("k"))
+        .agg(F.min("s").alias("rep"), F.count(F.lit(1)).cast("bigint").alias("n"))
+        .drop("k")
+    )
+    f = v.filter(collated_eq("s", "MÜHLEISEN", "nocase.noaccent")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eq")
+    )
+    return g.crossJoin(f).select("rep", "n", "n_eq").orderBy("rep")
+
+
+@register(
+    "interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_months,
+           CAST(o_orderdate + INTERVAL 100 DAY AS TIMESTAMP) AS plus_days,
+           CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 36 HOUR
+                + INTERVAL 30 MINUTE + INTERVAL 90 SECOND AS TIMESTAMP) AS plus_time,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+           CAST(o_orderdate + to_years(1) - to_months(2) AS TIMESTAMP) AS shifted,
+           CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1234567 MICROSECOND)
+                AS BIGINT) AS micros
+    FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey
+    """,
+    tags=("datetime", "interval"),
+)
+def interval_arithmetic(spark, sf_dir):
+    """Interval arithmetic parity (reference to_interval.cpp,
+    NOTE: interval constants are chosen pairwise-unequal under DuckDB's
+    month==30-days interval equality — DuckDB 1.0's expression dedup
+    collapses value-equal interval additions (3 MONTH vs 90 DAY) to the
+    first occurrence, which is a DuckDB quirk, not engine semantics.
+    interval.cpp — SURVEY §7 hard list): month/day/time interval addition,
+    mixed chains through the to_interval family, date_diff day counting,
+    and microsecond-precision epoch after sub-second interval math, all
+    under the pinned-UTC session. Timestamps are emitted (not DATEs):
+    month addition is calendar-aware in both engines and the TIMESTAMP
+    cast surfaces any drift the driver can hash."""
+    from myduckdb_spark.functions.registry import REGISTRY as FN
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    od = F.col("o_orderdate")
+    ots = od.cast("timestamp")
+    return orders.select(
+        "o_orderkey",
+        F.add_months(od, 3).cast("timestamp").alias("plus_months"),
+        F.date_add(od, 100).cast("timestamp").alias("plus_days"),
+        (ots + F.make_interval(hours=F.lit(36), mins=F.lit(30), secs=F.lit(90.0)))
+        .cast("timestamp")
+        .alias("plus_time"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).cast("bigint").alias("days_since"),
+        (od.cast("timestamp") + FN["to_years"](F.lit(1)) - FN["to_months"](F.lit(2)))
+        .cast("timestamp")
+        .alias("shifted"),
+        FN["epoch_us"](ots + F.expr("INTERVAL 1234567 MICROSECOND"))
+        .cast("bigint")
+        .alias("micros"),
+    ).orderBy("o_orderkey")

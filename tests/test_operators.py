@@ -160,3 +160,41 @@ def test_relation_builder_additions(spark, sf_dir):
     got = orders.project(Relation.from_df(orders.df).macro("rel_tax", F.col("o_totalprice")).alias("t")).df
     assert got.columns == ["t"]
     macros.drop_macro("rel_tax")
+
+
+def test_collation_helpers_match_duckdb(spark):
+    """collate_key / collated_sort / collated_join vs DuckDB COLLATE
+    (reference test/sql/collate/test_collate_case_insensitive.test)."""
+    import duckdb
+
+    from myduckdb_spark.operators.collation import (
+        collate_key,
+        collated_eq,
+        collated_join,
+        collated_sort,
+    )
+
+    rows = [("hello",), ("WoRlD",), ("world",), ("Mühleisen",)]
+    df = spark.createDataFrame(rows, "s string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ct(s VARCHAR COLLATE NOCASE)")
+    con.executemany("INSERT INTO ct VALUES (?)", rows)
+
+    # equality filter under NOCASE
+    got = sorted(r["s"] for r in df.filter(collated_eq("s", "HeLlo", "nocase")).collect())
+    want = sorted(r[0] for r in con.execute("SELECT s FROM ct WHERE s='HeLlo'").fetchall())
+    assert got == want == ["hello"]
+
+    # NOCASE.NOACCENT folds the umlaut too
+    assert df.filter(collated_eq("s", "MUHLEISEN", "nocase.noaccent")).count() == 1
+
+    # sort under NOCASE: collated key order with binary tiebreak
+    s = [r["s"] for r in collated_sort(df, "s", "nocase").collect()]
+    assert s == ["hello", "Mühleisen", "WoRlD", "world"]
+
+    # join under NOCASE matches DuckDB's collated join
+    other = spark.createDataFrame([("HeLlO", 1), ("mÜHLEISEN", 3)], "s string, i int")
+    got_j = sorted(
+        (r["i"],) for r in collated_join(df, other, "s", "s", "nocase.noaccent").collect()
+    )
+    assert got_j == [(1,), (3,)]
