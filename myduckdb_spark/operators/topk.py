@@ -50,15 +50,15 @@ def limit_percent(df: DataFrame, order: Sequence[Column], percent: float) -> Dat
     """LIMIT n% (reference physical_limit_percent.cpp — which likewise
     materializes its input to learn the cardinality before emitting).
 
-    The input is persisted so the source is scanned ONCE: the count
-    materializes the cache and the subsequent TakeOrdered reads the cached
-    partitions, not the source again (an uncached formulation is a double
-    full-scan at 100 TB). The cache is NOT explicitly unpersisted — the
-    returned DataFrame is lazy and still depends on it; Spark's LRU
-    eviction + ContextCleaner reclaim it when the plan is garbage
-    collected."""
+    Two cheap passes, NO cache: the count() pass is column-pruned to
+    nothing (for an unfiltered parquet scan Spark answers it from
+    row-group metadata; with filters it still reads only the filter
+    columns), then TakeOrdered streams the source once with per-partition
+    bounded heaps. The earlier formulation persisted the whole input to
+    make it one pass — at 100 TB caching the entire input to take 1% of
+    it IS the scale cost, and the cache eviction pressure hurts every
+    co-resident query. Two scans where the first touches ~no bytes win."""
     import math
 
-    cached = df.persist()
-    n = cached.count()
-    return cached.orderBy(*order).limit(int(math.ceil(percent / 100.0 * n)))
+    n = df.count()
+    return df.orderBy(*order).limit(int(math.ceil(percent / 100.0 * n)))

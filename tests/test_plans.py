@@ -138,3 +138,33 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_limit_percent_no_full_cache(spark, sf_dir):
+    """LIMIT n% must not materialize its input: no InMemoryRelation in the
+    plan (the count pass is metadata/column-pruned, the TakeOrdered pass
+    streams the source — caching 100% to emit 1% is the scale cost)."""
+    from myduckdb_spark.operators.topk import limit_percent
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = limit_percent(li, [F.col("l_orderkey")], 1.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_registered_query_uses_pandas_udaf(spark, sf_dir):
+    """Grouped-agg pandas UDAFs ship whole groups to Python (no partial
+    aggregation) — the documented escape hatch must stay OFF every
+    registered query path. Asserts no AggregateInPandas in any plan."""
+    from myduckdb_spark.queries import queries
+
+    offenders = []
+    for name, builder in queries().items():
+        try:
+            plan = builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            continue  # a build error is another test's business
+        if "AggregateInPandas" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
