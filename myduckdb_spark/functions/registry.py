@@ -54,7 +54,24 @@ _reg("starts_with", "prefix")(lambda s, p: _c(s).startswith(p))
 _reg("suffix", "ends_with")(lambda s, p: _c(s).endswith(p))
 _reg("like_escape")(lambda s, p: _c(s).like(p))
 _reg("regexp_matches")(lambda s, p: _c(s).rlike(p))
-_reg("regexp_replace")(lambda s, p, r: F.regexp_replace(_c(s), p, r))
+def _regexp_replace(s, p, r, flags=None):
+    """DuckDB semantics (re_functions.cpp): 3-arg replaces the FIRST
+    match only; the 'g' flag replaces all (Spark's only behavior), 'i'
+    prepends case-insensitivity."""
+    c = _c(s)
+    pat = f"(?i){p}" if flags and "i" in flags else p
+    if flags and "g" in flags:
+        return F.regexp_replace(c, pat, r)
+    pos = F.regexp_instr(c, F.lit(pat))
+    m = F.regexp_extract(c, pat, 0)
+    head = c.substr(F.lit(1), pos - 1)
+    tail = c.substr(pos + F.length(m), F.length(c))
+    return F.when(pos == 0, c).otherwise(
+        F.concat(head, F.regexp_replace(m, pat, r), tail)
+    )
+
+
+_reg("regexp_replace")(_regexp_replace)
 _reg("regexp_extract")(lambda s, p, i=0: F.regexp_extract(_c(s), p, i))
 _reg("regexp_extract_all")(lambda s, p, i=0: F.expr(f"regexp_extract_all({_sql(s)}, '{p}', {i})"))
 _reg("regexp_split_to_array", "string_split_regex", "str_split_regex")(
@@ -78,7 +95,13 @@ _reg("reverse")(lambda s: F.reverse(_c(s)))
 _reg("split_part")(lambda s, sep, i: F.split_part(_c(s), F.lit(sep), F.lit(i)))
 _reg("instr", "strpos", "position")(lambda s, sub: F.instr(_c(s), sub))
 _reg("ascii")(lambda s: F.ascii(_c(s)))
-_reg("chr")(lambda i: F.char(_c(i)))
+# chr must handle full Unicode codepoints (reference chr.cpp); Spark's
+# char() wraps at 256, so decode the codepoint as one UTF-32BE unit.
+_reg("chr")(
+    lambda i: F.decode(
+        F.to_binary(F.lpad(F.hex(_c(i)), 8, "0"), F.lit("hex")), "UTF-32"
+    )
+)
 _reg("printf", "format")(lambda fmt, *cs: F.format_string(fmt, *[_c(x) for x in cs]))
 _reg("md5")(lambda s: F.md5(_c(s).cast("binary")))
 _reg("sha1")(lambda s: F.sha1(_c(s).cast("binary")))

@@ -339,14 +339,32 @@ def _rewrite_distinct_on(text: str) -> str:
             raise ValueError("DISTINCT ON without FROM")
         items = [a.strip() for a in _split_args(text[keys_close + 1 : from_m.start()])]
         names = []
-        for it in items:
+        exprs = []  # the item's expression without its alias
+        for idx, it in enumerate(items):
             am = _AS_ALIAS.search(it)
-            if am:
+            if it == "*":
+                # DISTINCT ON (k) *: project everything back out except
+                # the helper rank (Spark 4 star-EXCEPT)
+                names.append("* EXCEPT (__don)")
+                exprs.append(it)
+            elif am:
                 names.append(am.group(1))
+                exprs.append(it[: am.start()].strip())
             elif _BARE_COL.match(it):
                 names.append(it.split(".")[-1])
+                exprs.append(it)
             else:
-                raise ValueError(f"DISTINCT ON select item needs an alias: {it!r}")
+                # computed item without an alias: auto-alias (the value
+                # set is what the comparison target checks, not the name)
+                names.append(f"__dn{idx}")
+                exprs.append(it)
+                items[idx] = f"{it} AS __dn{idx}"
+        # positional keys (DISTINCT ON (1) — reference transform_select_node
+        # resolves select-list ordinals) → the item's expression
+        keys = ", ".join(
+            exprs[int(k) - 1] if re.fullmatch(r"\d+", k.strip()) else k
+            for k in _split_args(keys)
+        )
         # optional same-depth ORDER BY orders within each key partition
         ob = None
         for om in re.finditer(r"\bORDER\s+BY\b", text, re.I):
@@ -392,10 +410,16 @@ def _rewrite_distinct_on(text: str) -> str:
                 sel_start = sm.start()
         if sel_start is None:
             raise ValueError("DISTINCT ON without owning SELECT")
+        # pin DuckDB's default NULLS LAST inside the window order (Spark
+        # defaults to NULLS FIRST on ASC — a different row would win)
+        worder = ", ".join(
+            o if re.search(r"\bNULLS\s+(FIRST|LAST)\b", o, re.I) else o + " NULLS LAST"
+            for o in (x.strip() for x in _split_args(order))
+        )
         inner = (
             "SELECT "
             + ", ".join(items)
-            + f", row_number() OVER (PARTITION BY {keys} ORDER BY {order}) AS __don "
+            + f", row_number() OVER (PARTITION BY {keys} ORDER BY {worder}) AS __don "
             + body
         )
         new_block = "SELECT " + ", ".join(names) + f" FROM ({inner}) __dt WHERE __don = 1" + tail
@@ -609,6 +633,49 @@ def translate(text: str) -> str:
     # star modifiers: DuckDB `* EXCLUDE (cols)` == Spark 4 `* EXCEPT (cols)`
     out = re.sub(r"(\*\s*)EXCLUDE\b", r"\1EXCEPT", out)
     out = _rewrite_json_arrows(out)
+
+    # chr: full Unicode codepoints (Spark char() wraps at 256) — decode
+    # the codepoint as a single UTF-32BE unit
+    out = _rewrite_calls(
+        out,
+        "chr",
+        lambda a: f"decode(to_binary(lpad(hex({a[0]}), 8, '0'), 'hex'), 'UTF-32')",
+    )
+
+    # regexp_replace: DuckDB's 3-arg form replaces the FIRST match only;
+    # 'g' flag = replace all (Spark's only behavior), 'i' = case-fold.
+    # Emits a __rr_all sentinel (renamed back below) because the 3-arg
+    # expansion itself contains a replace-all call and _rewrite_calls
+    # re-runs to fixpoint.
+    def _re_replace(args: list[str]):
+        if len(args) == 4:
+            flags = args[3].strip().strip("'\"")
+            pat = args[1]
+            pm = re.match(r"^'(.*)'$", pat.strip(), re.S)
+            if "l" in flags and pm:  # RE2 literal flag → \Q...\E quoting
+                pat = f"'\\\\Q{pm.group(1)}\\\\E'"
+                pm = re.match(r"^'(.*)'$", pat, re.S)
+            inline = "".join(f for f in "ism" if f in flags)
+            if inline and pm:
+                pat = f"'(?{inline}){pm.group(1)}'"
+            if "g" in flags:
+                return f"__rr_all({args[0]}, {pat}, {args[2]})"
+            args = [args[0], pat, args[2]]
+        if len(args) != 3:
+            return None
+        s, p, r = args
+        rm = re.match(r"^'(.*)'$", r.strip(), re.S)
+        if rm:  # DuckDB backrefs \1 → Spark/Java $1
+            r = "'" + re.sub(r"\\(\d)", r"$\1", rm.group(1)) + "'"
+        return (
+            f"CASE WHEN regexp_instr({s}, {p}) = 0 THEN {s} ELSE "
+            f"substr({s}, 1, regexp_instr({s}, {p}) - 1) || "
+            f"__rr_all(regexp_extract({s}, {p}, 0), {p}, {r}) || "
+            f"substr({s}, regexp_instr({s}, {p}) + length(regexp_extract({s}, {p}, 0))) END"
+        )
+
+    out = _rewrite_calls(out, "regexp_replace", _re_replace)
+    out = re.sub(r"\b__rr_all\s*\(", "regexp_replace(", out)
 
     # len(x): DuckDB len() is list-or-string; Spark splits that into
     # size() (arrays/maps) vs length() (strings). Choose by argument shape.

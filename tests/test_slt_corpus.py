@@ -27,6 +27,15 @@ REF = "/root/reference/test/sql"
 # below the floor means a dialect/runner regression, not corpus noise)
 CORPUS = {
     "aggregate/having/test_scalar_having.test": 12,
+    "aggregate/aggregates/test_avg.test": 6,
+    "aggregate/aggregates/test_sum.test": 7,
+    "aggregate/distinct/test_distinct_on.test": 20,
+    "aggregate/distinct/distinct_on_nulls.test": 8,
+    "aggregate/distinct/test_distinct_order_by.test": 5,
+    "function/string/test_ascii.test": 12,
+    "join/inner/test_join.test": 11,
+    "types/date/date_implicit_cast.test": 1,
+    "types/timestamp/test_timestamp.test": 11,
     "aggregate/having/test_having.test": 10,
     "aggregate/group/test_group_by.test": 21,
     "aggregate/group/test_group_by_alias.test": 8,
