@@ -520,6 +520,78 @@ def _exclude_expansion(fn: str, arg: str, spec: str, mode: str) -> str:
     return f"(CASE WHEN {c} > 0 THEN CAST({s} AS DOUBLE) / {c} ELSE NULL END)"
 
 
+_ANYALL = re.compile(r"(=|<>|!=|<=|>=|<|>)\s*(ANY|SOME|ALL)\s*\(", re.I)
+
+
+def _operand_start(text: str, end: int, spans) -> int:
+    """Start offset of the simple operand ending at ``end`` (exclusive):
+    a parenthesized expression (with optional function name), a possibly
+    qualified identifier, a number, or a string literal."""
+    i = end
+    while i > 0 and text[i - 1].isspace():
+        i -= 1
+    if i > 0 and text[i - 1] == ")":
+        d = 0
+        j = i - 1
+        while j >= 0:
+            if not _in_spans(j, spans):
+                if text[j] == ")":
+                    d += 1
+                elif text[j] == "(":
+                    d -= 1
+                    if d == 0:
+                        break
+            j -= 1
+        fm = re.search(r"([A-Za-z_]\w*)\s*$", text[:j])
+        return fm.start(1) if fm else j
+    m = re.search(r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*|\d+(?:\.\d+)?|'[^']*')\s*$", text[:i])
+    if m is None:
+        raise ValueError("cannot locate ANY/ALL left operand")
+    return m.start(1)
+
+
+def _rewrite_any_all(text: str) -> str:
+    """``expr op ANY/SOME/ALL (subquery)`` → tri-state-correct EXISTS CASE
+    (Spark has no quantified comparison). ANY: TRUE if some comparison is
+    true, NULL if none true but some comparison is NULL, else FALSE;
+    ALL dually — the reference binder's semantics
+    (src/planner/binder/expression/bind_comparison_expression.cpp)."""
+    while True:
+        spans = _literal_spans(text)
+        m = None
+        for cand in _ANYALL.finditer(text):
+            if _in_spans(cand.start(), spans):
+                continue
+            inner = text[cand.end() :].lstrip()
+            if re.match(r"(SELECT|WITH|VALUES)\b", inner, re.I):
+                m = cand
+                break
+        if m is None:
+            return text
+        open_idx = m.end() - 1
+        close_idx = _matching_paren(text, open_idx)
+        sub = text[open_idx + 1 : close_idx].strip()
+        op = m.group(1)
+        kind = m.group(2).upper()
+        left_start = _operand_start(text, m.start(), spans)
+        lhs = text[left_start : m.start()].strip()
+        cmp_ = f"(({lhs}) {op} __c)"
+        null_ex = f"EXISTS(SELECT 1 FROM ({sub}) AS __aa(__c) WHERE {cmp_} IS NULL)"
+        if kind in ("ANY", "SOME"):
+            pos = f"EXISTS(SELECT 1 FROM ({sub}) AS __aa(__c) WHERE {cmp_})"
+            repl = (
+                f"(CASE WHEN {pos} THEN TRUE WHEN {null_ex} "
+                f"THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)"
+            )
+        else:
+            neg = f"EXISTS(SELECT 1 FROM ({sub}) AS __aa(__c) WHERE NOT {cmp_})"
+            repl = (
+                f"(CASE WHEN {neg} THEN FALSE WHEN {null_ex} "
+                f"THEN CAST(NULL AS BOOLEAN) ELSE TRUE END)"
+            )
+        text = text[:left_start] + repl + text[close_idx + 1 :]
+
+
 _WINDOW_CLAUSE = re.compile(r"\bWINDOW\s+([A-Za-z_]\w*)\s+AS\s*\(", re.I)
 
 
@@ -630,6 +702,7 @@ def translate(text: str) -> str:
     out = _rewrite_distinct_on(out)
     out = _inline_named_windows(out)
     out = _rewrite_window_exclude(out)
+    out = _rewrite_any_all(out)
     # star modifiers: DuckDB `* EXCLUDE (cols)` == Spark 4 `* EXCEPT (cols)`
     out = re.sub(r"(\*\s*)EXCLUDE\b", r"\1EXCEPT", out)
     out = _rewrite_json_arrows(out)

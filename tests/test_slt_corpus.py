@@ -59,6 +59,16 @@ CORPUS = {
     "setops/test_union_binding.test": 17,
     "setops/test_union_type_cast.test": 6,
     "subquery/test_neumann.test": 3,
+    "subquery/any_all/test_any_all.test": 12,
+    "subquery/any_all/test_uncorrelated_all_subquery.test": 31,
+    "subquery/any_all/test_correlated_any_all.test": 20,
+    "subquery/scalar/test_window_function_subquery.test": 5,
+    "subquery/scalar/test_uncorrelated_scalar_subquery.test": 14,
+    "subquery/scalar/test_count_star_subquery.test": 7,
+    "join/left_outer/test_left_outer.test": 20,
+    "join/full_outer/test_full_outer_join.test": 3,
+    "aggregate/group/test_group_by_multi_column.test": 1,
+    "aggregate/group/test_group_by_large_string.test": 1,
     "subquery/exists/test_correlated_exists.test": 9,
     "subquery/scalar/test_complex_correlated_subquery.test": 8,
     "types/null/test_null.test": 8,
