@@ -115,13 +115,23 @@ def ngram_jaccard_pairs(
 # hashed-shingle array intersection.
 _BITMAP_VOCAB_MAX = 4096
 
-# Small-input policy (the reference's AM_US idea — prefer brute force
-# below a cardinality threshold, src/execution/physical_plan/
-# plan_comparison_join.cpp:158-170): when the bitmap path is active and
-# the corpus has ≤ this many docs, exact all-pairs bitmap Jaccard
-# (n²/2 codegen bit-ops) is cheaper than MinHash banding + candidate
-# dedup, and has zero LSH miss probability.
-_ALLPAIRS_MAX_DOCS = 20_000
+# Narrow-vocab policy (the reference's AM_US idea — prefer brute force
+# below a cost threshold, src/execution/physical_plan/
+# plan_comparison_join.cpp:158-170): when the bitmap path is active the
+# vocabulary is ≤ _BITMAP_VOCAB_MAX shingles, i.e. template-generated
+# text where MOST pairs are mid-similarity. Banding cannot prune such a
+# corpus — nearly every pair collides in some band, so the LSH path pays
+# the quadratic candidate volume PLUS band-join/dedup shuffles on top.
+# All-pairs bitmap Jaccard is a broadcast nested-loop of codegen bit-ops
+# (zero shuffle, zero miss probability) and stays cheaper until the
+# broadcast side (n docs × (vocab/64 + 2) longs) outgrows the budget:
+# measured at 50k docs / 431-shingle vocab, all-pairs = 59s where LSH
+# took 1031s. Beyond this bound on a narrow-vocab corpus no pair-listing
+# algorithm helps — the ANSWER SET itself is Θ(n²); dedup at that scale
+# should cluster (representative per group), not enumerate pairs.
+# Wide-vocab corpora (real web text) never enter the bitmap path and
+# always take LSH, whose candidates are sparse there.
+_ALLPAIRS_MAX_DOCS = 200_000
 
 
 def minhash_lsh_pairs(

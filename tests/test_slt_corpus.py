@@ -66,6 +66,7 @@ CORPUS = {
     "subquery/scalar/test_uncorrelated_scalar_subquery.test": 14,
     "subquery/scalar/test_count_star_subquery.test": 7,
     "join/left_outer/test_left_outer.test": 20,
+    "join/natural/natural_join.test": 10,
     "join/full_outer/test_full_outer_join.test": 3,
     "aggregate/group/test_group_by_multi_column.test": 1,
     "aggregate/group/test_group_by_large_string.test": 1,

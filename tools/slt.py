@@ -272,7 +272,9 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
                     res.skipped_statements.append((rec.sql, str(e)))
                 continue
             try:
-                want = _canon(con.execute(rec.sql).fetchall())
+                cur = con.execute(rec.sql)
+                duck_cols = [d[0] for d in cur.description]
+                want = _canon(cur.fetchall())
             except Exception as e:
                 res.skipped_queries.append((rec.sql, f"duckdb: {e}"))
                 continue
@@ -280,7 +282,18 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
                 _snapshot(spark, con)
                 dirty = False
             try:
-                got = _canon([tuple(r) for r in engine_sql(spark, rec.sql).collect()])
+                df = engine_sql(spark, rec.sql)
+                # engines order e.g. NATURAL JOIN output columns differently
+                # (Spark hoists join keys first); align by name when
+                # unambiguous so the row canon compares value-for-value
+                low = {c.lower(): c for c in df.columns}
+                if (
+                    len(df.columns) == len(duck_cols)
+                    and len(set(c.lower() for c in duck_cols)) == len(duck_cols)
+                    and all(c.lower() in low for c in duck_cols)
+                ):
+                    df = df.select([low[c.lower()] for c in duck_cols])
+                got = _canon([tuple(r) for r in df.collect()])
             except Exception as e:
                 if strict:
                     raise
