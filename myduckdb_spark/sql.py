@@ -317,7 +317,11 @@ def _rewrite_distinct_on(text: str) -> str:
     (as with QUALIFY)."""
     while True:
         spans = _literal_spans(text)
-        m = next((m for m in _DISTINCT_ON.finditer(text) if not _in_spans(m.start(), spans)), None)
+        # rewrite the RIGHTMOST occurrence first: a DISTINCT ON nested in
+        # a select-item subquery must be expanded before the outer one
+        # splices that item's text into its PARTITION BY
+        ms = [m for m in _DISTINCT_ON.finditer(text) if not _in_spans(m.start(), spans)]
+        m = ms[-1] if ms else None
         if m is None:
             return text
         depths = _depth_profile(text)
@@ -592,6 +596,61 @@ def _rewrite_any_all(text: str) -> str:
         text = text[:left_start] + repl + text[close_idx + 1 :]
 
 
+def _pin_window_null_order(text: str) -> str:
+    """Append NULLS LAST to window ORDER BY items without an explicit
+    placement: DuckDB's default null order is NULLS LAST while Spark's is
+    NULLS FIRST on ASC — inside an OVER clause that changes which rows a
+    frame covers and which row a ranking picks, so the default must be
+    pinned (bare query-level ORDER BY is handled per-query; this is the
+    window-spec counterpart)."""
+    spans = _literal_spans(text)
+    edits = []
+    done_until = -1  # skip OVER sites nested inside an already-collected
+    # spec — the recursion below pins those within the outer edit
+    for m in re.finditer(r"\bOVER\s*\(", text, re.I):
+        if _in_spans(m.start(), spans) or m.start() <= done_until:
+            continue
+        open_idx = m.end() - 1
+        close = _matching_paren(text, open_idx)
+        if close < 0:
+            continue
+        done_until = close
+        spec = _pin_window_null_order(text[open_idx + 1 : close])
+        sdepth = _depth_profile(spec)
+        sspans = _literal_spans(spec)
+        om = next(
+            (
+                x
+                for x in re.finditer(r"\bORDER\s+BY\s+", spec, re.I)
+                if sdepth[x.start()] == 0 and not _in_spans(x.start(), sspans)
+            ),
+            None,
+        )
+        if om is None:
+            continue
+        fm = next(
+            (
+                x
+                for x in re.finditer(r"\b(ROWS|RANGE|GROUPS)\b", spec, re.I)
+                if x.start() > om.end()
+                and sdepth[x.start()] == 0
+                and not _in_spans(x.start(), sspans)
+            ),
+            None,
+        )
+        o_end = fm.start() if fm else len(spec)
+        order = spec[om.end() : o_end]
+        pinned = ", ".join(
+            o if re.search(r"\bNULLS\s+(FIRST|LAST)\b", o, re.I) else o.strip() + " NULLS LAST"
+            for o in _split_args(order)
+        )
+        new_spec = spec[: om.end()] + pinned + " " + spec[o_end:]
+        edits.append((open_idx + 1, close, new_spec))
+    for start, end, new_spec in reversed(edits):
+        text = text[:start] + new_spec + text[end:]
+    return text
+
+
 _WINDOW_CLAUSE = re.compile(r"\bWINDOW\s+([A-Za-z_]\w*)\s+AS\s*\(", re.I)
 
 
@@ -702,6 +761,7 @@ def translate(text: str) -> str:
     out = _rewrite_distinct_on(out)
     out = _inline_named_windows(out)
     out = _rewrite_window_exclude(out)
+    out = _pin_window_null_order(out)
     out = _rewrite_any_all(out)
     # star modifiers: DuckDB `* EXCLUDE (cols)` == Spark 4 `* EXCEPT (cols)`
     out = re.sub(r"(\*\s*)EXCLUDE\b", r"\1EXCEPT", out)

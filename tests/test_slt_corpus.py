@@ -74,6 +74,9 @@ CORPUS = {
     "subquery/scalar/test_complex_correlated_subquery.test": 8,
     "types/null/test_null.test": 8,
     "window/test_window_exclude.test": 9,
+    "window/test_window_binding_ctes.test": 5,
+    "window/test_window_dbplyr.test": 3,
+    "window/test_window_clause.test": 1,
     "types/null/test_null_aggr.test": 5,
     "types/null/test_boolean_null.test": 3,
 }

@@ -52,7 +52,8 @@ def test_qualify_hoist_preserves_alias(alias):
     out = translate(sql)
     assert "QUALIFY" not in out.upper().replace("__QUALIFY", "")
     assert f"SELECT o_custkey, {alias} FROM" in out
-    assert "row_number() OVER (ORDER BY o_totalprice) <= 2" in out
+    # window ORDER BY gets DuckDB's default NULLS LAST pinned explicitly
+    assert "row_number() OVER (ORDER BY o_totalprice NULLS LAST ) <= 2" in out
 
 
 def test_doubled_quote_literal():
