@@ -728,28 +728,50 @@ def _rewrite_window_exclude(text: str) -> str:
         if not pre.upper().endswith("OVER"):
             raise ValueError("EXCLUDE in a non-window parenthesis")
         over_start = len(pre) - 4
-        call_end = len(text[:over_start].rstrip())
-        if call_end == 0 or text[call_end - 1] != ")":
+
+        def _call_before(end: int):
+            """(fn, arg, fn_start) for the call ``fn(arg)`` ending at
+            ``end`` (exclusive, after rstrip); None if not a call."""
+            e = len(text[:end].rstrip())
+            if e == 0 or text[e - 1] != ")":
+                return None
+            d, a_open = 0, None
+            for i in range(e - 1, -1, -1):
+                if _in_spans(i, spans):
+                    continue
+                if text[i] == ")":
+                    d += 1
+                elif text[i] == "(":
+                    d -= 1
+                    if d == 0:
+                        a_open = i
+                        break
+            fmx = re.search(r"([A-Za-z_]\w*)\s*$", text[:a_open])
+            if fmx is None:
+                return None
+            return fmx.group(1).lower(), text[a_open + 1 : e - 1].strip(), fmx.start(1)
+
+        call = _call_before(over_start)
+        if call is None:
             raise ValueError("window EXCLUDE without a direct aggregate call")
-        d, arg_open = 0, None
-        for i in range(call_end - 1, -1, -1):
-            if _in_spans(i, spans):
-                continue
-            if text[i] == ")":
-                d += 1
-            elif text[i] == "(":
-                d -= 1
-                if d == 0:
-                    arg_open = i
-                    break
-        fm = re.search(r"([A-Za-z_]\w*)\s*$", text[:arg_open])
-        if fm is None:
-            raise ValueError("window EXCLUDE without a direct aggregate call")
-        fn = fm.group(1).lower()
-        arg = text[arg_open + 1 : call_end - 1].strip()
+        fn, arg, fn_start = call
+        if fn == "filter":
+            # agg(x) FILTER (WHERE p) OVER (... EXCLUDE ...): fold the
+            # filter into the value — agg(CASE WHEN p THEN x END) is
+            # identical for sum/count/avg (reference aggregate FILTER
+            # binder) — then expand as usual
+            fw = re.match(r"WHERE\b(.*)$", arg, re.I | re.S)
+            pred = fw.group(1).strip() if fw else arg
+            inner = _call_before(fn_start)
+            if inner is None:
+                raise ValueError("FILTER without a preceding aggregate call")
+            fn, iarg, fn_start = inner
+            arg = f"CASE WHEN {pred} THEN {iarg} END"
+            if iarg.strip() == "*":
+                arg = f"CASE WHEN {pred} THEN 1 END"
         spec = (text[open_idx + 1 : m.start()] + text[m.end() : close_idx]).strip()
         repl = _exclude_expansion(fn, arg, spec, mode)
-        text = text[: fm.start(1)] + repl + text[close_idx + 1 :]
+        text = text[:fn_start] + repl + text[close_idx + 1 :]
 
 
 def translate(text: str) -> str:
@@ -840,6 +862,19 @@ def translate(text: str) -> str:
 
     # USING SAMPLE n% (bernoulli) → TABLESAMPLE
     out = re.sub(r"\bUSING\s+SAMPLE\s+(\d+)\s*%", r"TABLESAMPLE (\1 PERCENT)", out, flags=re.I)
+
+    # DuckDB numeric type aliases Spark's parser rejects (postgres-style
+    # intN/floatN names) — applies to both ::casts and CAST(... AS t)
+    for duck_t, spark_t in (
+        ("int1", "tinyint"), ("int2", "smallint"), ("int4", "int"),
+        ("int8", "bigint"), ("float4", "float"), ("float8", "double"),
+        ("logical", "boolean"), ("bytea", "binary"),
+    ):
+        spans_t = _literal_spans(out)
+        pat_t = re.compile(rf"\b{duck_t}\b", re.I)
+        out = pat_t.sub(
+            lambda mm: mm.group(0) if _in_spans(mm.start(), spans_t) else spark_t, out
+        )
     return out
 
 

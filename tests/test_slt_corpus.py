@@ -73,7 +73,7 @@ CORPUS = {
     "subquery/exists/test_correlated_exists.test": 9,
     "subquery/scalar/test_complex_correlated_subquery.test": 8,
     "types/null/test_null.test": 8,
-    "window/test_window_exclude.test": 9,
+    "window/test_window_exclude.test": 12,
     "window/test_window_binding_ctes.test": 5,
     "window/test_window_dbplyr.test": 3,
     "window/test_window_clause.test": 1,
