@@ -596,6 +596,96 @@ def _rewrite_any_all(text: str) -> str:
         text = text[:left_start] + repl + text[close_idx + 1 :]
 
 
+_SETOP = re.compile(r"\b(UNION(\s+ALL)?|INTERSECT(\s+ALL)?|EXCEPT(\s+ALL)?)\b", re.I)
+
+
+def _rewrite_setop_order_alias(text: str) -> str:
+    """DuckDB binds a set-operation's ORDER BY against ANY branch's
+    aliases/expressions (bind_setop_node.cpp); Spark only sees the first
+    branch's output names. Items naming a later branch's alias, or
+    repeating a branch's select expression verbatim, become 1-based
+    ordinals (valid in both engines)."""
+    spans = _literal_spans(text)
+    depths = _depth_profile(text)
+    setops = [
+        m for m in _SETOP.finditer(text)
+        if not _in_spans(m.start(), spans) and depths[m.start()] == 0
+    ]
+    if not setops:
+        return text
+    ob = None
+    for om in re.finditer(r"\bORDER\s+BY\s+", text, re.I):
+        if not _in_spans(om.start(), spans) and depths[om.start()] == 0 and om.start() > setops[-1].end():
+            ob = om
+    if ob is None:
+        return text
+    o_end = next(
+        (
+            t.start()
+            for t in re.finditer(r"\b(LIMIT|OFFSET)\b|;", text, re.I)
+            if t.start() > ob.end() and not _in_spans(t.start(), spans) and depths[t.start()] == 0
+        ),
+        len(text),
+    )
+    # per-branch select lists: SELECT .. FROM|setop boundary, depth 0
+    branch_aliases: list[list[str]] = []
+    branch_exprs: list[list[str]] = []
+    sels = [
+        s for s in re.finditer(r"\bSELECT\b(\s+DISTINCT\b)?", text, re.I)
+        if not _in_spans(s.start(), spans) and depths[s.start()] == 0 and s.start() < ob.start()
+    ]
+    for s in sels:
+        stop = len(text)
+        for t in re.finditer(r"\bFROM\b", text, re.I):
+            if t.start() > s.end() and not _in_spans(t.start(), spans) and depths[t.start()] == 0:
+                stop = t.start()
+                break
+        for t in setops + [ob]:
+            if s.end() < t.start() < stop:
+                stop = t.start()
+        items = [a.strip() for a in _split_args(text[s.end() : stop])]
+        als, exs = [], []
+        for it in items:
+            am = _AS_ALIAS.search(it)
+            if am:
+                als.append(am.group(1).lower())
+                exs.append(re.sub(r"\s+", "", it[: am.start()]).lower())
+            else:
+                als.append(it.split(".")[-1].lower() if _BARE_COL.match(it) else "")
+                exs.append(re.sub(r"\s+", "", it).lower())
+        branch_aliases.append(als)
+        branch_exprs.append(exs)
+    out_items = []
+    changed = False
+    for it in _split_args(text[ob.end() : o_end]):
+        it = it.strip()
+        dm = re.match(r"(.*?)(\s+(?:ASC|DESC))?(\s+NULLS\s+(?:FIRST|LAST))?$", it, re.I | re.S)
+        core, suffix = dm.group(1).strip(), it[len(dm.group(1)) :]
+        key = re.sub(r"\s+", "", core).lower()
+        pos = None
+        if _BARE_COL.match(core) and "." not in core:
+            if key in branch_aliases[0]:
+                out_items.append(it)  # first branch resolves it natively
+                continue
+            for als in branch_aliases[1:]:
+                if key in als:
+                    pos = als.index(key) + 1
+                    break
+        if pos is None and not _BARE_COL.match(core):
+            for exs in branch_exprs:
+                if key in exs:
+                    pos = exs.index(key) + 1
+                    break
+        if pos is None:
+            out_items.append(it)
+        else:
+            out_items.append(f"{pos}{suffix}")
+            changed = True
+    if not changed:
+        return text
+    return text[: ob.end()] + ", ".join(out_items) + " " + text[o_end:]
+
+
 def _pin_window_null_order(text: str) -> str:
     """Append NULLS LAST to window ORDER BY items without an explicit
     placement: DuckDB's default null order is NULLS LAST while Spark's is
@@ -785,6 +875,7 @@ def translate(text: str) -> str:
     out = _rewrite_window_exclude(out)
     out = _pin_window_null_order(out)
     out = _rewrite_any_all(out)
+    out = _rewrite_setop_order_alias(out)
     # star modifiers: DuckDB `* EXCLUDE (cols)` == Spark 4 `* EXCEPT (cols)`
     out = re.sub(r"(\*\s*)EXCLUDE\b", r"\1EXCEPT", out)
     out = _rewrite_json_arrows(out)

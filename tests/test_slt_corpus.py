@@ -51,12 +51,12 @@ CORPUS = {
     "join/test_nested_inequality.test": 5,
     "limit/test_preserve_insertion_order.test": 6,
     "order/test_nulls_first.test": 13,
-    "order/test_order_by.test": 21,
+    "order/test_order_by.test": 24,
     "setops/test_nested_except.test": 1,
     "setops/union_limit.test": 1,
     "setops/value_union.test": 8,
     "setops/union_shared_scan.test": 1,
-    "setops/test_union_binding.test": 17,
+    "setops/test_union_binding.test": 21,
     "setops/test_union_type_cast.test": 6,
     "subquery/test_neumann.test": 3,
     "subquery/any_all/test_any_all.test": 12,
@@ -78,6 +78,10 @@ CORPUS = {
     "window/test_window_dbplyr.test": 3,
     "window/test_window_clause.test": 1,
     "types/null/test_null_aggr.test": 5,
+    "function/date/date_part_stats.test": 13,
+    "types/decimal/cast_from_decimal.test": 6,
+    "types/list/list_comparison.test": 30,
+    "types/list/list_distinct.test": 10,
     "types/null/test_boolean_null.test": 3,
 }
 
