@@ -55,6 +55,7 @@ R04_PRIORITY = (
     "dedup_simhash", "agg_approx", "multimodal_features",
     # new this round
     "collate_nocase_noaccent", "interval_arithmetic",
+    "dml_roundtrip", "seq_bulk_ids",
     # stale: last driver-verified in r1/r2 (green then, unchanged since;
     # 42 entries — rotating them through the 50-query window)
     "join_asof_purchase_click", "dedup_exact", "dedup_ngram_jaccard",
@@ -107,6 +108,7 @@ def _load_all() -> None:
         join_family,
         pipeline_ops,
         setops_misc,
+        storage_dml,
         tpch_full,
         windows,
     )

@@ -966,6 +966,19 @@ def translate(text: str) -> str:
         out = pat_t.sub(
             lambda mm: mm.group(0) if _in_spans(mm.start(), spans_t) else spark_t, out
         )
+
+    # attached-catalog qualification: `alias.table` → the `alias__table`
+    # view ATTACH registered (storage.attach; Spark temp views are
+    # single-part names)
+    from myduckdb_spark.storage import attached_aliases
+
+    for alias, tables in attached_aliases().items():
+        for tbl, view in tables.items():
+            spans_a = _literal_spans(out)
+            pat_a = re.compile(rf"\b{alias}\.{tbl}\b", re.I)
+            out = pat_a.sub(
+                lambda mm: mm.group(0) if _in_spans(mm.start(), spans_a) else view, out
+            )
     return out
 
 
@@ -978,6 +991,172 @@ def _make_call_renamer(current: str):
         )
 
     return rename
+
+
+# ---------------------------------------------------------------------------
+# DML / catalog statements over managed storage (storage.py): CREATE TABLE
+# AS, INSERT, DELETE, UPDATE, CREATE/DROP SEQUENCE, nextval/currval,
+# EXPORT/IMPORT DATABASE, ATTACH/DETACH. Reference surfaces:
+# physical_delete.cpp / physical_update.cpp / physical_export.cpp /
+# sequence_catalog_entry.cpp / attached_database.cpp.
+# ---------------------------------------------------------------------------
+
+# front-door managed tables (name → ManagedTable)
+_MANAGED: dict = {}
+_SEQUENCES = None  # lazy SequenceStore
+
+
+def _seq_store():
+    global _SEQUENCES
+    if _SEQUENCES is None:
+        from myduckdb_spark.storage import SequenceStore
+
+        _SEQUENCES = SequenceStore()
+    return _SEQUENCES
+
+
+def _count_df(spark: SparkSession, n: int) -> DataFrame:
+    # DuckDB DML returns a single-column `Count` result
+    return spark.createDataFrame([(n,)], "Count bigint")
+
+
+def _refresh_view(spark: SparkSession, name: str) -> None:
+    _MANAGED[name].scan().createOrReplaceTempView(name)
+
+
+_CTAS = re.compile(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+AS\s+(.+?);?\s*$", re.I | re.S)
+_INSERT = re.compile(r"^\s*INSERT\s+INTO\s+(\w+)\s+(.+?);?\s*$", re.I | re.S)
+_DELETE = re.compile(r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?;?\s*$", re.I | re.S)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?;?\s*$", re.I | re.S
+)
+_CREATE_SEQ = re.compile(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(.*?);?\s*$", re.I | re.S)
+_DROP_SEQ = re.compile(r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I)
+_SEQ_VAL = re.compile(r"^\s*SELECT\s+((?:next|curr)val\s*\(\s*'\w+'\s*\)\s*(?:AS\s+\w+\s*)?(?:,\s*(?:next|curr)val\s*\(\s*'\w+'\s*\)\s*(?:AS\s+\w+\s*)?)*);?\s*$", re.I)
+_EXPORT_DB = re.compile(r"^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(.*?\))?\s*;?\s*$", re.I)
+_IMPORT_DB = re.compile(r"^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$", re.I)
+_ATTACH = re.compile(r"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+(\w+)\s*;?\s*$", re.I)
+_DETACH = re.compile(r"^\s*DETACH\s+(?:DATABASE\s+)?(\w+)\s*;?\s*$", re.I)
+
+
+def _split_assignments(settext: str) -> dict[str, str]:
+    """Split `a = expr, b = expr` at depth 0 outside literals."""
+    spans = _literal_spans(settext)
+    depth, start, parts = 0, 0, []
+    for i, ch in enumerate(settext):
+        if _in_spans(i, spans):
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(settext[start:i])
+            start = i + 1
+    parts.append(settext[start:])
+    out = {}
+    for p in parts:
+        col, _, expr = p.partition("=")
+        out[col.strip()] = expr.strip()
+    return out
+
+
+def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
+    import tempfile
+
+    from myduckdb_spark import storage
+
+    m = _CTAS.match(text)
+    if m:
+        replace, name, select = bool(m.group(1)), m.group(2), m.group(3)
+        if name in _MANAGED and not replace:
+            raise ValueError(f"table {name} already exists")
+        root = tempfile.mkdtemp(prefix=f"mdbs_tbl_{name}_")
+        _MANAGED[name] = storage.ManagedTable.create(spark, root, spark.sql(translate(select)))
+        _refresh_view(spark, name)
+        return _count_df(spark, _MANAGED[name].count())
+    m = _INSERT.match(text)
+    if m and m.group(1) in _MANAGED:
+        name, select = m.group(1), m.group(2)
+        n = _MANAGED[name].insert(spark.sql(translate(select)))
+        _refresh_view(spark, name)
+        return _count_df(spark, n)
+    m = _DELETE.match(text)
+    if m:
+        name, pred = m.group(1), m.group(2)
+        if name not in _MANAGED:
+            raise ValueError(f"DELETE: {name} is not a managed table (CREATE TABLE ... AS first)")
+        n = _MANAGED[name].delete(translate(pred) if pred else "true")
+        _refresh_view(spark, name)
+        return _count_df(spark, n)
+    m = _UPDATE.match(text)
+    if m:
+        name, settext, pred = m.group(1), m.group(2), m.group(3)
+        if name not in _MANAGED:
+            raise ValueError(f"UPDATE: {name} is not a managed table (CREATE TABLE ... AS first)")
+        n = _MANAGED[name].update(
+            {c: translate(e) for c, e in _split_assignments(settext).items()},
+            translate(pred) if pred else "true",
+        )
+        _refresh_view(spark, name)
+        return _count_df(spark, n)
+    m = _CREATE_SEQ.match(text)
+    if m:
+        replace, name, opts = bool(m.group(1)), m.group(2), m.group(3) or ""
+        kw: dict = {"replace": replace}
+        om = re.search(r"\bSTART\s+(?:WITH\s+)?(-?\d+)", opts, re.I)
+        if om:
+            kw["start"] = int(om.group(1))
+        om = re.search(r"\bINCREMENT\s+(?:BY\s+)?(-?\d+)", opts, re.I)
+        if om:
+            kw["increment"] = int(om.group(1))
+        om = re.search(r"\bMINVALUE\s+(-?\d+)", opts, re.I)
+        if om:
+            kw["minvalue"] = int(om.group(1))
+        om = re.search(r"\bMAXVALUE\s+(-?\d+)", opts, re.I)
+        if om:
+            kw["maxvalue"] = int(om.group(1))
+        if re.search(r"(?<!NO\s)\bCYCLE\b", opts, re.I):
+            kw["cycle"] = True
+        if "IF NOT EXISTS" in text.upper() and name in _seq_store()._seqs:
+            return _count_df(spark, 0)
+        _seq_store().create(name, **kw)
+        return _count_df(spark, 0)
+    m = _DROP_SEQ.match(text)
+    if m:
+        if m.group(1) in _seq_store()._seqs:
+            _seq_store().drop(m.group(1))
+        elif "IF EXISTS" not in text.upper():
+            raise KeyError(f"unknown sequence: {m.group(1)}")
+        return _count_df(spark, 0)
+    m = _SEQ_VAL.match(text)
+    if m:
+        cols, vals = [], []
+        for cm in re.finditer(r"(next|curr)val\s*\(\s*'(\w+)'\s*\)\s*(?:AS\s+(\w+))?", m.group(1), re.I):
+            kind, sname, alias = cm.group(1).lower(), cm.group(2), cm.group(3)
+            seq = _seq_store().get(sname)
+            vals.append(seq.nextval() if kind == "next" else seq.currval())
+            cols.append(alias or f"{kind}val('{sname}')")
+        return spark.createDataFrame([tuple(vals)], ", ".join(f"`{c}` bigint" for c in cols))
+    m = _EXPORT_DB.match(text)
+    if m:
+        if not _MANAGED:
+            raise ValueError("EXPORT DATABASE: no managed tables to export")
+        storage.export_database(
+            spark, m.group(1), {n: t.scan() for n, t in _MANAGED.items()}
+        )
+        return _count_df(spark, len(_MANAGED))
+    m = _IMPORT_DB.match(text)
+    if m:
+        return _count_df(spark, len(storage.import_database(spark, m.group(1))))
+    m = _ATTACH.match(text)
+    if m:
+        return _count_df(spark, len(storage.attach(spark, m.group(1), m.group(2))))
+    m = _DETACH.match(text)
+    if m:
+        storage.detach(spark, m.group(1))
+        return _count_df(spark, 0)
+    return None
 
 
 _SET_STMT = re.compile(r"^\s*SET\s+(\w[\w.]*)\s*(?:=|TO)\s*(.+?)\s*;?\s*$", re.I)
@@ -1010,6 +1189,9 @@ def _statement_command(spark: SparkSession, text: str) -> DataFrame | None:
             rows, "cid int, name string, type string, notnull boolean, "
             "dflt_value string, pk boolean"
         )
+    dml = _dml_statement(spark, text)
+    if dml is not None:
+        return dml
     m = _EXPLAIN.match(text)
     if m and not m.group(1).lstrip().upper().startswith("ANALYZE"):
         plan = (

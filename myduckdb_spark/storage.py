@@ -1,0 +1,431 @@
+"""Managed copy-on-write tables: row-level DML, sequences, EXPORT/ATTACH.
+
+Reference surfaces covered (previously documented out of scope):
+
+- DELETE / UPDATE — reference executes row-level DML against its own
+  columnar storage with MVCC row versioning
+  (src/execution/operator/persistent/physical_delete.cpp,
+  physical_update.cpp, src/storage/data_table.cpp).
+- CREATE SEQUENCE / nextval / currval — a catalog-entry counter behind a
+  lock (src/catalog/catalog_entry/sequence_catalog_entry.cpp).
+- EXPORT DATABASE / IMPORT / ATTACH — directory-of-files export with
+  schema.sql + load.sql (src/execution/operator/persistent/
+  physical_export.cpp, src/main/attached_database.cpp).
+
+Spark-first design (NOT a port of the reference's storage engine):
+
+A managed table is a directory of immutable parquet files plus a JSON
+manifest naming the live files (with row counts). DML never mutates a
+file — the copy-on-write pattern used by Delta Lake / Iceberg:
+
+1. *Touched-file discovery is a distributed job*: scan the live files
+   with the predicate and project only ``input_file_name()``. Predicate
+   pushdown + parquet zone maps prune row groups JVM-side; the driver
+   receives at most one row per touched file (bounded by #files, never
+   by #rows).
+2. Only touched files are rewritten (DELETE: ``filter(NOT pred)``;
+   UPDATE: ``CASE WHEN pred THEN expr ELSE col END`` per assignment,
+   cast back to the column's original type so the schema never drifts).
+   Untouched files carry forward by reference — at 100 TB a DELETE whose
+   predicate hits 3 files rewrites 3 files.
+3. The manifest swap is atomic (write-new + ``os.replace``), and prior
+   manifests are retained (``manifest.v{N}.json``) so earlier versions
+   remain scannable — snapshot reads fall out of copy-on-write for free.
+
+Sequences are driver-side counters persisted with the same atomic-swap
+discipline — exactly the single point of serialization the reference
+implements with a catalog lock. Per-row ``nextval`` inside an arbitrary
+distributed query cannot preserve those semantics on a cluster (every
+executor would contend on one counter), so the bulk surface
+``Sequence.attach_column`` reserves a whole range in ONE counter bump
+and assigns it with distributed numbering (the zipWithIndex pattern from
+``operators.joins._number_rows``) — the form that scales.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from myduckdb_spark.operators.joins import _number_rows
+
+_MANIFEST = "manifest.json"
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
+def _part_files(snapshot_dir: str) -> list[dict]:
+    """List the parquet part files Spark wrote, with per-file row counts
+    read from parquet footers (metadata-only, O(#files))."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(snapshot_dir)):
+        if not name.endswith(".parquet") or name.startswith("_"):
+            continue
+        p = os.path.join(snapshot_dir, name)
+        out.append({"path": p, "rows": pq.ParquetFile(p).metadata.num_rows})
+    return out
+
+
+class ManagedTable:
+    """A copy-on-write parquet table supporting INSERT/DELETE/UPDATE."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- creation / scan ----------------------------------------------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str, df: DataFrame) -> "ManagedTable":
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        t = cls(spark, root)
+        files = t._write_snapshot(df)
+        t._commit(0, files)
+        return t
+
+    def _manifest_path(self, version: int | None = None) -> str:
+        if version is None:
+            return os.path.join(self.root, _MANIFEST)
+        return os.path.join(self.root, f"manifest.v{version}.json")
+
+    def _manifest(self, version: int | None = None) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    @property
+    def version(self) -> int:
+        return self._manifest()["version"]
+
+    def scan(self, version: int | None = None) -> DataFrame:
+        """DataFrame over the live files (or a retained prior version)."""
+        files = self._manifest(version)["files"]
+        if not files:
+            cur = self._manifest()
+            # empty table: scan any known snapshot for schema, keep 0 rows
+            probe = cur.get("schema_probe")
+            if probe:
+                return self.spark.read.parquet(probe).limit(0)
+            raise ValueError("empty table with no schema probe")
+        return self.spark.read.parquet(*[f["path"] for f in files])
+
+    def count(self) -> int:
+        return sum(f["rows"] for f in self._manifest()["files"])
+
+    # -- write path ---------------------------------------------------------
+
+    def _write_snapshot(self, df: DataFrame) -> list[dict]:
+        out = os.path.join(self.root, "data", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(out)
+        return _part_files(out)
+
+    def _commit(self, version: int, files: list[dict]) -> None:
+        probe = files[0]["path"] if files else self._manifest().get("schema_probe")
+        m = {"version": version, "files": files, "schema_probe": probe}
+        _atomic_write_json(self._manifest_path(version), m)
+        _atomic_write_json(self._manifest_path(), m)
+
+    def insert(self, df: DataFrame) -> int:
+        """Append rows (reference INSERT): new files only, no rewrite.
+        Input binds by POSITION to the table schema (the reference INSERT
+        binder, physical_insert.cpp) and casts to the column types so the
+        file set never drifts in schema."""
+        cur = self._manifest()
+        target = self.scan().limit(0)
+        if len(df.columns) != len(target.columns):
+            raise ValueError(
+                f"INSERT arity {len(df.columns)} != table arity {len(target.columns)}"
+            )
+        df = df.select(
+            *[
+                F.col(c).cast(t).alias(name)
+                for c, (name, t) in zip(df.columns, target.dtypes)
+            ]
+        )
+        new = self._write_snapshot(df)
+        self._commit(cur["version"] + 1, cur["files"] + new)
+        return sum(f["rows"] for f in new)
+
+    # -- DML ----------------------------------------------------------------
+
+    def _touched_files(self, pred: str) -> set[str]:
+        """Distributed touched-file discovery: pushdown scan projecting
+        only input_file_name(); driver receives ≤ one row per file."""
+        rows = (
+            self.scan()
+            .filter(F.expr(pred))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        # input_file_name returns a URI (file:///...); manifest holds paths
+        return {re.sub(r"^file:/+", "/", r["f"]) for r in rows}
+
+    def delete(self, pred: str) -> int:
+        """DELETE FROM t WHERE pred. Returns #rows deleted. Only files
+        containing matching rows are rewritten."""
+        cur = self._manifest()
+        touched = self._touched_files(pred)
+        if not touched:
+            return 0
+        keep = [f for f in cur["files"] if f["path"] not in touched]
+        touched_rows = sum(f["rows"] for f in cur["files"] if f["path"] in touched)
+        survivors = self.spark.read.parquet(*sorted(touched)).filter(~F.expr(pred))
+        new = self._write_snapshot(survivors)
+        self._commit(cur["version"] + 1, keep + new)
+        return touched_rows - sum(f["rows"] for f in new)
+
+    def update(self, assignments: dict[str, str], pred: str = "true") -> int:
+        """UPDATE t SET col = expr[, ...] WHERE pred. Returns #rows
+        updated. Expressions are SQL over the row's columns; assigned
+        columns are cast back to their original type (reference UPDATE
+        binder casts RHS to the column type, physical_update.cpp)."""
+        cur = self._manifest()
+        touched = self._touched_files(pred)
+        if not touched:
+            return 0
+        keep = [f for f in cur["files"] if f["path"] not in touched]
+        src = self.spark.read.parquet(*sorted(touched))
+        types = dict(src.dtypes)
+        unknown = set(assignments) - set(types)
+        if unknown:
+            raise ValueError(f"UPDATE of unknown column(s): {sorted(unknown)}")
+        updated = src.select(
+            *[
+                F.expr(
+                    f"CAST(CASE WHEN ({pred}) THEN ({assignments[c]}) "
+                    f"ELSE {c} END AS {types[c]}) AS {c}"
+                )
+                if c in assignments
+                else F.col(c)
+                for c in src.columns
+            ]
+        )
+        n_updated = src.filter(F.expr(pred)).count()
+        new = self._write_snapshot(updated)
+        self._commit(cur["version"] + 1, keep + new)
+        return n_updated
+
+
+# ---------------------------------------------------------------------------
+# Sequences.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Sequence:
+    """CREATE SEQUENCE semantics (start/increment/min/max/cycle) with the
+    reference's serialized-counter behavior, persisted atomically."""
+
+    store: "SequenceStore"
+    name: str
+
+    def nextval(self) -> int:
+        return self.store._next(self.name)
+
+    def currval(self) -> int:
+        return self.store._curr(self.name)
+
+    def reserve(self, n: int) -> int:
+        """Reserve n consecutive values in one counter bump; returns the
+        first. The bulk form a cluster needs: one serialization point per
+        BATCH, not per row."""
+        return self.store._reserve(self.name, n)
+
+    def attach_column(self, df: DataFrame, col: str, order: list[str]) -> DataFrame:
+        """Assign sequence values to every row of ``df`` in ``order``:
+        count once, reserve the range, number rows distributedly."""
+        n = df.count()
+        base = self.reserve(n) if n else self.store._peek(self.name)
+        inc = self.store._seqs[self.name]["increment"]
+        return (
+            _number_rows(df, order)
+            .withColumn(col, (F.col("__pos") - F.lit(1)) * F.lit(inc) + F.lit(base))
+            .drop("__pos")
+        )
+
+
+class SequenceStore:
+    """All sequences of one 'database', persisted to a JSON file."""
+
+    def __init__(self, path: str | None = None):
+        self.path = path or os.path.join(tempfile.mkdtemp(prefix="mdbs_seq_"), "sequences.json")
+        self._seqs: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self._seqs = json.load(f)
+
+    def _save(self) -> None:
+        _atomic_write_json(self.path, self._seqs)
+
+    def create(
+        self,
+        name: str,
+        start: int = 1,
+        increment: int = 1,
+        minvalue: int | None = None,
+        maxvalue: int | None = None,
+        cycle: bool = False,
+        replace: bool = False,
+    ) -> Sequence:
+        if name in self._seqs and not replace:
+            raise ValueError(f"sequence {name} already exists")
+        if increment == 0:
+            raise ValueError("increment must be non-zero")
+        lo = minvalue if minvalue is not None else (1 if increment > 0 else -(2**63))
+        hi = maxvalue if maxvalue is not None else (2**63 - 1 if increment > 0 else -1)
+        self._seqs[name] = {
+            "next": start,
+            "current": None,
+            "increment": increment,
+            "min": lo,
+            "max": hi,
+            "cycle": cycle,
+        }
+        self._save()
+        return Sequence(self, name)
+
+    def drop(self, name: str) -> None:
+        self._seqs.pop(name)
+        self._save()
+
+    def get(self, name: str) -> Sequence:
+        if name not in self._seqs:
+            raise KeyError(f"unknown sequence: {name}")
+        return Sequence(self, name)
+
+    def _peek(self, name: str) -> int:
+        return self._seqs[name]["next"]
+
+    def _next(self, name: str) -> int:
+        return self._reserve(name, 1)
+
+    def _reserve(self, name: str, n: int) -> int:
+        s = self._seqs[name]
+        first = s["next"]
+        if not (s["min"] <= first <= s["max"]):
+            raise OverflowError(f"sequence {name} out of range")
+        last = first + (n - 1) * s["increment"]
+        if last > s["max"] or last < s["min"]:
+            # a contiguous reservation cannot wrap; CYCLE applies between
+            # calls (next wraps below), matching per-call DuckDB semantics
+            raise OverflowError(f"sequence {name} exhausted")
+        nxt = last + s["increment"]
+        if nxt > s["max"]:
+            nxt = s["min"] if s["cycle"] else nxt
+        elif nxt < s["min"]:
+            nxt = s["max"] if s["cycle"] else nxt
+        s["next"], s["current"] = nxt, last
+        self._save()
+        return first
+
+    def _curr(self, name: str) -> int:
+        cur = self._seqs[name]["current"]
+        if cur is None:
+            raise ValueError(f"currval: nextval has not been called on {name}")
+        return cur
+
+
+# ---------------------------------------------------------------------------
+# EXPORT DATABASE / IMPORT / ATTACH.
+# ---------------------------------------------------------------------------
+
+
+_SPARK_TO_DUCK = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
+def _duck_type(spark_type: str) -> str:
+    if spark_type.startswith("decimal"):
+        return spark_type.upper()
+    if spark_type.startswith("array<"):
+        return _duck_type(spark_type[6:-1]) + "[]"
+    return _SPARK_TO_DUCK.get(spark_type, spark_type.upper())
+
+
+def export_database(spark: SparkSession, out_dir: str, tables: dict[str, DataFrame]) -> None:
+    """EXPORT DATABASE 'dir' (FORMAT PARQUET): one parquet dir per table
+    plus schema.sql / load.sql, the reference's export layout
+    (physical_export.cpp writes schema.sql + load.sql + data files)."""
+    os.makedirs(out_dir, exist_ok=True)
+    schema_lines, load_lines = [], []
+    for name, df in tables.items():
+        path = os.path.join(out_dir, f"{name}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        cols = ", ".join(f"{c} {_duck_type(t)}" for c, t in df.dtypes)
+        schema_lines.append(f"CREATE TABLE {name} ({cols});")
+        # Spark writes a directory of part files; DuckDB COPY reads globs
+        load_lines.append(f"COPY {name} FROM '{path}/*.parquet' (FORMAT PARQUET);")
+    with open(os.path.join(out_dir, "schema.sql"), "w") as f:
+        f.write("\n".join(schema_lines) + "\n")
+    with open(os.path.join(out_dir, "load.sql"), "w") as f:
+        f.write("\n".join(load_lines) + "\n")
+
+
+def import_database(spark: SparkSession, in_dir: str) -> list[str]:
+    """IMPORT DATABASE: register every exported table as a temp view."""
+    names = []
+    with open(os.path.join(in_dir, "schema.sql")) as f:
+        for line in f:
+            m = re.match(r"CREATE TABLE (\w+)", line)
+            if m:
+                names.append(m.group(1))
+    for name in names:
+        spark.read.parquet(os.path.join(in_dir, f"{name}.parquet")).createOrReplaceTempView(name)
+    return names
+
+
+# alias → {table → view}; the SQL front door rewrites alias.table
+_ATTACHED: dict[str, dict[str, str]] = {}
+
+
+def attach(spark: SparkSession, in_dir: str, alias: str) -> list[str]:
+    """ATTACH 'dir' AS alias: register an exported/parquet directory's
+    tables under ``alias.table`` names. Spark temp views are single-part,
+    so views register as ``alias__table`` and ``sql.translate`` rewrites
+    qualified references (mirrors how the reference resolves catalog
+    aliases in src/main/attached_database.cpp)."""
+    names = []
+    for entry in sorted(os.listdir(in_dir)):
+        if entry.endswith(".parquet"):
+            name = entry[: -len(".parquet")]
+            view = f"{alias}__{name}"
+            spark.read.parquet(os.path.join(in_dir, entry)).createOrReplaceTempView(view)
+            _ATTACHED.setdefault(alias, {})[name] = view
+            names.append(name)
+    if not names:
+        raise ValueError(f"ATTACH: no parquet tables under {in_dir}")
+    return names
+
+
+def detach(spark: SparkSession, alias: str) -> None:
+    for view in _ATTACHED.pop(alias, {}).values():
+        spark.catalog.dropTempView(view)
+
+
+def attached_aliases() -> dict[str, dict[str, str]]:
+    return _ATTACHED

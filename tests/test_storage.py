@@ -1,0 +1,236 @@
+"""Managed copy-on-write storage: DML, sequences, EXPORT/ATTACH.
+
+Every DML path runs the SAME statements against live DuckDB on the same
+starting data and compares final table contents — the reference's own
+semantics are the oracle (physical_delete.cpp / physical_update.cpp /
+sequence_catalog_entry.cpp / physical_export.cpp).
+"""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from myduckdb_spark import storage
+from myduckdb_spark.catalog import load_table
+from myduckdb_spark.sql import sql as run_sql
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows(df, order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+def duck_rows(con, q):
+    return con.sql(q).fetchall()
+
+
+@pytest.fixture()
+def nation_table(spark, tmp_path):
+    df = load_table(spark, SF, "nation")
+    return storage.ManagedTable.create(spark, str(tmp_path / "nation"), df)
+
+
+def duck_nation(con):
+    con.sql(f"CREATE TABLE nation AS SELECT * FROM '{SF}/nation.parquet'")
+
+
+def test_delete_matches_duckdb(spark, nation_table):
+    con = duckdb.connect()
+    duck_nation(con)
+    n = nation_table.delete("n_regionkey = 2")
+    con.sql("DELETE FROM nation WHERE n_regionkey = 2")
+    assert n == 5  # TPC-H: 5 nations per region
+    assert rows(nation_table.scan(), ["n_nationkey"]) == duck_rows(
+        con, "SELECT * FROM nation ORDER BY n_nationkey"
+    )
+    assert nation_table.count() == 20
+
+
+def test_update_matches_duckdb(spark, nation_table):
+    con = duckdb.connect()
+    duck_nation(con)
+    stmt_set = {"n_name": "lower(n_name)", "n_regionkey": "n_regionkey + 10"}
+    n = nation_table.update(stmt_set, "n_regionkey >= 3")
+    con.sql(
+        "UPDATE nation SET n_name = lower(n_name), n_regionkey = n_regionkey + 10 "
+        "WHERE n_regionkey >= 3"
+    )
+    assert n == 10
+    assert rows(nation_table.scan(), ["n_nationkey"]) == duck_rows(
+        con, "SELECT * FROM nation ORDER BY n_nationkey"
+    )
+
+
+def test_insert_then_delete_roundtrip(spark, nation_table):
+    extra = spark.createDataFrame(
+        [(97, "ATLANTIS", 0), (98, "ELBONIA", 1)],
+        nation_table.scan().schema,
+    )
+    assert nation_table.insert(extra) == 2
+    assert nation_table.count() == 27
+    assert nation_table.delete("n_nationkey >= 97") == 2
+    assert nation_table.count() == 25
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write file pruning: a predicate hitting one file's key
+    range must carry every other file forward BY REFERENCE."""
+    df = spark.range(0, 1000).withColumn("bucket", (F.col("id") / 100).cast("int"))
+    t = storage.ManagedTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(10, "id")
+    )
+    before = {f["path"] for f in t._manifest()["files"]}
+    assert len(before) == 10
+    deleted = t.delete("id BETWEEN 250 AND 260")
+    assert deleted == 11
+    after = {f["path"] for f in t._manifest()["files"]}
+    # ≥ 8 of the 10 original files survive untouched (the 250-260 range
+    # spans at most 2 range-partitioned files)
+    assert len(before & after) >= 8
+    assert t.scan().count() == 989
+
+
+def test_snapshot_versions_remain_scannable(spark, nation_table):
+    v0 = nation_table.version
+    nation_table.delete("n_regionkey = 0")
+    assert nation_table.version == v0 + 1
+    assert nation_table.scan(version=v0).count() == 25
+    assert nation_table.scan().count() == 20
+
+
+def test_update_unknown_column_raises(spark, nation_table):
+    with pytest.raises(ValueError, match="unknown column"):
+        nation_table.update({"nope": "1"}, "true")
+
+
+# -- sequences ---------------------------------------------------------------
+
+
+def test_sequence_matches_duckdb(tmp_path):
+    con = duckdb.connect()
+    con.sql("CREATE SEQUENCE s START 5 INCREMENT 3")
+    store = storage.SequenceStore(str(tmp_path / "seq.json"))
+    s = store.create("s", start=5, increment=3)
+    for _ in range(4):
+        assert s.nextval() == con.sql("SELECT nextval('s')").fetchone()[0]
+    assert s.currval() == con.sql("SELECT currval('s')").fetchone()[0]
+
+
+def test_sequence_cycle_and_exhaustion(tmp_path):
+    store = storage.SequenceStore(str(tmp_path / "seq.json"))
+    c = store.create("c", start=1, maxvalue=3, cycle=True)
+    assert [c.nextval() for _ in range(5)] == [1, 2, 3, 1, 2]
+    e = store.create("e", start=1, maxvalue=2)
+    assert e.nextval() == 1 and e.nextval() == 2
+    with pytest.raises(OverflowError):
+        e.nextval()
+
+
+def test_sequence_persistence(tmp_path):
+    p = str(tmp_path / "seq.json")
+    s = storage.SequenceStore(p).create("p", start=10)
+    assert s.nextval() == 10
+    # fresh store over the same file resumes, like a reopened catalog
+    assert storage.SequenceStore(p).get("p").nextval() == 11
+
+
+def test_sequence_attach_column_distributed(spark, tmp_path):
+    """Bulk assignment: one reservation, distributed numbering — ids are
+    dense, unique, and ordered by the given key."""
+    store = storage.SequenceStore(str(tmp_path / "seq.json"))
+    s = store.create("ids", start=100, increment=2)
+    df = load_table(spark, SF, "nation")
+    out = s.attach_column(df, "row_id", ["n_nationkey"]).orderBy("n_nationkey")
+    ids = [r["row_id"] for r in out.collect()]
+    assert ids == list(range(100, 100 + 2 * 25, 2))
+    # the range really was consumed from the counter
+    assert s.nextval() == 100 + 2 * 25
+
+
+# -- EXPORT / IMPORT / ATTACH ------------------------------------------------
+
+
+def test_export_import_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "exported")
+    tables = {
+        "nation": load_table(spark, SF, "nation"),
+        "region": load_table(spark, SF, "region"),
+    }
+    storage.export_database(spark, out, tables)
+    assert os.path.exists(f"{out}/schema.sql") and os.path.exists(f"{out}/load.sql")
+    # DuckDB can rebuild the database from our export layout (schema.sql
+    # then load.sql) — the reference's own import contract
+    con = duckdb.connect()
+    for f in ("schema.sql", "load.sql"):
+        for stmt in open(f"{out}/{f}").read().split(";"):
+            if stmt.strip():
+                con.sql(stmt)
+    assert con.sql("SELECT count(*) FROM nation").fetchone()[0] == 25
+    names = storage.import_database(spark, out)
+    assert sorted(names) == ["nation", "region"]
+    assert spark.table("nation").count() == 25
+
+
+def test_attach_qualified_names_via_front_door(spark, tmp_path):
+    out = str(tmp_path / "exported")
+    storage.export_database(spark, out, {"nation": load_table(spark, SF, "nation")})
+    run_sql(spark, f"ATTACH '{out}' AS ext")
+    try:
+        got = run_sql(
+            spark, "SELECT count(*) AS n FROM ext.nation WHERE n_regionkey = 1"
+        ).collect()
+        assert got[0]["n"] == 5
+    finally:
+        run_sql(spark, "DETACH ext")
+    assert "ext" not in storage.attached_aliases()
+
+
+# -- SQL front door DML ------------------------------------------------------
+
+
+def test_front_door_dml_matches_duckdb(spark):
+    con = duckdb.connect()
+    stmts = [
+        "CREATE OR REPLACE TABLE t_dml AS "
+        f"SELECT * FROM '{SF}/nation.parquet' WHERE n_nationkey < 10",
+        "INSERT INTO t_dml VALUES (50, 'NARNIA', 3)",
+        "DELETE FROM t_dml WHERE n_regionkey = 0",
+        "UPDATE t_dml SET n_name = upper(n_name) || '!' WHERE n_regionkey = 1",
+    ]
+    spark_stmts = [
+        "CREATE OR REPLACE TABLE t_dml AS "
+        f"SELECT * FROM parquet.`{SF}/nation.parquet` WHERE n_nationkey < 10",
+    ] + stmts[1:]
+    for s in spark_stmts:
+        run_sql(spark, s)
+    for s in stmts:
+        con.sql(s)
+    got = [tuple(r) for r in spark.table("t_dml").orderBy("n_nationkey").collect()]
+    want = con.sql("SELECT * FROM t_dml ORDER BY n_nationkey").fetchall()
+    assert got == want
+
+
+def test_front_door_sequence_statements(spark):
+    run_sql(spark, "CREATE OR REPLACE SEQUENCE fs START 7")
+    one = run_sql(spark, "SELECT nextval('fs') AS v").collect()
+    two = run_sql(spark, "SELECT nextval('fs') AS v, currval('fs') AS c").collect()
+    assert one[0]["v"] == 7
+    assert two[0]["v"] == 8 and two[0]["c"] == 8
+    run_sql(spark, "DROP SEQUENCE fs")
+    with pytest.raises(KeyError):
+        run_sql(spark, "SELECT nextval('fs') AS v")
+
+
+def test_front_door_export_database(spark, tmp_path):
+    run_sql(
+        spark,
+        "CREATE OR REPLACE TABLE t_exp AS "
+        f"SELECT * FROM parquet.`{SF}/region.parquet`",
+    )
+    out = str(tmp_path / "exp")
+    run_sql(spark, f"EXPORT DATABASE '{out}'")
+    assert os.path.exists(f"{out}/t_exp.parquet")
+    assert "t_exp" in open(f"{out}/schema.sql").read()
