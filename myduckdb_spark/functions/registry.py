@@ -519,3 +519,11 @@ _reg("glob")(lambda s, p: _c(s).rlike(
     ) + "$"
 ))
 _reg("regexp_full_match", "similar_to")(lambda s, p: _c(s).rlike(f"^(?:{p})$"))
+
+
+# --- TIME WITH TIME ZONE family (reference dtime_tz_t, time.hpp;
+# test/sql/types/time/test_time_tz.test) — registered from the
+# dedicated module to keep the packing constants in one place ---
+from myduckdb_spark.functions.timetz import register_timetz as _register_timetz  # noqa: E402
+
+_register_timetz()
