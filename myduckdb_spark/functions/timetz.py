@@ -51,23 +51,26 @@ def _c(x) -> Column:
     return x if isinstance(x, Column) else (F.col(x) if isinstance(x, str) else F.lit(x))
 
 
+def _num(g: Column) -> Column:
+    """regexp_extract group -> BIGINT; empty match -> NULL (ANSI-safe)."""
+    return F.when(g != "", g).cast("bigint")
+
+
 def _micros_from_groups(s: Column, pat: str) -> Column:
     """micros-since-midnight from regex groups 1-4 of `pat` (NULL if no match)."""
-    hh = F.regexp_extract(s, pat, 1)
-    mm = F.regexp_extract(s, pat, 2)
-    ss = F.regexp_extract(s, pat, 3)
-    frac = F.rpad(F.regexp_extract(s, pat, 4), 6, "0")  # '.123' -> 123000 micros
+    hh = _num(F.regexp_extract(s, pat, 1))
+    mm = _num(F.regexp_extract(s, pat, 2))
+    ss = _num(F.regexp_extract(s, pat, 3))
+    frac = _num(F.rpad(F.regexp_extract(s, pat, 4), 6, "0"))  # '.123' -> 123000 micros
     micros = (
-        hh.cast("bigint") * 3_600_000_000
-        + mm.cast("bigint") * 60_000_000
-        + ss.cast("bigint") * 1_000_000
-        + F.coalesce(frac.cast("bigint"), F.lit(0))
+        hh * 3_600_000_000
+        + mm * 60_000_000
+        + ss * 1_000_000
+        + F.coalesce(frac, F.lit(0))
     )
-    # range check: times run 00:00:00 .. 24:00:00 inclusive
-    valid = (
-        (hh != "") & (mm.cast("int") < 60) & (ss.cast("int") < 60)
-        & (micros <= F.lit(86_400_000_000))
-    )
+    # range check: minutes/seconds < 60; the hour field itself is NOT
+    # capped (DuckDB accepts '26:00:00'::TIMETZ, time_limits.test)
+    valid = hh.isNotNull() & (mm < 60) & (ss < 60)
     return F.when(valid, micros)
 
 
@@ -78,13 +81,13 @@ def _offset_secs(s: Column) -> Column:
     optional-colon groups are both two digits; '+H'/' +HH' leave 7/8 empty.
     """
     sign = F.regexp_extract(s, _TIME_RE, 5)
-    oh = F.regexp_extract(s, _TIME_RE, 6)
-    om = F.regexp_extract(s, _TIME_RE, 7)
-    osec = F.regexp_extract(s, _TIME_RE, 8)
+    oh = _num(F.regexp_extract(s, _TIME_RE, 6))
+    om = _num(F.regexp_extract(s, _TIME_RE, 7))
+    osec = _num(F.regexp_extract(s, _TIME_RE, 8))
     mag = (
-        F.coalesce(oh.cast("bigint"), F.lit(0)) * 3600
-        + F.coalesce(om.cast("bigint"), F.lit(0)) * 60
-        + F.coalesce(osec.cast("bigint"), F.lit(0))
+        F.coalesce(oh, F.lit(0)) * 3600
+        + F.coalesce(om, F.lit(0)) * 60
+        + F.coalesce(osec, F.lit(0))
     )
     secs = F.when(sign == "-", -mag).otherwise(mag)
     return F.when(sign == "", F.lit(0)).otherwise(

@@ -400,3 +400,96 @@ def fn_blob_battery(spark, sf_dir):
         .alias("ham"),
         F.round(fn("jaccard")(F.col("p_name"), F.col("p_type")), 6).alias("jac"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "fn_timetz_battery",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey AS id,
+             o_orderkey % 24 AS hh, (o_orderkey * 7) % 60 AS mi,
+             (o_orderkey * 13) % 60 AS ss, (o_orderkey * 997) % 1000000 AS us,
+             o_orderkey % 15 AS oh, 15 * (o_orderkey % 4) AS om,
+             15 * (1 + o_orderkey % 3) AS om6, 1 + (o_orderkey * 11) % 59 AS os2
+      FROM orders WHERE o_orderkey % 31 = 0
+    ),
+    s AS (
+      SELECT id, CASE id % 8
+        WHEN 0 THEN printf('%02d:%02d:%02d', hh, mi, ss)
+        WHEN 1 THEN printf('%02d:%02d:%02d.%06d+%02d', hh, mi, ss, us, oh)
+        WHEN 2 THEN printf('%02d:%02d:%02d+%02d:%02d', hh, mi, ss, oh, om)
+        WHEN 3 THEN printf('%02d:%02d:%02d-%02d:%02d', hh, mi, ss, oh, om)
+        WHEN 4 THEN printf('%02d:%02d:%02d.%06d+%02d%02d', hh, mi, ss, us, oh, om)
+        WHEN 5 THEN printf('2024-03-05 %02d:%02d:%02d.%06d', hh, mi, ss, us)
+        WHEN 6 THEN printf('%02d:%02d:%02d+%02d:%02d:%02d', hh, mi, ss, oh, om6, os2)
+        ELSE printf('%02d:61:00', hh) END AS s
+      FROM v
+    ),
+    t AS (SELECT id, s, TRY_CAST(s AS TIMETZ) AS ttz FROM s)
+    SELECT id, s,
+           CAST(ttz AS VARCHAR) AS ttz_str,
+           CAST((extract(hour FROM CAST(ttz AS TIME)) * 3600
+                 + extract(minute FROM CAST(ttz AS TIME)) * 60) * 1000000
+                + extract(microsecond FROM CAST(ttz AS TIME)) AS BIGINT) AS tmic,
+           CAST(extract(timezone FROM ttz) AS BIGINT) AS offs,
+           CAST(row_number() OVER (ORDER BY ttz NULLS LAST, id) AS BIGINT) AS rnk
+    FROM t ORDER BY id
+    """,
+    tags=("datetime", "timetz"),
+)
+def fn_timetz_battery(spark, sf_dir):
+    """TIME WITH TIME ZONE parity (reference dtime_tz_t, time.hpp;
+    test/sql/types/time/test_time_tz.test): VARCHAR->TIMETZ parsing
+    across every offset spelling the reference accepts (+HH, ±HH:MM,
+    ±HH:MM:SS, compact ±HHMM, timestamp-shaped, none), TIMETZ->VARCHAR
+    shortest-form rendering, TIME extraction, offset extraction, and the
+    packed-key ordering (wall clock first, offset DESC on ties) checked
+    via row_number against DuckDB's ORDER BY ttz. Invalid inputs (61
+    minutes) must be NULL in every derived column and rank after all
+    valid keys. The TIMETZ key is a plain BIGINT (same bit layout as
+    dtime_tz_t), so compare/sort/rank all stay in whole-stage codegen."""
+    from pyspark.sql import Window
+
+    from myduckdb_spark.functions.timetz import (
+        timetz_format,
+        timetz_micros,
+        timetz_offset,
+        to_timetz,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 31 == 0)
+    i = F.col("id")
+    v = o.select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 24).alias("hh"),
+        (F.col("o_orderkey") * 7 % 60).alias("mi"),
+        (F.col("o_orderkey") * 13 % 60).alias("ss"),
+        (F.col("o_orderkey") * 997 % 1000000).alias("us"),
+        (F.col("o_orderkey") % 15).alias("oh"),
+        (F.lit(15) * (F.col("o_orderkey") % 4)).alias("om"),
+        (F.lit(15) * (F.lit(1) + F.col("o_orderkey") % 3)).alias("om6"),
+        (F.lit(1) + F.col("o_orderkey") * 11 % 59).alias("os2"),
+    )
+    fs = F.format_string
+    s = v.select(
+        "id",
+        F.when(i % 8 == 0, fs("%02d:%02d:%02d", "hh", "mi", "ss"))
+        .when(i % 8 == 1, fs("%02d:%02d:%02d.%06d+%02d", "hh", "mi", "ss", "us", "oh"))
+        .when(i % 8 == 2, fs("%02d:%02d:%02d+%02d:%02d", "hh", "mi", "ss", "oh", "om"))
+        .when(i % 8 == 3, fs("%02d:%02d:%02d-%02d:%02d", "hh", "mi", "ss", "oh", "om"))
+        .when(i % 8 == 4, fs("%02d:%02d:%02d.%06d+%02d%02d", "hh", "mi", "ss", "us", "oh", "om"))
+        .when(i % 8 == 5, fs("2024-03-05 %02d:%02d:%02d.%06d", "hh", "mi", "ss", "us"))
+        .when(i % 8 == 6, fs("%02d:%02d:%02d+%02d:%02d:%02d", "hh", "mi", "ss", "oh", "om6", "os2"))
+        .otherwise(fs("%02d:61:00", "hh"))
+        .alias("s"),
+    )
+    key = to_timetz(F.col("s"))
+    w = Window.orderBy(key.asc_nulls_last(), "id")
+    return s.select(
+        "id",
+        "s",
+        timetz_format(key).alias("ttz_str"),
+        timetz_micros(key).alias("tmic"),
+        timetz_offset(key).alias("offs"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).orderBy("id")

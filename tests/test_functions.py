@@ -298,3 +298,38 @@ def test_pattern_matching_family(spark):
     assert (row["lk"], row["il"], row["gl"], row["st"], row["nf"]) == (
         True, True, True, True, False,
     )
+
+
+def test_timetz_reference_literals(spark, duck):
+    """The reference's own TIMETZ corpus (test/sql/types/time/
+    test_time_tz.test:66-101): parse every literal, render it back, and
+    reproduce DuckDB's documented ordering (wall clock first, ties by
+    offset DESC) with the packed BIGINT key."""
+    from myduckdb_spark.functions.timetz import timetz_format, to_timetz
+
+    lits = [
+        "00:00:00+1559", "00:00:00+1558", "02:30:00", "02:30:00+04",
+        "02:30:00+04:30", "02:30:00+04:30:45", "16:15:03.123456",
+        "02:30:00+1200", "02:30:00-1200", "24:00:00-1558", "24:00:00-1559",
+        "2023-08-20 16:15:03.123456",
+    ]
+    df = spark.createDataFrame([(s,) for s in lits], "s string")
+    key = to_timetz(F.col("s"))
+    got = [
+        r["out"]
+        for r in df.select(timetz_format(key).alias("out"))
+        .orderBy(key.asc_nulls_last())
+        .collect()
+    ]
+    vals = ", ".join(f"('{s}')" for s in lits)
+    want = [
+        r[0]
+        for r in duck.sql(
+            f"SELECT CAST(CAST(s AS TIMETZ) AS VARCHAR) FROM (VALUES {vals}) t(s)"
+            " ORDER BY CAST(s AS TIMETZ)"
+        ).fetchall()
+    ]
+    assert got == want
+    # invalid inputs -> NULL (DuckDB TRY_CAST behavior)
+    bad = spark.createDataFrame([("02:61:00",), ("02:30:00+16",), ("",)], "s string")
+    assert [r[0] for r in bad.select(to_timetz("s")).collect()] == [None] * 3
