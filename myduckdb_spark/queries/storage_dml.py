@@ -65,6 +65,59 @@ def dml_roundtrip(spark, sf_dir):
 
 
 @register(
+    "upsert_on_conflict",
+    oracle="""
+    WITH incoming(n_nationkey, n_name, n_regionkey) AS (
+        SELECT n_nationkey, 'DUP-' || n_name, n_regionkey
+        FROM nation WHERE n_nationkey % 3 = 0
+        UNION ALL
+        SELECT n_nationkey + 100, 'NEW-' || n_name, n_regionkey
+        FROM nation WHERE n_nationkey % 4 = 0
+    )
+    SELECT b.n_nationkey,
+           CASE WHEN i.n_nationkey IS NOT NULL AND b.n_regionkey < 3
+                THEN i.n_name ELSE b.n_name END AS n_name,
+           CASE WHEN i.n_nationkey IS NOT NULL AND b.n_regionkey < 3
+                THEN b.n_regionkey + 10 ELSE b.n_regionkey END AS n_regionkey
+    FROM nation b LEFT JOIN incoming i USING (n_nationkey)
+    UNION ALL
+    SELECT i.n_nationkey, i.n_name, i.n_regionkey
+    FROM incoming i ANTI JOIN nation b USING (n_nationkey)
+    ORDER BY n_nationkey
+    """,
+    tags=("storage", "dml", "upsert"),
+)
+def upsert_on_conflict(spark, sf_dir):
+    """INSERT ... ON CONFLICT (key) DO UPDATE (reference
+    physical_insert.cpp OnConflictHandling): conflicting keys update the
+    stored row from `excluded` under a WHERE guard; fresh keys append.
+    Oracle = the algebraic left-join/anti-join equivalent in DuckDB."""
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="mdbs_q_upsert_")
+    t = ManagedTable.create(spark, root, src.repartitionByRange(4, "n_nationkey"))
+    t.set_key(["n_nationkey"])
+    incoming = src.filter("n_nationkey % 3 = 0").select(
+        "n_nationkey", F.concat(F.lit("DUP-"), "n_name").alias("n_name"), "n_regionkey"
+    ).union(
+        src.filter("n_nationkey % 4 = 0").select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            F.concat(F.lit("NEW-"), "n_name").alias("n_name"),
+            "n_regionkey",
+        )
+    )
+    t.upsert(
+        incoming,
+        ["n_nationkey"],
+        "update",
+        {"n_name": "__exc_n_name", "n_regionkey": "n_regionkey + 10"},
+        where="n_regionkey < 3",
+    )
+    return t.scan().orderBy("n_nationkey")
+
+
+@register(
     "seq_bulk_ids",
     oracle="""
     SELECT n_nationkey,

@@ -1025,7 +1025,91 @@ def _refresh_view(spark: SparkSession, name: str) -> None:
 
 
 _CTAS = re.compile(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+AS\s+(.+?);?\s*$", re.I | re.S)
-_INSERT = re.compile(r"^\s*INSERT\s+INTO\s+(\w+)\s+(.+?);?\s*$", re.I | re.S)
+_CREATE_TBL = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_INSERT = re.compile(
+    r"^\s*INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\s+(\w+)\s*(?:\(([^()]*)\))?\s*(.+?);?\s*$",
+    re.I | re.S,
+)
+_ON_CONFLICT_CLAUSE = re.compile(
+    r"^\s*(?:\(([^()]*)\))?\s*DO\s+(NOTHING|UPDATE)\s*(?:SET\s+(.+?))?(?:\s+WHERE\s+(.+?))?\s*$",
+    re.I | re.S,
+)
+
+# DuckDB column types Spark's DDL parser doesn't know (beyond the intN
+# aliases translate() already maps)
+_DDL_TYPES = {
+    "INTEGER": "INT", "SIGNED": "INT", "LONG": "BIGINT",
+    "HUGEINT": "DECIMAL(38,0)", "UHUGEINT": "DECIMAL(38,0)",
+    "UTINYINT": "SMALLINT", "USMALLINT": "INT", "UINTEGER": "BIGINT",
+    "UBIGINT": "DECIMAL(20,0)", "REAL": "FLOAT", "TEXT": "STRING",
+    "VARCHAR": "STRING", "BPCHAR": "STRING", "BLOB": "BINARY",
+    "NUMERIC": "DECIMAL(18,3)", "DATETIME": "TIMESTAMP", "UUID": "STRING",
+    "BOOL": "BOOLEAN", "TIME": "BIGINT",  # µs-since-midnight convention
+}
+
+
+def _parse_column_defs(body: str) -> tuple[list[tuple[str, str]], list[str]]:
+    """Parse `a INT PRIMARY KEY, b TEXT, PRIMARY KEY (a, b)` → (cols, key).
+    Constraints other than PRIMARY KEY (NOT NULL / UNIQUE / CHECK /
+    DEFAULT) are accepted and dropped — the managed layer stores data, it
+    does not enforce them (the reference enforces via ART indexes)."""
+    cols: list[tuple[str, str]] = []
+    key: list[str] = []
+    for part in _split_args(body):
+        p = part.strip()
+        m = re.match(r"^PRIMARY\s+KEY\s*\(([^)]*)\)$", p, re.I)
+        if m:
+            key = [c.strip().strip('"') for c in m.group(1).split(",")]
+            continue
+        if re.match(r"^(UNIQUE|CHECK|FOREIGN)\b", p, re.I):
+            continue
+        m = re.match(r'^("?[\w]+"?)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(.*)$', p, re.S)
+        if not m:
+            raise ValueError(f"cannot parse column definition: {p!r}")
+        name, typ, rest = m.group(1).strip('"'), m.group(2), m.group(3)
+        base = re.sub(r"\s*\(.*", "", typ).upper()
+        if base in _DDL_TYPES and "(" not in typ:
+            typ = _DDL_TYPES[base]
+        elif base in ("VARCHAR", "CHAR", "BPCHAR"):
+            typ = "STRING"  # DuckDB ignores VARCHAR length caps
+        if re.search(r"\bPRIMARY\s+KEY\b", rest, re.I):
+            key.append(name)
+        cols.append((name, typ))
+    return cols, key
+
+
+def _split_off_on_conflict(source: str) -> tuple[str, str | None]:
+    """Split `VALUES ... ON CONFLICT ...` at depth 0 outside literals."""
+    spans = _literal_spans(source)
+    depth = _depth_profile(source)
+    for m in re.finditer(r"\bON\s+CONFLICT\b", source, re.I):
+        if _in_spans(m.start(), spans) or depth[m.start()] != 0:
+            continue
+        return source[: m.start()], source[m.end():]
+    return source, None
+
+
+def _qualify_excluded(expr: str, table: str, src_cols: list[str]) -> str:
+    """Rewrite DO UPDATE expressions for the upsert join: the incoming
+    row's `excluded.c` → `__exc_c`; the stored row's `t.c` (or
+    unqualified `c`, the reference's binding) stays the plain column."""
+    spans = _literal_spans(expr)
+    out = re.sub(
+        r"\bexcluded\.(\w+)",
+        lambda m: m.group(0) if _in_spans(m.start(), spans) else f"__exc_{m.group(1)}",
+        expr,
+        flags=re.I,
+    )
+    spans = _literal_spans(out)
+    return re.sub(
+        rf"\b{re.escape(table)}\.(\w+)",
+        lambda m: m.group(0) if _in_spans(m.start(), spans) else m.group(1),
+        out,
+        flags=re.I,
+    )
 _DELETE = re.compile(r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?;?\s*$", re.I | re.S)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?;?\s*$", re.I | re.S
@@ -1037,6 +1121,56 @@ _EXPORT_DB = re.compile(r"^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(.*?\))?\s*;?\
 _IMPORT_DB = re.compile(r"^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$", re.I)
 _ATTACH = re.compile(r"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+(\w+)\s*;?\s*$", re.I)
 _DETACH = re.compile(r"^\s*DETACH\s+(?:DATABASE\s+)?(\w+)\s*;?\s*$", re.I)
+_PREPARE = re.compile(r"^\s*PREPARE\s+(\w+)\s+AS\s+(.+?);?\s*$", re.I | re.S)
+_EXECUTE = re.compile(r"^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*;?\s*$", re.I | re.S)
+_DEALLOCATE = re.compile(r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*;?\s*$", re.I)
+
+# PREPARE name AS <query-with-placeholders> — reference EP2
+# (src/main/prepared_statement.cpp). The reference caches a bound plan and
+# rebinds parameter VALUES per EXECUTE; Spark has no plan cache, so we
+# store the statement text and splice the EXECUTE literals into the
+# placeholder slots (same observable semantics: per-EXECUTE rebind).
+_PREPARED: dict[str, str] = {}
+
+
+def _bind_prepared(text: str, argtext: str | None) -> str:
+    """Substitute EXECUTE arguments into ?/$n/$name placeholders."""
+    argv: list[str] = _split_args(argtext) if argtext and argtext.strip() else []
+    named: dict[str, str] = {}
+    positional: list[str] = []
+    for a in argv:
+        m = re.match(r"\s*(\w+)\s*:=\s*(.+)$", a, re.S)
+        if m:
+            named[m.group(1).lower()] = m.group(2).strip()
+        else:
+            positional.append(a.strip())
+    spans = _literal_spans(text)
+    out: list[str] = []
+    last = 0
+    next_pos = 0
+    for m in re.finditer(r"\?|\$(\w+)", text):
+        if _in_spans(m.start(), spans):
+            continue
+        name = m.group(1)
+        if name is None:  # `?` — next positional
+            if next_pos >= len(positional):
+                raise ValueError("EXECUTE: not enough positional parameters")
+            val = positional[next_pos]
+            next_pos += 1
+        elif name.isdigit():  # `$1` — 1-based positional
+            idx = int(name) - 1
+            if idx >= len(positional):
+                raise ValueError(f"EXECUTE: missing parameter ${name}")
+            val = positional[idx]
+        else:  # `$name` — named (DuckDB binds case-insensitively)
+            if name.lower() not in named:
+                raise ValueError(f"EXECUTE: missing named parameter ${name}")
+            val = named[name.lower()]
+        out.append(text[last:m.start()])
+        out.append(f"({val})")
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
 
 
 def _split_assignments(settext: str) -> dict[str, str]:
@@ -1075,10 +1209,115 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         _MANAGED[name] = storage.ManagedTable.create(spark, root, spark.sql(translate(select)))
         _refresh_view(spark, name)
         return _count_df(spark, _MANAGED[name].count())
+    m = _CREATE_TBL.match(text)
+    if m and not _CTAS.match(text):
+        replace, name, body = bool(m.group(1)), m.group(2), m.group(3)
+        cols, key = _parse_column_defs(body)
+        if name in _MANAGED:
+            if "IF NOT EXISTS" in text.upper():
+                return _count_df(spark, 0)
+            if not replace:
+                raise ValueError(f"table {name} already exists")
+        empty = spark.sql(
+            "SELECT " + ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+        ).limit(0)
+        root = tempfile.mkdtemp(prefix=f"mdbs_tbl_{name}_")
+        _MANAGED[name] = storage.ManagedTable.create(spark, root, empty)
+        if key:
+            _MANAGED[name].set_key(key)
+        _refresh_view(spark, name)
+        return _count_df(spark, 0)
     m = _INSERT.match(text)
-    if m and m.group(1) in _MANAGED:
-        name, select = m.group(1), m.group(2)
-        n = _MANAGED[name].insert(spark.sql(translate(select)))
+    if m and m.group(2) in _MANAGED:
+        or_action, name, collist, source = (
+            (m.group(1) or "").upper(), m.group(2), m.group(3), m.group(4),
+        )
+        if collist is not None and not re.match(
+            r'^\s*"?\w+"?(\s*,\s*"?\w+"?)*\s*$', collist
+        ):
+            # `INSERT INTO t (SELECT ...)` — parenthesized source, not a
+            # column list (the reference's binder makes the same call)
+            source, collist = f"({collist}) {source}", None
+        source, conflict = _split_off_on_conflict(source)
+        tbl = _MANAGED[name]
+        src_df = spark.sql(translate(source))
+        if collist is not None:
+            names = [c.strip().strip('"') for c in collist.split(",")]
+            if len(names) != len(src_df.columns):
+                raise ValueError("INSERT column list arity mismatch")
+            table_cols = tbl.scan().columns
+            unknown = [c for c in names if c not in table_cols]
+            if unknown:
+                raise ValueError(f"INSERT into unknown column(s): {unknown}")
+            by_name = dict(zip(names, src_df.columns))
+            from pyspark.sql import functions as _F
+
+            src_df = src_df.select(
+                *[
+                    _F.col(by_name[c]).alias(c) if c in by_name else _F.lit(None).alias(c)
+                    for c in table_cols
+                ]
+            )
+        if or_action or conflict is not None:
+            key = tbl.key()
+            if or_action == "REPLACE":
+                if not key:
+                    raise ValueError("INSERT OR REPLACE requires a table key")
+                table_cols = tbl.scan().columns
+                assignments = {
+                    c: f"__exc_{c}" for c in table_cols if c not in key
+                }
+                n = tbl.upsert(src_df, key, "update", assignments)
+            elif or_action == "IGNORE":
+                if not key:
+                    raise ValueError("INSERT OR IGNORE requires a table key")
+                n = tbl.upsert(src_df, key, "nothing")
+            else:
+                cm = _ON_CONFLICT_CLAUSE.match(conflict)
+                if not cm:
+                    raise ValueError(f"cannot parse ON CONFLICT clause: {conflict!r}")
+                target, act, settext, wheretext = cm.groups()
+                key_cols = (
+                    [c.strip().strip('"') for c in target.split(",")] if target else key
+                )
+                if not key_cols:
+                    raise ValueError("ON CONFLICT requires a conflict target or table key")
+                if act.upper() == "NOTHING":
+                    n = tbl.upsert(src_df, key_cols, "nothing")
+                else:
+                    assignments = {
+                        c: translate(_qualify_excluded(e, name, src_df.columns))
+                        for c, e in _split_assignments(settext or "").items()
+                    }
+                    where = (
+                        translate(_qualify_excluded(wheretext, name, src_df.columns))
+                        if wheretext
+                        else None
+                    )
+                    n = tbl.upsert(src_df, key_cols, "update", assignments, where)
+        else:
+            key = tbl.key()
+            if key:
+                # plain INSERT into a keyed table enforces the constraint
+                # (reference: ART index check in physical_insert.cpp)
+                from pyspark.sql import functions as _F
+
+                table_cols = tbl.scan().columns
+                probe = src_df.select(
+                    *[
+                        _F.col(src_df.columns[table_cols.index(k)]).alias(k)
+                        for k in key
+                    ]
+                )
+                clash = probe.join(tbl.scan().select(*key), key, "left_semi").limit(1).collect()
+                dup = probe.groupBy(*key).count().filter("count > 1").limit(1).collect()
+                if clash or dup:
+                    row = (clash or dup)[0]
+                    keyval = ", ".join(f"{k}: {row[k]}" for k in key)
+                    raise ValueError(
+                        f'Constraint Error: Duplicate key "{keyval}" violates primary key constraint.'
+                    )
+            n = tbl.insert(src_df)
         _refresh_view(spark, name)
         return _count_df(spark, n)
     m = _DELETE.match(text)
@@ -1168,6 +1407,15 @@ def _statement_command(spark: SparkSession, text: str) -> DataFrame | None:
     """Client-config / introspection statements the reference serves from
     its shell (SET: settings.cpp; PRAGMA table_info; EXPLAIN). Returns a
     DataFrame result, or None if ``text`` is a plain query."""
+    m = _PREPARE.match(text)
+    if m:
+        _PREPARED[m.group(1).lower()] = m.group(2)
+        return _count_df(spark, 0)
+    m = _DEALLOCATE.match(text)
+    if m:
+        if _PREPARED.pop(m.group(1).lower(), None) is None:
+            raise KeyError(f"DEALLOCATE: unknown prepared statement {m.group(1)}")
+        return _count_df(spark, 0)
     m = _SET_STMT.match(text)
     if m:
         name, raw = m.group(1), m.group(2).strip().strip("'\"")
@@ -1225,6 +1473,11 @@ def sql(
     acceptable (Catalyst re-optimization is cheap relative to execution)."""
     if sf_dir:
         register_views(spark, sf_dir)
+    m = _EXECUTE.match(text)
+    if m and m.group(1).lower() in _PREPARED:
+        # EXECUTE rebinds the stored statement with these literal values
+        # and runs it through the full front door (queries AND DML).
+        text = _bind_prepared(_PREPARED[m.group(1).lower()], m.group(2))
     cmd = _statement_command(spark, text)
     if cmd is not None:
         return cmd

@@ -132,8 +132,11 @@ class ManagedTable:
         return _part_files(out)
 
     def _commit(self, version: int, files: list[dict]) -> None:
-        probe = files[0]["path"] if files else self._manifest().get("schema_probe")
+        cur = self._manifest() if os.path.exists(self._manifest_path()) else {}
+        probe = files[0]["path"] if files else cur.get("schema_probe")
         m = {"version": version, "files": files, "schema_probe": probe}
+        if cur.get("key"):
+            m["key"] = cur["key"]
         _atomic_write_json(self._manifest_path(version), m)
         _atomic_write_json(self._manifest_path(), m)
 
@@ -157,6 +160,124 @@ class ManagedTable:
         new = self._write_snapshot(df)
         self._commit(cur["version"] + 1, cur["files"] + new)
         return sum(f["rows"] for f in new)
+
+    # -- keyed upsert (reference INSERT ... ON CONFLICT,
+    #    physical_insert.cpp OnConflictHandling) -----------------------------
+
+    def key(self) -> list[str] | None:
+        """Conflict-target columns (the reference's PRIMARY KEY)."""
+        return self._manifest().get("key")
+
+    def set_key(self, cols: list[str]) -> None:
+        cur = self._manifest()
+        missing = set(cols) - set(self.scan().columns)
+        if missing:
+            raise ValueError(f"key column(s) not in table: {sorted(missing)}")
+        cur["key"] = list(cols)
+        _atomic_write_json(self._manifest_path(cur["version"]), cur)
+        _atomic_write_json(self._manifest_path(), cur)
+
+    def upsert(
+        self,
+        df: DataFrame,
+        key_cols: list[str] | None = None,
+        action: str = "nothing",  # "nothing" | "update"
+        assignments: dict[str, str] | None = None,
+        where: str | None = None,
+    ) -> int:
+        """INSERT ... ON CONFLICT (key) DO NOTHING / DO UPDATE SET.
+
+        Copy-on-write merge: conflicting keys' files are rewritten (DO
+        UPDATE) or left untouched (DO NOTHING); non-conflicting incoming
+        rows append as new files. Matches the reference's observable
+        semantics (physical_insert.cpp): a duplicate conflict key WITHIN
+        the incoming batch raises (the reference cannot see rows inserted
+        by the same statement), DO UPDATE's SET/WHERE may reference the
+        incoming row as ``excluded.col`` and the stored row unqualified,
+        and a WHERE that fails leaves the stored row unchanged.
+
+        At scale: the incoming batch's distinct keys broadcast into a
+        semi-join against the scan (pushdown projects input_file_name
+        only), so the rewrite cost is proportional to files containing
+        conflicts, never the table size.
+        """
+        key_cols = list(key_cols or self.key() or [])
+        if not key_cols:
+            raise ValueError("ON CONFLICT requires conflict-target columns (no table key)")
+        cur = self._manifest()
+        target = self.scan().limit(0)
+        if len(df.columns) != len(target.columns):
+            raise ValueError(
+                f"INSERT arity {len(df.columns)} != table arity {len(target.columns)}"
+            )
+        df = df.select(
+            *[
+                F.col(c).cast(t).alias(name)
+                for c, (name, t) in zip(df.columns, target.dtypes)
+            ]
+        ).cache()
+        try:
+            dup = (
+                df.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                keyval = ", ".join(str(dup[0][k]) for k in key_cols)
+                raise ValueError(
+                    f"Constraint Error: duplicate key \"{keyval}\" in INSERT batch"
+                )
+            incoming_keys = df.select(*key_cols).distinct()
+            existing = self.scan()
+            fresh = df.join(F.broadcast(existing.select(*key_cols).distinct()), key_cols, "left_anti")
+            n_fresh = fresh.count()
+            new_files = self._write_snapshot(fresh) if n_fresh else []
+            if action == "nothing":
+                self._commit(cur["version"] + 1, cur["files"] + new_files)
+                return n_fresh
+            # DO UPDATE: rewrite only files holding conflicting keys
+            # project input_file_name() directly over the scan (single
+            # source) BEFORE joining — Spark's PreReadCheck rejects it
+            # when the incoming side is itself a file source
+            touched_rows = (
+                existing.select(*key_cols, F.input_file_name().alias("f"))
+                .join(F.broadcast(incoming_keys), key_cols, "left_semi")
+                .select("f")
+                .distinct()
+                .collect()
+            )
+            touched = {re.sub(r"^file:/+", "/", r["f"]) for r in touched_rows}
+            if not touched:
+                self._commit(cur["version"] + 1, cur["files"] + new_files)
+                return n_fresh
+            keep = [f for f in cur["files"] if f["path"] not in touched]
+            src = self.spark.read.parquet(*sorted(touched))
+            types = dict(src.dtypes)
+            exc = df.select(
+                *[F.col(c).alias(f"__exc_{c}") for c in df.columns],
+                F.lit(True).alias("__matched"),
+            )
+            joined = src.join(
+                F.broadcast(exc),
+                [src[k] == exc[f"__exc_{k}"] for k in key_cols],
+                "left",
+            )
+            upd_pred = "__matched" + (f" AND ({where})" if where else "")
+            n_updated = joined.filter(F.expr(upd_pred)).count()
+            rewritten = joined.select(
+                *[
+                    F.expr(
+                        f"CAST(CASE WHEN ({upd_pred}) THEN ({assignments[c]}) "
+                        f"ELSE {c} END AS {types[c]}) AS {c}"
+                    )
+                    if assignments and c in assignments
+                    else F.col(c)
+                    for c in src.columns
+                ]
+            )
+            new_files += self._write_snapshot(rewritten)
+            self._commit(cur["version"] + 1, keep + new_files)
+            return n_fresh + n_updated
+        finally:
+            df.unpersist()
 
     # -- DML ----------------------------------------------------------------
 

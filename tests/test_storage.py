@@ -234,3 +234,94 @@ def test_front_door_export_database(spark, tmp_path):
     run_sql(spark, f"EXPORT DATABASE '{out}'")
     assert os.path.exists(f"{out}/t_exp.parquet")
     assert "t_exp" in open(f"{out}/schema.sql").read()
+
+
+def test_front_door_upsert_matches_duckdb(spark):
+    """INSERT ... ON CONFLICT / OR REPLACE / OR IGNORE parity (reference
+    physical_insert.cpp OnConflictHandling): identical statement text runs
+    against both engines; Counts and final table contents must match."""
+    con = duckdb.connect()
+    stmts = [
+        "CREATE OR REPLACE TABLE t_up (i INTEGER PRIMARY KEY, v INTEGER)",
+        "INSERT INTO t_up VALUES (1, 10), (2, 20)",
+        "INSERT INTO t_up VALUES (1, 99), (3, 30) ON CONFLICT DO NOTHING",
+        "INSERT INTO t_up VALUES (1, 100), (4, 40) "
+        "ON CONFLICT (i) DO UPDATE SET v = excluded.v + t_up.v",
+        "INSERT OR REPLACE INTO t_up VALUES (1, -1), (5, 50)",
+        "INSERT OR IGNORE INTO t_up VALUES (1, 0), (6, 60)",
+        "INSERT INTO t_up VALUES (2, 2000), (6, 6000) "
+        "ON CONFLICT (i) DO UPDATE SET v = excluded.v WHERE t_up.v < 100",
+    ]
+    for s in stmts:
+        got = run_sql(spark, s)
+        want = con.sql(s)
+        if want is not None and s.lstrip().upper().startswith("INSERT"):
+            got_n, want_n = got.collect()[0][0], want.fetchall()[0][0]
+            assert got_n == want_n, f"Count mismatch for {s!r}: {got_n} != {want_n}"
+    got = [tuple(r) for r in spark.table("t_up").orderBy("i").collect()]
+    want = con.sql("SELECT * FROM t_up ORDER BY i").fetchall()
+    assert got == want
+
+
+def test_front_door_upsert_constraint_errors(spark):
+    con = duckdb.connect()
+    for s in (
+        "CREATE OR REPLACE TABLE t_uc (i INTEGER PRIMARY KEY, v INTEGER)",
+        "INSERT INTO t_uc VALUES (1, 10)",
+    ):
+        run_sql(spark, s)
+        con.sql(s)
+    # plain INSERT duplicating the key errors in both engines
+    with pytest.raises(Exception, match="[Dd]uplicate key"):
+        run_sql(spark, "INSERT INTO t_uc VALUES (1, 5)")
+    with pytest.raises(Exception, match="[Dd]uplicate key"):
+        con.sql("INSERT INTO t_uc VALUES (1, 5)")
+    # within-batch duplicate conflict keys error even under ON CONFLICT
+    # (the reference cannot see same-statement inserts)
+    with pytest.raises(Exception, match="duplicate key"):
+        run_sql(spark, "INSERT INTO t_uc VALUES (7, 1), (7, 2) ON CONFLICT DO NOTHING")
+    with pytest.raises(Exception, match="duplicate key"):
+        con.sql("INSERT INTO t_uc VALUES (7, 1), (7, 2) ON CONFLICT DO NOTHING")
+
+
+def test_front_door_insert_column_list(spark):
+    con = duckdb.connect()
+    stmts = [
+        "CREATE OR REPLACE TABLE t_cl (a INTEGER, b INTEGER, c VARCHAR)",
+        "INSERT INTO t_cl (c, a) VALUES ('x', 1), ('y', 2)",
+        "INSERT INTO t_cl VALUES (3, 33, 'z')",
+    ]
+    for s in stmts:
+        run_sql(spark, s)
+        con.sql(s)
+    got = [tuple(r) for r in spark.table("t_cl").orderBy("a").collect()]
+    want = con.sql("SELECT * FROM t_cl ORDER BY a").fetchall()
+    assert got == want
+
+
+def test_front_door_prepared_statements(spark):
+    """PREPARE / EXECUTE / DEALLOCATE (reference EP2,
+    src/main/prepared_statement.cpp) — positional ?, $n and named $name
+    forms, EXECUTE of DML, and DEALLOCATE removal."""
+    con = duckdb.connect()
+    run_sql(spark, "PREPARE p_add AS SELECT CAST(? AS INT) + CAST(? AS INT) AS s")
+    con.sql("PREPARE p_add AS SELECT CAST(? AS INT) + CAST(? AS INT) AS s")
+    got = run_sql(spark, "EXECUTE p_add(19, 23)").collect()[0]["s"]
+    want = con.sql("EXECUTE p_add(19, 23)").fetchall()[0][0]
+    assert got == want == 42
+    run_sql(spark, "PREPARE p_named AS SELECT $hi::INT - $lo::INT AS d")
+    con.sql("PREPARE p_named AS SELECT $hi::INT - $lo::INT AS d")
+    got = run_sql(spark, "EXECUTE p_named(hi := 50, lo := 8)").collect()[0]["d"]
+    want = con.sql("EXECUTE p_named(hi := 50, lo := 8)").fetchall()[0][0]
+    assert got == want == 42
+    # EXECUTE of a DML statement goes through the managed-storage path
+    run_sql(spark, "CREATE OR REPLACE TABLE t_prep (i INTEGER PRIMARY KEY, v INTEGER)")
+    run_sql(spark, "PREPARE p_ins AS INSERT INTO t_prep VALUES ($1, $2)")
+    run_sql(spark, "EXECUTE p_ins(1, 100)")
+    run_sql(spark, "EXECUTE p_ins(2, 200)")
+    assert [tuple(r) for r in spark.table("t_prep").orderBy("i").collect()] == [
+        (1, 100), (2, 200),
+    ]
+    run_sql(spark, "DEALLOCATE p_add")
+    with pytest.raises(Exception):
+        run_sql(spark, "EXECUTE p_add(1, 2)")
