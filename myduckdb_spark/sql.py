@@ -547,11 +547,524 @@ def _operand_start(text: str, end: int, spans) -> int:
                         break
             j -= 1
         fm = re.search(r"([A-Za-z_]\w*)\s*$", text[:j])
-        return fm.start(1) if fm else j
+        # a preceding word is a function name unless it's a keyword
+        # (`SELECT (1+1)^2` — the paren expression stands alone)
+        if fm and fm.group(1).upper() not in _UNARY_KEYWORDS:
+            return fm.start(1)
+        return j
     m = re.search(r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*|\d+(?:\.\d+)?|'[^']*')\s*$", text[:i])
     if m is None:
         raise ValueError("cannot locate ANY/ALL left operand")
+    if m.group(1).startswith("'"):
+        # typed literal (`TIMESTAMP '...'`, `DATE '...'`): the type keyword
+        # is part of the operand
+        tm = re.search(
+            r"\b(DATE|TIME|TIMESTAMP|TIMESTAMPTZ|INTERVAL)\s*$", text[: m.start(1)], re.I
+        )
+        if tm:
+            return tm.start(1)
+    if m.group(1).upper() == "END":
+        # operand is a CASE expression — walk back to its matching CASE
+        depth_case = 1
+        for km in reversed(list(re.finditer(r"\b(CASE|END)\b", text[: m.start(1)], re.I))):
+            if _in_spans(km.start(), spans):
+                continue
+            depth_case += 1 if km.group(1).upper() == "END" else -1
+            if depth_case == 0:
+                return km.start()
+        raise ValueError("unbalanced CASE/END before operand")
     return m.start(1)
+
+
+def _operand_end(text: str, start: int, spans) -> int:
+    """End offset (exclusive) of the simple operand starting at ``start``:
+    optional unary sign, then a call/identifier/number/literal/paren
+    expression, then optional ::type cast suffixes."""
+    i = start
+    n = len(text)
+    while i < n and text[i].isspace():
+        i += 1
+    if i < n and text[i] in "+-":
+        i += 1
+        while i < n and text[i].isspace():
+            i += 1
+    if i < n and text[i] == "(":
+        i = _matching_paren(text, i) + 1
+    else:
+        m = re.match(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|'[^']*'", text[i:])
+        if m is None:
+            raise ValueError(f"cannot locate operand at {text[i:i+30]!r}")
+        i += m.end()
+        j = i
+        while j < n and text[j].isspace():
+            j += 1
+        if j < n and text[j] == "(":  # function call
+            i = _matching_paren(text, j) + 1
+    # ::type suffix binds tighter than the power operator
+    while True:
+        m = re.match(r"\s*::\s*\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?", text[i:])
+        if m is None:
+            return i
+        i += m.end()
+
+
+def _matching_delim(text: str, open_idx: int, open_ch: str, close_ch: str) -> int:
+    """Like _matching_paren but for []/{} (literal-aware)."""
+    depth = 0
+    spans = _literal_spans(text)
+    i = open_idx
+    while i < len(text):
+        if not _in_spans(i, spans):
+            c = text[i]
+            if c == open_ch:
+                depth += 1
+            elif c == close_ch:
+                depth -= 1
+                if depth == 0:
+                    return i
+        i += 1
+    return -1
+
+
+def _split_top(argtext: str, sep: str) -> list[str]:
+    """Split on a top-level separator char (outside literals/parens/brackets/braces)."""
+    spans = _literal_spans(argtext)
+    out, depth, start = [], 0, 0
+    for i, c in enumerate(argtext):
+        if _in_spans(i, spans):
+            continue
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif c == sep and depth == 0:
+            out.append(argtext[start:i])
+            start = i + 1
+    out.append(argtext[start:])
+    return out
+
+
+def _bracket_is_index(text: str, i: int) -> bool:
+    """True when the ``[`` at i follows an operand (indexing/slicing),
+    False when it opens a list literal (follows a keyword, operator,
+    comma, or start of text)."""
+    j = i - 1
+    while j >= 0 and text[j].isspace():
+        j -= 1
+    if j < 0:
+        return False
+    ch = text[j]
+    if ch in ")]'\"":
+        return True
+    if ch.isalnum() or ch == "_":
+        wm = re.search(r"([A-Za-z_]\w*)$", text[: j + 1])
+        if wm and wm.group(1).upper() in _UNARY_KEYWORDS | {
+            "FROM", "JOIN", "GROUP", "USING", "ARRAY", "UNION", "INTERSECT",
+            "EXCEPT", "OVER", "PARTITION",
+        }:
+            return False
+        return True
+    return False
+
+
+def _rewrite_bracket_lists(text: str) -> str:
+    """DuckDB's ``[1, 2, 3]`` list literals → ``array(...)`` (Spark has no
+    bracket literal). A ``[`` preceded by an operand is INDEXING and is
+    left for _rewrite_index_brackets."""
+    while True:
+        spans = _literal_spans(text)
+        site = -1
+        for i, ch in enumerate(text):
+            if ch != "[" or _in_spans(i, spans):
+                continue
+            if _bracket_is_index(text, i):
+                continue  # indexing, not a literal
+            site = i
+            break
+        if site < 0:
+            return text
+        close = _matching_delim(text, site, "[", "]")
+        if close < 0:
+            return text
+        inner = text[site + 1 : close]
+        text = text[:site] + f"array({inner})" + text[close + 1 :]
+
+
+def _rewrite_struct_braces(text: str) -> str:
+    """DuckDB ``{'k': v, ...}`` struct literals → named_struct('k', v, ...);
+    ``MAP {'k': v}`` → map('k', v, ...)."""
+    spans = _literal_spans(text)
+    for i, ch in enumerate(text):
+        if ch != "{" or _in_spans(i, spans):
+            continue
+        close = _matching_delim(text, i, "{", "}")
+        if close < 0:
+            continue
+        inner = _rewrite_struct_braces(text[i + 1 : close])
+        rest = _rewrite_struct_braces(text[close + 1 :])
+        head = text[:i]
+        is_map = bool(re.search(r"\bMAP\s*$", head, re.I))
+        if is_map:
+            head = re.sub(r"\bMAP\s*$", "", head, flags=re.I)
+        pairs = []
+        for part in _split_top(inner, ","):
+            km = re.match(r"^\s*('(?:[^']|'')*'|\"[^\"]*\"|\w+)\s*:\s*(.+)$", part, re.S)
+            if not km:
+                return text[:i] + "{" + inner + "}" + rest  # not a struct literal
+            key, val = km.group(1), km.group(2).strip()
+            if not key.startswith("'"):
+                key = "'" + key.strip('"') + "'"
+            pairs.append((key, val))
+        fn = "map" if is_map else "named_struct"
+        args = ", ".join(f"{k}, {v}" for k, v in pairs)
+        return head + f"{fn}({args})" + rest
+    return text
+
+
+def _rewrite_index_brackets(text: str) -> str:
+    """DuckDB list/map indexing and slicing are 1-based
+    (src/core_functions/scalar/list/ array_slice.cpp): ``a[i]`` →
+    try_element_at (1-based, NULL out of bounds — Spark's bare ``a[i]``
+    is 0-based) and ``a[i:j]`` → slice(a, i, j-i+1)."""
+    while True:
+        spans = _literal_spans(text)
+        found = -1
+        for i, ch in enumerate(text):
+            if ch != "[" or _in_spans(i, spans):
+                continue
+            if _bracket_is_index(text, i):
+                found = i
+                break
+        if found < 0:
+            return text
+        close = _matching_delim(text, found, "[", "]")
+        if close < 0:
+            return text
+        inner = text[found + 1 : close]
+        start = _operand_start(text, found, spans)
+        operand = text[start:found].strip()
+        parts = _split_top(inner, ":")
+        if len(parts) == 1:
+            idx = inner.strip()
+            # DuckDB list[0] yields NULL; Spark's try_element_at raises on 0
+            repl = (
+                f"(CASE WHEN TRY_CAST(({idx}) AS BIGINT) = 0 THEN NULL "
+                f"ELSE try_element_at({operand}, {idx}) END)"
+            )
+        elif len(parts) == 2:
+            lo = parts[0].strip() or "1"
+            hi = parts[1].strip()
+            if hi:
+                repl = f"slice({operand}, {lo}, ({hi})-({lo})+1)"
+            else:
+                repl = f"slice({operand}, {lo}, size({operand})-({lo})+1)"
+        else:
+            return text
+        text = text[:start] + repl + text[close + 1 :]
+
+
+def _rewrite_table_functions(text: str) -> str:
+    """FROM-position generate_series/unnest → lateral explode subqueries
+    (reference table functions src/function/table/range.cpp,
+    physical_unnest.cpp); scalar generate_series → sequence."""
+    def tvf(m: re.Match) -> str:
+        kw, fn = m.group(1), m.group(2).lower()
+        open_idx = m.end() - 1
+        close = _matching_paren(text, open_idx)
+        return kw, fn, open_idx, close
+
+    while True:
+        spans = _literal_spans(text)
+        m = next(
+            (
+                c
+                for c in re.finditer(
+                    r"\b(FROM|JOIN|,)\s*(generate_series|unnest)\s*\(", text, re.I
+                )
+                if not _in_spans(c.start(), spans)
+            ),
+            None,
+        )
+        if m is None:
+            break
+        kw, fn, open_idx, close = tvf(m)
+        if close < 0:
+            break
+        args = [a.strip() for a in _split_args(text[open_idx + 1 : close])]
+        if fn == "generate_series":
+            seq = f"sequence(0, {args[0]})" if len(args) == 1 else f"sequence({', '.join(args)})"
+            sub = f"(SELECT explode({seq}) AS generate_series)"
+        else:
+            sub = f"(SELECT explode({args[0]}) AS unnest)"
+        text = text[: m.start(1) + len(kw)] + " " + sub + text[close + 1 :]
+    # scalar positions: generate_series(...) → sequence(...)
+    def gs(args: list[str]):
+        if len(args) == 1:
+            return f"sequence(0, {args[0]})"
+        return f"sequence({', '.join(args)})"
+
+    text = _rewrite_calls(text, "generate_series", gs)
+    # select-list unnest → explode (single-arg basic form)
+    text = _rewrite_calls(
+        text, "unnest", lambda a: f"explode({a[0]})" if len(a) == 1 else None
+    )
+    return text
+
+
+def _rewrite_window_filter(text: str) -> str:
+    """``agg(x) FILTER (WHERE p) OVER w`` → ``agg(CASE WHEN p THEN x END)
+    OVER w`` — Spark supports FILTER on plain aggregates but not on
+    window aggregates; the reference evaluates both
+    (bound_window_expression.hpp filter_expr)."""
+    while True:
+        spans = _literal_spans(text)
+        m = None
+        for cand in re.finditer(r"\bFILTER\s*\(\s*WHERE\b", text, re.I):
+            if _in_spans(cand.start(), spans):
+                continue
+            f_open = text.index("(", cand.start())
+            f_close = _matching_paren(text, f_open)
+            if f_close < 0 or not re.match(r"\s*OVER\b", text[f_close + 1 :], re.I):
+                continue
+            m = (cand, f_open, f_close)
+            break
+        if m is None:
+            return text
+        cand, f_open, f_close = m
+        pred = text[f_open + 1 : f_close]
+        pred = re.sub(r"^\s*WHERE\b", "", pred, flags=re.I).strip()
+        call_start = _operand_start(text, cand.start(), spans)
+        call = text[call_start : cand.start()].strip()
+        cm = re.match(r"(?s)^(\w+)\s*\((.*)\)$", call)
+        if cm is None:
+            return text
+        fname, argtext = cm.group(1), cm.group(2).strip()
+        args = [a.strip() for a in _split_args(argtext)] if argtext else []
+        if fname.lower() == "count" and (argtext == "*" or not args):
+            new_call = f"count(CASE WHEN {pred} THEN 1 END)"
+        elif len(args) == 1:
+            new_call = f"{fname}(CASE WHEN {pred} THEN {args[0]} END)"
+        else:
+            return text
+        text = text[:call_start] + new_call + " " + text[f_close + 1 :].lstrip()
+
+
+_INT_CAST_TYPES = {
+    "tinyint", "smallint", "int", "integer", "bigint", "hugeint",
+    "int1", "int2", "int4", "int8", "signed", "long", "short",
+    "utinyint", "usmallint", "uinteger", "ubigint",
+}
+_COLON_INT = re.compile(
+    r"::\s*(tinyint|smallint|integer|int[1248]?|bigint|hugeint|signed|long|short"
+    r"|utinyint|usmallint|uinteger|ubigint|varchar|text|bpchar)\b(?!\s*\()",
+    re.I,
+)
+
+
+def _round_cast(expr: str, typ: str, kw: str) -> str:
+    """DuckDB's numeric→integer cast ROUNDS half away from zero
+    (src/function/cast/numeric_casts.cpp); Spark truncates. Route the
+    value through DECIMAL(38,10) + ROUND (exact for every int64 and for
+    floats well past canon precision); non-numeric inputs fall back to
+    the plain cast via COALESCE."""
+    return (
+        f"COALESCE({kw}(ROUND(TRY_CAST(({expr}) AS DECIMAL(38,10))) AS {typ}), "
+        f"{kw}(({expr}) AS {typ}))"
+    )
+
+
+def _rewrite_int_casts(text: str) -> str:
+    """Apply _round_cast to every CAST/TRY_CAST(... AS <inttype>) site.
+    Single descending pass (never rescans its own output)."""
+    spans = _literal_spans(text)
+    for m in re.finditer(r"\b(TRY_)?CAST\s*\(", text, flags=re.I):
+        if _in_spans(m.start(), spans):
+            continue
+        open_idx = m.end() - 1
+        close_idx = _matching_paren(text, open_idx)
+        if close_idx < 0:
+            continue
+        inner = _rewrite_int_casts(text[open_idx + 1 : close_idx])
+        rest = _rewrite_int_casts(text[close_idx + 1 :])
+        head = text[: m.start()]
+        kw = "TRY_CAST" if m.group(1) else "CAST"
+        am = re.match(r"(?s)^(.*)\s+AS\s+(\w+)\s*$", inner, re.I)
+        # DuckDB's unbounded string type names need Spark's STRING (only
+        # safe to rewrite here, INSIDE a cast — `text` is also a common
+        # column name). Spark renders >4-digit years with a '+' prefix
+        # which DuckDB's VARCHAR cast never emits — strip it (the
+        # lookahead keeps '+'-prefixed ordinary strings intact).
+        if am and am.group(2).lower() in ("varchar", "text", "bpchar"):
+            # __rr_all = Spark-native regexp_replace sentinel (renamed at
+            # the end of translate; the DuckDB-dialect regexp_replace
+            # rewrite must not reinterpret this generated call)
+            return (
+                head
+                + f"__rr_all({kw}({am.group(1)} AS STRING), "
+                + r"'^\\+(?=\\d{5,6}-\\d{2}-\\d{2})', '')"
+                + rest
+            )
+        if (
+            am
+            and am.group(2).lower() in _INT_CAST_TYPES
+            # integer literals round to themselves — and MUST stay bare
+            # casts (Spark window frame bounds reject wrapped expressions)
+            and not re.fullmatch(r"\s*[+-]?\d+\s*", am.group(1))
+        ):
+            return head + _round_cast(am.group(1), am.group(2), kw) + rest
+        return head + f"{kw}({inner})" + rest
+    return text
+
+
+def _rewrite_postfix_int_casts(text: str) -> str:
+    """``expr::INTEGER`` → ``CAST(expr AS INTEGER)`` so the rounding
+    rewrite above applies uniformly; absorbs ``::type`` chains on the
+    operand (``0.55::FLOAT::TINYINT``). Unbounded string casts
+    (``::VARCHAR`` etc.) go through the same CAST form so the cast pass
+    can apply Spark's STRING type and year-rendering fix."""
+    while True:
+        spans = _literal_spans(text)
+        m = next(
+            (
+                c
+                for c in _COLON_INT.finditer(text)
+                if not _in_spans(c.start(), spans)
+                # leave `5::int8` (pure integer literal) as a postfix cast:
+                # rounding is identity and frame bounds need bare literals
+                and not (
+                    c.group(1).lower() in _INT_CAST_TYPES
+                    and re.search(r"(?<![\w.])\d+\s*$", text[: c.start()])
+                )
+            ),
+            None,
+        )
+        if m is None:
+            return text
+        start = _operand_start(text, m.start(), spans)
+        while True:
+            pm = re.search(r"::\s*$", text[:start])
+            if pm is None:
+                break
+            start = _operand_start(text, pm.start(), spans)
+        expr = text[start : m.start()].strip()
+        text = text[:start] + f"CAST({expr} AS {m.group(1)})" + text[m.end():]
+
+
+_POWER_OP = re.compile(r"\*\*|\^(?!@)")  # ^@ is DuckDB's starts_with operator
+_UNARY_KEYWORDS = {
+    "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND", "OR", "NOT", "BY",
+    "HAVING", "ON", "IN", "AS", "CASE", "RETURN", "SET", "VALUES", "LIMIT",
+    "OFFSET", "DISTINCT", "ALL", "BETWEEN", "LIKE",
+}
+
+
+def _rewrite_power_operator(text: str) -> str:
+    """DuckDB's ``^`` / ``**`` are exponentiation (left-associative,
+    binding tighter than * and unary minus — postgres rules, reference
+    third_party/libpg_query); Spark's ``^`` is bitwise XOR. Rewrite
+    ``a ^ b`` → ``power(a, b)`` operand-by-operand."""
+    while True:
+        spans = _literal_spans(text)
+        m = next(
+            (c for c in _POWER_OP.finditer(text) if not _in_spans(c.start(), spans)),
+            None,
+        )
+        if m is None:
+            return text
+        left_start = _operand_start(text, m.start(), spans)
+        # a UNARY sign binds tighter than ^ (postgres precedence:
+        # -2^2 = (-2)^2 = 4, but 3-2^2 = 3-(2^2) — binary minus looser)
+        j = left_start
+        while j > 0 and text[j - 1].isspace():
+            j -= 1
+        if j > 0 and text[j - 1] in "+-":
+            k = j - 1
+            while k > 0 and text[k - 1].isspace():
+                k -= 1
+            prev = text[:k]
+            wm = re.search(r"([A-Za-z_]\w*)$", prev)
+            unary = (
+                k == 0
+                or (wm and wm.group(1).upper() in _UNARY_KEYWORDS)
+                or (not wm and prev[-1] not in ")'" and not prev[-1].isalnum())
+            )
+            if unary:
+                left_start = j - 1
+        right_end = _operand_end(text, m.end(), spans)
+        lhs = text[left_start : m.start()].strip()
+        rhs = text[m.end() : right_end].strip()
+        text = text[:left_start] + f"power({lhs}, {rhs})" + text[right_end:]
+
+
+def _quantified_case(lhs: str, op: str, kind: str, sub: str) -> str:
+    """Tri-state CASE expansion shared by ANY/SOME/ALL and IN-subquery
+    rewrites (the reference binder's quantified-comparison semantics)."""
+    cmp_ = f"(({lhs}) {op} __c)"
+    null_ex = f"EXISTS(SELECT 1 FROM ({sub}) AS __aa(__c) WHERE {cmp_} IS NULL)"
+    if kind in ("ANY", "SOME"):
+        pos = f"EXISTS(SELECT 1 FROM ({sub}) AS __aa(__c) WHERE {cmp_})"
+        return (
+            f"(CASE WHEN {pos} THEN TRUE WHEN {null_ex} "
+            f"THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)"
+        )
+    neg = f"EXISTS(SELECT 1 FROM ({sub}) AS __aa(__c) WHERE NOT {cmp_})"
+    return (
+        f"(CASE WHEN {neg} THEN FALSE WHEN {null_ex} "
+        f"THEN CAST(NULL AS BOOLEAN) ELSE TRUE END)"
+    )
+
+
+_IN_SUBQ = re.compile(r"(\bNOT\s+)?\bIN\s*\(", re.I)
+
+
+def _rewrite_in_subquery(text: str) -> str:
+    """NULL-aware IN-subquery where Spark's tri-state handling diverges
+    from the reference (bind_subquery_expression.cpp): Spark evaluates an
+    IN-subquery to FALSE where DuckDB yields NULL when the subquery
+    contains NULLs and no match. The divergence is only *observable* when
+    the IN result is used as a value — a projection, or wrapped in
+    IS [NOT] NULL — so only those sites are rewritten to the tri-state
+    CASE; a plain WHERE/HAVING conjunct keeps Spark's native in-subquery
+    plan (semi join), which filters identically and scales better."""
+    while True:
+        spans = _literal_spans(text)
+        depths = _depth_profile(text)
+        m = None
+        for cand in _IN_SUBQ.finditer(text):
+            if _in_spans(cand.start(), spans):
+                continue
+            open_idx = cand.end() - 1
+            inner = text[cand.end():].lstrip()
+            if not re.match(r"(SELECT|WITH|VALUES)\b", inner, re.I):
+                continue
+            close_idx = _matching_paren(text, open_idx)
+            # observable-as-value context 1: ... ) IS [NOT] NULL
+            after = text[close_idx + 1 :]
+            adjacency = re.match(r"\s*\)?\s*IS\s+(NOT\s+)?NULL", after, re.I)
+            # context 2: inside a SELECT list — nearest same-depth SELECT
+            # before the site with no intervening same-depth FROM/WHERE
+            d = depths[cand.start()]
+            in_select_list = False
+            for kw in re.finditer(r"\b(SELECT|FROM|WHERE|HAVING|ON|WHEN|QUALIFY)\b", text[: cand.start()], re.I):
+                if _in_spans(kw.start(), spans) or depths[kw.start()] != d:
+                    continue
+                in_select_list = kw.group(1).upper() == "SELECT"
+            if adjacency or in_select_list:
+                m = (cand, open_idx, close_idx)
+                break
+        if m is None:
+            return text
+        cand, open_idx, close_idx = m
+        sub = text[open_idx + 1 : close_idx].strip()
+        negated = bool(cand.group(1))
+        left_start = _operand_start(text, cand.start(), spans)
+        lhs = text[left_start : cand.start()].strip()
+        repl = (
+            _quantified_case(lhs, "<>", "ALL", sub)
+            if negated
+            else _quantified_case(lhs, "=", "ANY", sub)
+        )
+        text = text[:left_start] + repl + text[close_idx + 1 :]
 
 
 def _rewrite_any_all(text: str) -> str:
@@ -579,20 +1092,7 @@ def _rewrite_any_all(text: str) -> str:
         kind = m.group(2).upper()
         left_start = _operand_start(text, m.start(), spans)
         lhs = text[left_start : m.start()].strip()
-        cmp_ = f"(({lhs}) {op} __c)"
-        null_ex = f"EXISTS(SELECT 1 FROM ({sub}) AS __aa(__c) WHERE {cmp_} IS NULL)"
-        if kind in ("ANY", "SOME"):
-            pos = f"EXISTS(SELECT 1 FROM ({sub}) AS __aa(__c) WHERE {cmp_})"
-            repl = (
-                f"(CASE WHEN {pos} THEN TRUE WHEN {null_ex} "
-                f"THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)"
-            )
-        else:
-            neg = f"EXISTS(SELECT 1 FROM ({sub}) AS __aa(__c) WHERE NOT {cmp_})"
-            repl = (
-                f"(CASE WHEN {neg} THEN FALSE WHEN {null_ex} "
-                f"THEN CAST(NULL AS BOOLEAN) ELSE TRUE END)"
-            )
+        repl = _quantified_case(lhs, op, kind, sub)
         text = text[:left_start] + repl + text[close_idx + 1 :]
 
 
@@ -869,12 +1369,29 @@ def translate(text: str) -> str:
     from myduckdb_spark.functions.macros import expand_macros
 
     out = expand_macros(text)  # bind-time macro expansion, before all rules
+    out = _rewrite_bracket_lists(out)
+    out = _rewrite_struct_braces(out)
+    out = _rewrite_index_brackets(out)
+    out = _rewrite_table_functions(out)
+    out = _rewrite_window_filter(out)
+    # DuckDB tolerates a trailing comma in the SELECT list
+    spans0 = _literal_spans(out)
+    out = re.sub(
+        r",(\s*FROM\b)",
+        lambda mm: mm.group(0) if _in_spans(mm.start(), spans0) else mm.group(1),
+        out,
+        flags=re.I,
+    )
     out = _rewrite_qualify(out)
     out = _rewrite_distinct_on(out)
     out = _inline_named_windows(out)
     out = _rewrite_window_exclude(out)
     out = _pin_window_null_order(out)
+    out = _rewrite_in_subquery(out)
     out = _rewrite_any_all(out)
+    out = _rewrite_power_operator(out)
+    out = _rewrite_postfix_int_casts(out)
+    out = _rewrite_int_casts(out)
     out = _rewrite_setop_order_alias(out)
     # star modifiers: DuckDB `* EXCLUDE (cols)` == Spark 4 `* EXCEPT (cols)`
     out = re.sub(r"(\*\s*)EXCLUDE\b", r"\1EXCEPT", out)
@@ -962,7 +1479,7 @@ def translate(text: str) -> str:
         ("logical", "boolean"), ("bytea", "binary"),
     ):
         spans_t = _literal_spans(out)
-        pat_t = re.compile(rf"\b{duck_t}\b", re.I)
+        pat_t = re.compile(rf"\b{duck_t}\b(?!\s*\()", re.I)
         out = pat_t.sub(
             lambda mm: mm.group(0) if _in_spans(mm.start(), spans_t) else spark_t, out
         )

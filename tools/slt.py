@@ -171,23 +171,33 @@ def parse(path: str) -> list[Record]:
     return recs
 
 
-def _canon(rows) -> list[str]:
+def _canon_val(v) -> str:
+    """Engine-neutral value rendering: Spark Rows and DuckDB dicts (STRUCT),
+    lists (LIST), and integral decimals (HUGEINT comes back as int from
+    duckdb but DECIMAL(38,0) from Spark) must canonicalize identically."""
     from decimal import Decimal
 
-    out = []
-    for r in rows:
-        cells = []
-        for v in r:
-            if v is None:
-                cells.append("NULL")
-            elif isinstance(v, bool):
-                cells.append(str(int(v)))
-            elif isinstance(v, (float, Decimal)):
-                cells.append(f"{float(v):.6f}")
-            else:
-                cells.append(str(v))
-        out.append("|".join(cells))
-    return sorted(out)
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        if v == v.to_integral_value():
+            return str(int(v))
+        return f"{float(v):.6f}"
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    if hasattr(v, "asDict"):  # pyspark Row (struct value)
+        v = v.asDict()
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{k}: {_canon_val(x)}" for k, x in v.items()) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_canon_val(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon(rows) -> list[str]:
+    return sorted("|".join(_canon_val(v) for v in r) for r in rows)
 
 
 def _snapshot(spark, con) -> None:
@@ -271,8 +281,24 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
                 except Exception as e:
                     res.skipped_statements.append((rec.sql, str(e)))
                 continue
+            # `WITH ... INSERT/UPDATE/DELETE` (DML behind a CTE) — the
+            # prefix regex above misses it; execute as state, never compare
+            if re.search(r"\b(INSERT|UPDATE|DELETE|CREATE|DROP|ALTER)\b", rec.sql, re.I) and re.match(
+                r"\s*(WITH|FROM)\b", rec.sql, re.I
+            ):
+                try:
+                    con.execute(rec.sql)
+                    res.statements += 1
+                    dirty = True
+                except Exception as e:
+                    res.skipped_statements.append((rec.sql, str(e)))
+                continue
             try:
                 cur = con.execute(rec.sql)
+                if cur.description is None:  # statement, not a result set
+                    res.statements += 1
+                    dirty = True
+                    continue
                 duck_cols = [d[0] for d in cur.description]
                 want = _canon(cur.fetchall())
             except Exception as e:

@@ -85,8 +85,20 @@ def sweep_file(spark, path: str, max_queries: int = 60) -> dict:
                 except Exception:
                     out["skip_s"] += 1
                 continue
+            if re.search(
+                r"\b(INSERT|UPDATE|DELETE|CREATE|DROP|ALTER)\b", rec.sql, re.I
+            ) and re.match(r"\s*(WITH|FROM)\b", rec.sql, re.I):
+                try:
+                    con.execute(rec.sql)
+                    dirty = True
+                except Exception:
+                    out["skip_s"] += 1
+                continue
             try:
                 cur = con.execute(rec.sql)
+                if cur.description is None:
+                    dirty = True
+                    continue
                 duck_cols = [d[0] for d in cur.description]
                 want = _canon(cur.fetchall())
             except Exception:
