@@ -811,6 +811,89 @@ def _rewrite_table_functions(text: str) -> str:
     return text
 
 
+_POSITIONAL_JOIN = re.compile(
+    r"\b(\w+)\s+POSITIONAL\s+JOIN\s+(\w+)\b", re.I
+)
+
+
+def _rewrite_positional_join(text: str) -> str:
+    """``A POSITIONAL JOIN B`` (reference physical_positional_join.cpp:
+    zip rows by position, pad the shorter side with NULLs) → full outer
+    join on per-side row numbers. Without the rewrite Spark parses
+    POSITIONAL as a table alias and silently produces a cross join.
+    Row order = scan order (monotonically_increasing_id), the same
+    table-order contract the reference relies on."""
+    while True:
+        spans = _literal_spans(text)
+        m = next(
+            (c for c in _POSITIONAL_JOIN.finditer(text) if not _in_spans(c.start(), spans)),
+            None,
+        )
+        if m is None:
+            return text
+        a, b = m.group(1), m.group(2)
+        num = "row_number() OVER (ORDER BY monotonically_increasing_id()) AS __pos"
+        repl = (
+            f"(SELECT * EXCEPT (__pos) FROM "
+            f"(SELECT *, {num} FROM {a}) "
+            f"FULL OUTER JOIN (SELECT *, {num} FROM {b}) USING (__pos)) {a}_{b}"
+        )
+        text = text[: m.start()] + repl + text[m.end():]
+
+
+def _rewrite_distinct_window(text: str) -> str:
+    """``agg(DISTINCT x) OVER w`` — Spark rejects DISTINCT window
+    aggregates; the reference evaluates them (physical_window.cpp
+    distinct aggregates). count → size(collect_set() OVER w);
+    sum/avg → fold of collect_set() OVER w (DECIMAL accumulation so
+    integer sums render like DuckDB's); min/max → DISTINCT dropped."""
+    while True:
+        spans = _literal_spans(text)
+        m = None
+        for cand in re.finditer(r"\b(\w+)\s*\(\s*DISTINCT\b", text, re.I):
+            if _in_spans(cand.start(), spans):
+                continue
+            open_idx = text.index("(", cand.end(1))
+            close = _matching_paren(text, open_idx)
+            if close < 0:
+                continue
+            om = re.match(r"\s*OVER\s*\(", text[close + 1 :], re.I)
+            if not om:
+                continue
+            over_open = close + 1 + om.end() - 1
+            over_close = _matching_paren(text, over_open)
+            if over_close < 0:
+                continue
+            m = (cand, open_idx, close, over_open, over_close)
+            break
+        if m is None:
+            return text
+        cand, open_idx, close, over_open, over_close = m
+        fname = cand.group(1).lower()
+        arg = re.sub(r"^\s*DISTINCT\b", "", text[open_idx + 1 : close], flags=re.I).strip()
+        spec = text[over_open + 1 : over_close]
+        cset = f"collect_set({arg}) OVER ({spec})"
+        if fname == "count":
+            repl = f"size({cset})"
+        elif fname == "sum":
+            repl = (
+                f"aggregate({cset}, CAST(0 AS DECIMAL(28,6)), "
+                f"(__acc, __v) -> CAST(__acc + __v AS DECIMAL(28,6)))"
+            )
+        elif fname == "avg":
+            repl = (
+                f"CAST(aggregate({cset}, CAST(0 AS DECIMAL(28,6)), "
+                f"(__acc, __v) -> CAST(__acc + __v AS DECIMAL(28,6))) "
+                f"/ size({cset}) AS DOUBLE)"
+            )
+        elif fname in ("min", "max"):
+            repl = f"{fname}({arg}) OVER ({spec})"
+        else:
+            # unsupported holistic distinct-window — leave for Spark's error
+            return text
+        text = text[: cand.start()] + repl + text[over_close + 1 :]
+
+
 def _rewrite_window_filter(text: str) -> str:
     """``agg(x) FILTER (WHERE p) OVER w`` → ``agg(CASE WHEN p THEN x END)
     OVER w`` — Spark supports FILTER on plain aggregates but not on
@@ -862,14 +945,17 @@ _COLON_INT = re.compile(
 
 
 def _round_cast(expr: str, typ: str, kw: str) -> str:
-    """DuckDB's numeric→integer cast ROUNDS half away from zero
-    (src/function/cast/numeric_casts.cpp); Spark truncates. Route the
-    value through DECIMAL(38,10) + ROUND (exact for every int64 and for
-    floats well past canon precision); non-numeric inputs fall back to
-    the plain cast via COALESCE."""
+    """DuckDB's numeric→integer casts ROUND (Spark truncates) — and the
+    rounding mode differs by source type: FLOAT/DOUBLE use rint (half to
+    even, std::nearbyint in src/common/operator/cast_operators), DECIMAL
+    and strings round half away from zero. typeof() dispatches at
+    runtime (constant-folded for literals); non-numeric inputs fall back
+    to the plain cast via COALESCE."""
     return (
-        f"COALESCE({kw}(ROUND(TRY_CAST(({expr}) AS DECIMAL(38,10))) AS {typ}), "
-        f"{kw}(({expr}) AS {typ}))"
+        f"(CASE WHEN typeof(({expr})) IN ('float', 'double') "
+        f"THEN {kw}(rint(CAST(({expr}) AS DOUBLE)) AS {typ}) "
+        f"ELSE COALESCE({kw}(ROUND(TRY_CAST(({expr}) AS DECIMAL(38,10))) AS {typ}), "
+        f"{kw}(({expr}) AS {typ})) END)"
     )
 
 
@@ -894,6 +980,18 @@ def _rewrite_int_casts(text: str) -> str:
         # column name). Spark renders >4-digit years with a '+' prefix
         # which DuckDB's VARCHAR cast never emits — strip it (the
         # lookahead keeps '+'-prefixed ordinary strings intact).
+        # ±infinity timestamp/date literals: DuckDB pins them to the
+        # type's min/max (src/common/types/timestamp.cpp); Spark has no
+        # infinite temporal values
+        if am and am.group(2).lower() in ("timestamp", "datetime", "date"):
+            lit = am.group(1).strip().lower()
+            is_date = am.group(2).lower() == "date"
+            if lit in ("'infinity'", "'+infinity'"):
+                v = "'9999-12-31'" if is_date else "'9999-12-31 23:59:59.999999'"
+                return head + f"CAST({v} AS {am.group(2)})" + rest
+            if lit == "'-infinity'":
+                v = "'0001-01-01'" if is_date else "'0001-01-01 00:00:00'"
+                return head + f"CAST({v} AS {am.group(2)})" + rest
         if am and am.group(2).lower() in ("varchar", "text", "bpchar"):
             # __rr_all = Spark-native regexp_replace sentinel (renamed at
             # the end of translate; the DuckDB-dialect regexp_replace
@@ -1373,6 +1471,7 @@ def translate(text: str) -> str:
     out = _rewrite_struct_braces(out)
     out = _rewrite_index_brackets(out)
     out = _rewrite_table_functions(out)
+    out = _rewrite_positional_join(out)
     out = _rewrite_window_filter(out)
     # DuckDB tolerates a trailing comma in the SELECT list
     spans0 = _literal_spans(out)
@@ -1385,6 +1484,7 @@ def translate(text: str) -> str:
     out = _rewrite_qualify(out)
     out = _rewrite_distinct_on(out)
     out = _inline_named_windows(out)
+    out = _rewrite_distinct_window(out)
     out = _rewrite_window_exclude(out)
     out = _pin_window_null_order(out)
     out = _rewrite_in_subquery(out)
@@ -1970,6 +2070,58 @@ def _statement_command(spark: SparkSession, text: str) -> DataFrame | None:
     return None
 
 
+_WITH_RECURSIVE = re.compile(
+    r"^\s*WITH\s+RECURSIVE\s+(\w+)\s*(?:\(([^)]*)\))?\s+AS\s*(\()", re.I | re.S
+)
+
+
+def _recursive_union_distinct(spark: SparkSession, text: str):
+    """WITH RECURSIVE with UNION (distinct) — Spark's native recursion
+    supports UNION ALL only; DuckDB's UNION form dedups against all rows
+    seen (physical_recursive_cte.cpp). Route to the driver-side
+    semi-naive fixpoint (operators/recursive.py). Returns None when the
+    statement isn't that shape (native Spark handles UNION ALL)."""
+    m = _WITH_RECURSIVE.match(text)
+    if m is None:
+        return None
+    open_idx = m.start(3)
+    close = _matching_paren(text, open_idx)
+    if close < 0:
+        return None
+    rest = text[close + 1 :].strip()
+    if rest.startswith(","):  # multiple CTEs — out of this path's scope
+        return None
+    body = text[open_idx + 1 : close]
+    spans = _literal_spans(body)
+    depths = _depth_profile(body)
+    um = next(
+        (
+            u
+            for u in re.finditer(r"\bUNION\b(\s+ALL\b)?", body, re.I)
+            if not _in_spans(u.start(), spans) and depths[u.start()] == 0
+        ),
+        None,
+    )
+    if um is None or um.group(1):  # no UNION, or UNION ALL → native
+        return None
+    from myduckdb_spark.operators.recursive import recursive_cte
+
+    name = m.group(1)
+    cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+    base = spark.sql(translate(body[: um.start()]))
+    if cols:
+        base = base.toDF(*cols)
+    step_sql = translate(body[um.end():])
+
+    def step(front):
+        front.createOrReplaceTempView(name)
+        return spark.sql(step_sql).toDF(*base.columns)
+
+    result = recursive_cte(base, step, union_all=False)
+    result.createOrReplaceTempView(name)
+    return sql(spark, rest)
+
+
 def sql(
     spark: SparkSession,
     text: str,
@@ -1995,6 +2147,9 @@ def sql(
         # EXECUTE rebinds the stored statement with these literal values
         # and runs it through the full front door (queries AND DML).
         text = _bind_prepared(_PREPARED[m.group(1).lower()], m.group(2))
+    rec = _recursive_union_distinct(spark, text)
+    if rec is not None:
+        return rec
     cmd = _statement_command(spark, text)
     if cmd is not None:
         return cmd

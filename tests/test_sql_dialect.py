@@ -291,3 +291,73 @@ def test_float_int_cast_rounds_like_duckdb(spark):
         got = sql(spark, q).collect()[0]["x"]
         want = con.sql(q).fetchall()[0][0]
         assert got == want, q
+
+
+def test_distinct_window_aggregates_vs_duckdb(spark):
+    """agg(DISTINCT x) OVER — Spark rejects; rewritten via collect_set
+    (reference physical_window.cpp distinct window aggregates)."""
+    import duckdb
+
+    con = duckdb.connect()
+    base = "FROM (SELECT 1 x UNION ALL SELECT 1 UNION ALL SELECT 4 UNION ALL SELECT 7) t"
+    for q in (
+        f"SELECT count(DISTINCT x % 3) OVER () AS v {base}",
+        f"SELECT sum(DISTINCT x) OVER () AS v {base}",
+        f"SELECT avg(DISTINCT x) OVER () AS v {base}",
+        f"SELECT max(DISTINCT x) OVER () AS v {base}",
+    ):
+        got = sorted(float(r["v"]) for r in sql(spark, q).collect())
+        want = sorted(float(r[0]) for r in con.sql(q).fetchall())
+        assert got == want, q
+
+
+def test_recursive_cte_union_distinct(spark):
+    """WITH RECURSIVE ... UNION (distinct) terminates via semi-naive
+    dedup (reference physical_recursive_cte.cpp); UNION ALL would cycle
+    forever on this input."""
+    import duckdb
+
+    con = duckdb.connect()
+    q = (
+        "WITH RECURSIVE t(x) AS (SELECT 1 UNION SELECT (x*2) % 10 FROM t) "
+        "SELECT * FROM t ORDER BY x"
+    )
+    got = [r["x"] for r in sql(spark, q).collect()]
+    want = [r[0] for r in con.sql(q).fetchall()]
+    assert got == want == [1, 2, 4, 6, 8]
+
+
+def test_positional_join_sql_vs_duckdb(spark):
+    """POSITIONAL JOIN through the front door (reference
+    physical_positional_join.cpp) — without the rewrite Spark parses
+    POSITIONAL as an alias and silently cross-joins."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pj_a AS SELECT range AS a FROM range(3)")
+    con.sql("CREATE TABLE pj_b AS SELECT range AS b FROM range(5)")
+    spark.sql("SELECT id AS a FROM range(3)").createOrReplaceTempView("pj_a")
+    spark.sql("SELECT id AS b FROM range(5)").createOrReplaceTempView("pj_b")
+    q = "SELECT COUNT(a) AS ca, COUNT(b) AS cb, COUNT(*) AS n FROM pj_a POSITIONAL JOIN pj_b"
+    got = tuple(sql(spark, q).collect()[0])
+    want = con.sql(q).fetchall()[0]
+    assert got == want == (3, 5, 5)
+
+
+def test_float_cast_rounds_half_to_even(spark):
+    """FLOAT/DOUBLE→int casts use rint (half to even) while DECIMAL uses
+    half away from zero — the reference's split behavior
+    (src/common/operator/cast_operators.hpp)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for q in (
+        "SELECT CAST(0.5::FLOAT AS TINYINT) AS x",   # → 0 (even)
+        "SELECT CAST(-0.5::FLOAT AS TINYINT) AS x",  # → 0
+        "SELECT CAST(2.5::FLOAT AS INT) AS x",       # → 2 (even)
+        "SELECT CAST(1.5::DOUBLE AS INT) AS x",      # → 2
+        "SELECT CAST(2.5 AS INT) AS x",              # decimal → 3 (away)
+    ):
+        got = sql(spark, q).collect()[0]["x"]
+        want = con.sql(q).fetchall()[0][0]
+        assert got == want, q
