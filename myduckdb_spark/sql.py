@@ -951,11 +951,14 @@ def _round_cast(expr: str, typ: str, kw: str) -> str:
     and strings round half away from zero. typeof() dispatches at
     runtime (constant-folded for literals); non-numeric inputs fall back
     to the plain cast via COALESCE."""
+    # NOTE: no outer parens — `IN (SELECT (CASE ...))` trips a Spark
+    # parser quirk (SELECT parsed as a function); CASE...END is already
+    # a self-delimited primary expression
     return (
-        f"(CASE WHEN typeof(({expr})) IN ('float', 'double') "
+        f"CASE WHEN typeof(({expr})) IN ('float', 'double') "
         f"THEN {kw}(rint(CAST(({expr}) AS DOUBLE)) AS {typ}) "
         f"ELSE COALESCE({kw}(ROUND(TRY_CAST(({expr}) AS DECIMAL(38,10))) AS {typ}), "
-        f"{kw}(({expr}) AS {typ})) END)"
+        f"{kw}(({expr}) AS {typ})) END"
     )
 
 
@@ -1539,6 +1542,85 @@ def translate(text: str) -> str:
 
     out = _rewrite_calls(out, "regexp_replace", _re_replace)
     out = re.sub(r"\b__rr_all\s*\(", "regexp_replace(", out)
+
+    # skewness/kurtosis: DuckDB reports the bias-corrected SAMPLE
+    # statistics (skew.cpp: g1·sqrt(n(n-1))/(n-2); kurtosis.cpp:
+    # ((n-1)/((n-2)(n-3)))·((n+1)(m4/m2²−3)+6), NULL below the minimum
+    # n); Spark's built-ins are the population g1/g2. Expand to central
+    # moments from raw power averages. Group contexts only — a window
+    # use becomes a parse error rather than a silently-different value.
+    def _skewness(args: list[str]):
+        if len(args) != 1:
+            return None
+        x = f"CAST(({args[0]}) AS DOUBLE)"
+        n, mu = f"count({x})", f"avg({x})"
+        m2 = f"(avg({x}*{x}) - {mu}*{mu})"
+        m3 = f"(avg({x}*{x}*{x}) - 3*{mu}*avg({x}*{x}) + 2*{mu}*{mu}*{mu})"
+        return (
+            f"CASE WHEN {n} > 2 AND {m2} > 0 THEN "
+            f"({m3} / power({m2}, 1.5)) * sqrt({n} * ({n} - 1.0)) / ({n} - 2) "
+            f"ELSE NULL END"
+        )
+
+    def _kurtosis(args: list[str]):
+        if len(args) != 1:
+            return None
+        x = f"CAST(({args[0]}) AS DOUBLE)"
+        n, mu = f"count({x})", f"avg({x})"
+        m2 = f"(avg({x}*{x}) - {mu}*{mu})"
+        m4 = (
+            f"(avg({x}*{x}*{x}*{x}) - 4*{mu}*avg({x}*{x}*{x}) "
+            f"+ 6*{mu}*{mu}*avg({x}*{x}) - 3*{mu}*{mu}*{mu}*{mu})"
+        )
+        return (
+            f"CASE WHEN {n} > 3 AND {m2} > 0 THEN "
+            f"(({n} - 1.0) / (({n} - 2) * ({n} - 3))) * "
+            f"(({n} + 1) * ({m4} / ({m2}*{m2}) - 3) + 6) "
+            f"ELSE NULL END"
+        )
+
+    out = _rewrite_calls(out, "skewness", _skewness)
+    out = _rewrite_calls(out, "kurtosis", _kurtosis)
+    # any_value skips NULLs in the reference (first.cpp FirstFunGetter
+    # skip_nulls); Spark's 1-arg form doesn't
+    out = _rewrite_calls(
+        out, "any_value", lambda a: f"any_value({a[0]}, true)" if len(a) == 1 else None
+    )
+    # json_array_length: DuckDB yields 0 for non-array JSON, NULL only
+    # for NULL input (json_array_length.cpp); Spark yields NULL for both
+    out = _rewrite_calls(
+        out,
+        "json_array_length",
+        lambda a: (
+            f"CASE WHEN ({a[0]}) IS NULL THEN NULL "
+            f"ELSE coalesce(__jal({a[0]}), 0) END"
+        )
+        if len(a) == 1
+        else None,
+    )
+    out = re.sub(r"\b__jal\s*\(", "json_array_length(", out)
+    # regr_avgx/avgy always return DOUBLE in the reference (regr_avg.cpp);
+    # Spark preserves DECIMAL inputs. Equivalent both-non-null average.
+    out = _rewrite_calls(
+        out,
+        "regr_avgy",
+        lambda a: (
+            f"CAST(avg(CASE WHEN ({a[0]}) IS NOT NULL AND ({a[1]}) IS NOT NULL "
+            f"THEN ({a[0]}) END) AS DOUBLE)"
+        )
+        if len(a) == 2
+        else None,
+    )
+    out = _rewrite_calls(
+        out,
+        "regr_avgx",
+        lambda a: (
+            f"CAST(avg(CASE WHEN ({a[0]}) IS NOT NULL AND ({a[1]}) IS NOT NULL "
+            f"THEN ({a[1]}) END) AS DOUBLE)"
+        )
+        if len(a) == 2
+        else None,
+    )
 
     # len(x): DuckDB len() is list-or-string; Spark splits that into
     # size() (arrays/maps) vs length() (strings). Choose by argument shape.

@@ -209,8 +209,25 @@ def _snapshot(spark, con) -> None:
             "SELECT table_name FROM information_schema.tables WHERE table_schema = 'main'"
         ).fetchall()
     ]
+    import pyarrow as pa
+
+    # Spark has no unsigned ints (SURVEY §1.2): widen U{TINY,SMALL,}INT
+    # before the Arrow handoff, UBIGINT via decimal
+    _WIDEN = {
+        pa.uint8(): pa.int16(), pa.uint16(): pa.int32(),
+        pa.uint32(): pa.int64(), pa.uint64(): pa.decimal128(20, 0),
+    }
     for t in names:
         tbl = con.execute(f'SELECT * FROM "{t}"').arrow()
+        if any(f.type in _WIDEN for f in tbl.schema):
+            tbl = tbl.cast(
+                pa.schema(
+                    [
+                        pa.field(f.name, _WIDEN.get(f.type, f.type), f.nullable)
+                        for f in tbl.schema
+                    ]
+                )
+            )
         # pass the Arrow table straight through (Spark 4 accepts it):
         # round-tripping via pandas would turn INT-with-NULL into float64
         spark.createDataFrame(tbl).createOrReplaceTempView(t)
@@ -305,7 +322,13 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
                 res.skipped_queries.append((rec.sql, f"duckdb: {e}"))
                 continue
             if dirty:
-                _snapshot(spark, con)
+                try:
+                    _snapshot(spark, con)
+                except Exception as e:
+                    if strict:
+                        raise
+                    res.skipped_queries.append((rec.sql, f"snapshot: {e}"))
+                    continue
                 dirty = False
             try:
                 df = engine_sql(spark, rec.sql)
