@@ -56,7 +56,8 @@ R04_PRIORITY = (
     # new this round
     "collate_nocase_noaccent", "interval_arithmetic",
     "dml_roundtrip", "seq_bulk_ids", "fn_timetz_battery",
-    "upsert_on_conflict",
+    "upsert_on_conflict", "decontam_ngram_overlap", "pii_scrub_counts",
+    "text_repetition_stats",
     # stale: last driver-verified in r1/r2 (green then, unchanged since;
     # 42 entries — rotating them through the 50-query window)
     "join_asof_purchase_click", "dedup_exact", "dedup_ngram_jaccard",

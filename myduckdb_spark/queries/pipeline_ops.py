@@ -507,3 +507,124 @@ def tableinout_normalize(spark, sf_dir):
     return docs.mapInPandas(
         normalize, schema="doc_id long, n_norm long, n_e long"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- hygiene
+# (decontamination / PII / repetition — pipeline/decontam.py)
+
+_DUCK_WORDS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 3),
+                                     i -> array_to_string(w[i:i+3], ' '))) AS g
+        FROM w WHERE len(w) >= 4
+    ), bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, TRUE AS contaminated
+    FROM grams JOIN bench USING (g)
+    WHERE doc_id % 97 <> 0
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("pipeline", "decontam"),
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any word 4-gram
+    with the benchmark subset (doc_id % 97 = 0 stands in for an eval
+    set). Benchmark n-grams broadcast; corpus side is map-side explode +
+    broadcast join + partial-aggregated counts — the 100 TB shape."""
+    from myduckdb_spark.pipeline.decontam import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 97 = 0")
+    corpus = docs.filter("doc_id % 97 <> 0")
+    return ngram_contamination(corpus, bench, n=4).orderBy("doc_id")
+
+
+@register(
+    "pii_scrub_counts",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@mail.example.com or call ' ||
+               lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-0' ||
+               lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_hash
+    FROM aug ORDER BY doc_id
+    """,
+    tags=("pipeline", "pii"),
+)
+def pii_scrub_counts(spark, sf_dir):
+    """PII scrubbing: redact emails/phones planted deterministically in
+    the text (the raw corpus has none); counts + scrubbed-text hash.
+    Pure JVM regexp codegen; patterns restricted to RE2∩Java so the
+    oracle runs the identical expressions."""
+    from myduckdb_spark.pipeline.decontam import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "text || ' contact user' || doc_id || '@mail.example.com or call ' "
+            "|| lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-555-0' "
+            "|| lpad(CAST(doc_id % 100 AS STRING), 3, '0')"
+        ).alias("text"),
+    )
+    return (
+        pii_scrub(docs)
+        .select(
+            "doc_id",
+            F.col("n_emails").cast("long"),
+            F.col("n_phones").cast("long"),
+            F.md5("scrubbed").alias("scrub_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), b AS (
+        SELECT doc_id, w,
+               CASE WHEN len(w) < 2 THEN []
+                    ELSE list_transform(generate_series(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+1], ' '))
+               END AS bg
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1) AS uniq_word_ratio,
+           CAST(len(list_distinct(bg)) AS DOUBLE) / greatest(len(bg), 1) AS uniq_bigram_ratio
+    FROM b ORDER BY doc_id
+    """,
+    tags=("pipeline", "textstats"),
+)
+def text_repetition_stats(spark, sf_dir):
+    """Within-document repetition: distinct-word and distinct-bigram
+    ratios — the cheap quality signal for template/spam detection."""
+    from myduckdb_spark.pipeline.decontam import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        repetition_stats(docs)
+        .select("doc_id", "n_words", "uniq_word_ratio", "uniq_bigram_ratio")
+        .orderBy("doc_id")
+    )

@@ -189,6 +189,14 @@ _NAME_RULES: list[tuple[str, str]] = [
     ("list_distinct", "array_distinct"),
     ("list_contains", "array_contains"),
     ("list_concat", "concat"),
+    ("list_cat", "concat"),
+    ("list_value", "array"),
+    ("list_pack", "array"),
+    ("list_reverse", "reverse"),
+    ("list_min", "array_min"),
+    ("list_max", "array_max"),
+    ("array_length", "size"),
+    ("list_has_any", "arrays_overlap"),
     ("string_split_regex", "split"),
     ("string_split", "split"),
     ("str_split", "split"),
@@ -1636,6 +1644,66 @@ def translate(text: str) -> str:
 
     out = _rewrite_calls(out, "list_sort", _list_sort)
     out = _rewrite_calls(out, "list_reverse_sort", lambda a: f"sort_array({a[0]}, false)")
+    # list_extract/list_element: 1-based, NULL at 0/out-of-bounds
+    def _list_extract(args: list[str]):
+        if len(args) != 2:
+            return None
+        l, i = args
+        return (
+            f"CASE WHEN TRY_CAST(({i}) AS BIGINT) = 0 THEN NULL "
+            f"ELSE try_element_at({l}, {i}) END"
+        )
+
+    out = _rewrite_calls(out, "list_extract", _list_extract)
+    out = _rewrite_calls(out, "list_element", _list_extract)
+    # list_position: 0 when absent (live DuckDB), 1-based otherwise
+    out = _rewrite_calls(
+        out,
+        "list_position",
+        lambda a: f"array_position({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+    out = _rewrite_calls(out, "list_indexof", lambda a: f"array_position({a[0]}, {a[1]})" if len(a) == 2 else None)
+    out = _rewrite_calls(
+        out, "list_append", lambda a: f"concat({a[0]}, array({a[1]}))" if len(a) == 2 else None
+    )
+    out = _rewrite_calls(
+        out, "list_prepend", lambda a: f"concat(array({a[0]}), {a[1]})" if len(a) == 2 else None
+    )
+    # list_resize(l, n [, pad]): truncate or pad to n elements
+    def _list_resize(args: list[str]):
+        if len(args) not in (2, 3):
+            return None
+        l, n = args[0], args[1]
+        pad = args[2] if len(args) == 3 else "NULL"
+        return (
+            f"CASE WHEN size({l}) >= ({n}) THEN slice({l}, 1, {n}) "
+            f"ELSE concat({l}, array_repeat({pad}, CAST(({n}) - size({l}) AS INT))) END"
+        )
+
+    out = _rewrite_calls(out, "list_resize", _list_resize)
+    out = _rewrite_calls(
+        out,
+        "list_has_all",
+        lambda a: f"forall({a[1]}, __x -> array_contains({a[0]}, __x))" if len(a) == 2 else None,
+    )
+    out = _rewrite_calls(
+        out,
+        "list_unique",
+        lambda a: f"size(array_distinct(filter({a[0]}, __x -> __x IS NOT NULL)))"
+        if len(a) == 1
+        else None,
+    )
+    out = _rewrite_calls(
+        out,
+        "list_count",
+        lambda a: f"size(filter({a[0]}, __x -> __x IS NOT NULL))" if len(a) == 1 else None,
+    )
+    # list_slice: DuckDB 1-based inclusive bounds
+    out = _rewrite_calls(
+        out,
+        "list_slice",
+        lambda a: f"slice({a[0]}, {a[1]}, ({a[2]}) - ({a[1]}) + 1)" if len(a) == 3 else None,
+    )
     # list_sum(l) → aggregate sum (DuckDB sums a list directly)
     out = _rewrite_calls(
         out,

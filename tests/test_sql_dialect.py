@@ -361,3 +361,34 @@ def test_float_cast_rounds_half_to_even(spark):
         got = sql(spark, q).collect()[0]["x"]
         want = con.sql(q).fetchall()[0][0]
         assert got == want, q
+
+
+def test_list_function_family_vs_duckdb(spark):
+    """DuckDB list_* surface through the front door
+    (src/core_functions/scalar/list/)."""
+    import duckdb
+
+    con = duckdb.connect()
+    from tools.slt import _canon
+
+    for q in (
+        "SELECT list_extract([1,2,3], 2) AS x",
+        "SELECT list_element([1,2,3], 0) AS x",
+        "SELECT list_position([4,5,6], 6) AS x",
+        "SELECT list_position([4,5,6], 9) AS x",
+        "SELECT list_append([1,2], 3) AS x",
+        "SELECT list_prepend(0, [1,2]) AS x",
+        "SELECT list_resize([1,2,3], 5) AS x",
+        "SELECT list_resize([1,2], 4, 9) AS x",
+        "SELECT list_has_all([1,2,3], [2,3]) AS x",
+        "SELECT list_has_any([1,2], [2,9]) AS x",
+        "SELECT list_unique([1,1,2,NULL]) AS x",
+        "SELECT list_count([1,NULL,2]) AS x",
+        "SELECT list_slice([1,2,3,4,5], 2, 4) AS x",
+        "SELECT list_value(7,8) AS x",
+        "SELECT list_reverse([1,2,3]) AS x",
+        "SELECT array_length([1,2,3]) AS x",
+    ):
+        got = _canon([tuple(r) for r in sql(spark, q).collect()])
+        want = _canon(con.execute(q).fetchall())
+        assert got == want, q
