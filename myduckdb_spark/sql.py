@@ -2220,6 +2220,58 @@ def _statement_command(spark: SparkSession, text: str) -> DataFrame | None:
     return None
 
 
+_COLUMNS_STAR = re.compile(r"\bCOLUMNS\s*\(", re.I)
+
+
+def _expand_columns_star(spark: SparkSession, text: str) -> str:
+    """DuckDB ``COLUMNS(*)`` / ``COLUMNS('regex')`` star expression
+    (reference src/parser/expression/star_expression.cpp): expands to
+    the matching columns of the (single) FROM table, optionally mapping
+    a wrapping function over every column — ``min(COLUMNS(*))`` →
+    ``min(c1), min(c2), …``. Resolved here (not in translate) because
+    expansion needs the catalog."""
+    if not _COLUMNS_STAR.search(text):
+        return text
+    fm = re.search(r"\bFROM\s+([A-Za-z_]\w*)", text, re.I)
+    if not fm:
+        return text
+    try:
+        cols = spark.table(fm.group(1)).columns
+    except Exception:
+        return text
+    while True:
+        spans = _literal_spans(text)
+        m = next(
+            (c for c in _COLUMNS_STAR.finditer(text) if not _in_spans(c.start(), spans)),
+            None,
+        )
+        if m is None:
+            return text
+        open_idx = m.end() - 1
+        close = _matching_paren(text, open_idx)
+        arg = text[open_idx + 1 : close].strip()
+        if arg == "*":
+            matched = cols
+        elif re.fullmatch(r"'(?:[^']|'')*'", arg):
+            pat = re.compile(arg[1:-1].replace("''", "'"))
+            matched = [c for c in cols if pat.search(c)]
+        else:
+            return text  # lambda/EXCLUDE forms — out of scope
+        # a direct wrapping call maps over every column: fn(COLUMNS(x))
+        wrap = re.search(r"([A-Za-z_]\w*)\s*\($", text[: m.start()])
+        if wrap and wrap.group(1).upper() not in _UNARY_KEYWORDS | {"COLUMNS"}:
+            wrap_open = text.rindex("(", 0, m.start() + 1)
+            wrap_close = _matching_paren(text, wrap_open)
+            if wrap_close == -1 or text[close + 1 : wrap_close].strip():
+                return text  # extra args after COLUMNS() — unsupported
+            fn = wrap.group(1)
+            repl = ", ".join(f'{fn}(`{c}`) AS `{fn}({c})`' for c in matched)
+            text = text[: wrap.start(1)] + repl + text[wrap_close + 1 :]
+        else:
+            repl = ", ".join(f'`{c}`' for c in matched)
+            text = text[: m.start()] + repl + text[close + 1 :]
+
+
 _WITH_RECURSIVE = re.compile(
     r"^\s*WITH\s+RECURSIVE\s+(\w+)\s*(?:\(([^)]*)\))?\s+AS\s*(\()", re.I | re.S
 )
@@ -2297,6 +2349,7 @@ def sql(
         # EXECUTE rebinds the stored statement with these literal values
         # and runs it through the full front door (queries AND DML).
         text = _bind_prepared(_PREPARED[m.group(1).lower()], m.group(2))
+    text = _expand_columns_star(spark, text)
     rec = _recursive_union_distinct(spark, text)
     if rec is not None:
         return rec

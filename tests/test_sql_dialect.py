@@ -392,3 +392,24 @@ def test_list_function_family_vs_duckdb(spark):
         got = _canon([tuple(r) for r in sql(spark, q).collect()])
         want = _canon(con.execute(q).fetchall())
         assert got == want, q
+
+
+def test_columns_star_expression_vs_duckdb(spark):
+    """COLUMNS(*) / COLUMNS('regex') star expression with and without a
+    mapping function (reference star_expression.cpp)."""
+    import duckdb
+
+    from tools.slt import _canon, _snapshot
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE cs_t(k int, v int, v2 int)")
+    con.sql("INSERT INTO cs_t VALUES (1,10,100),(2,20,NULL),(3,30,300)")
+    _snapshot(spark, con)
+    for q in (
+        "SELECT COLUMNS(*) FROM cs_t",
+        "SELECT min(COLUMNS(*)) FROM cs_t",
+        "SELECT max(COLUMNS('v.*')) FROM cs_t",
+    ):
+        got = _canon([tuple(r) for r in sql(spark, q).collect()])
+        want = _canon(con.execute(q).fetchall())
+        assert got == want, q

@@ -155,7 +155,20 @@ def main() -> None:
                     continue
                 rel = os.path.relpath(os.path.join(root, f), REF)
                 try:
-                    report[rel] = sweep_file(spark, os.path.join(root, f), max_q)
+                    # per-file wall clock cap — a few corpus files drive the
+                    # JVM into multi-minute analysis; don't let one file
+                    # stall the whole sweep
+                    import signal
+
+                    def _timeout(signum, frame):
+                        raise TimeoutError("per-file sweep timeout")
+
+                    signal.signal(signal.SIGALRM, _timeout)
+                    signal.alarm(120)
+                    try:
+                        report[rel] = sweep_file(spark, os.path.join(root, f), max_q)
+                    finally:
+                        signal.alarm(0)
                 except Exception:
                     report[rel] = {"fatal": traceback.format_exc()[-300:]}
                 line = report[rel]
