@@ -719,13 +719,17 @@ def _rewrite_struct_braces(text: str) -> str:
             km = re.match(r"^\s*('(?:[^']|'')*'|\"[^\"]*\"|\w+)\s*:\s*(.+)$", part, re.S)
             if not km:
                 return text[:i] + "{" + inner + "}" + rest  # not a struct literal
-            key, val = km.group(1), km.group(2).strip()
-            if not key.startswith("'"):
-                key = "'" + key.strip('"') + "'"
-            pairs.append((key, val))
-        fn = "map" if is_map else "named_struct"
+            raw_key, val = km.group(1), km.group(2).strip()
+            key = raw_key if raw_key.startswith("'") else "'" + raw_key.strip('"') + "'"
+            # MAP keys keep their own type (int keys stay ints);
+            # named_struct field names are always strings
+            pairs.append((raw_key if is_map else key, val))
+        if is_map:
+            ks = ", ".join(k for k, _ in pairs)
+            vs = ", ".join(v for _, v in pairs)
+            return head + f"map_from_arrays(array({ks}), array({vs}))" + rest
         args = ", ".join(f"{k}, {v}" for k, v in pairs)
-        return head + f"{fn}({args})" + rest
+        return head + f"named_struct({args})" + rest
     return text
 
 
@@ -805,6 +809,15 @@ def _rewrite_table_functions(text: str) -> str:
         else:
             sub = f"(SELECT explode({args[0]}) AS unnest)"
         text = text[: m.start(1) + len(kw)] + " " + sub + text[close + 1 :]
+    # DATE literal ± INTERVAL yields TIMESTAMP in the reference
+    # (interval arithmetic, src/common/types/interval.cpp); Spark keeps
+    # DATE for year/month intervals
+    text = re.sub(
+        r"\bDATE\s*('[^']*')(\s*[+-]\s*)(?=INTERVAL\b)",
+        lambda mm: f"CAST(DATE {mm.group(1)} AS TIMESTAMP){mm.group(2)}",
+        text,
+        flags=re.I,
+    )
     # scalar positions: generate_series(...) → sequence(...)
     def gs(args: list[str]):
         if len(args) == 1:
@@ -947,7 +960,7 @@ _INT_CAST_TYPES = {
 }
 _COLON_INT = re.compile(
     r"::\s*(tinyint|smallint|integer|int[1248]?|bigint|hugeint|signed|long|short"
-    r"|utinyint|usmallint|uinteger|ubigint|varchar|text|bpchar)\b(?!\s*\()",
+    r"|utinyint|usmallint|uinteger|ubigint|varchar|text|bpchar|decimal|numeric)\b(?!\s*\()",
     re.I,
 )
 
@@ -1003,6 +1016,10 @@ def _rewrite_int_casts(text: str) -> str:
             if lit == "'-infinity'":
                 v = "'0001-01-01'" if is_date else "'0001-01-01 00:00:00'"
                 return head + f"CAST({v} AS {am.group(2)})" + rest
+        # bare DECIMAL/NUMERIC defaults to the reference's DECIMAL(18,3)
+        # (decimal.hpp DEFAULT_WIDTH/SCALE); Spark's default is (10,0)
+        if am and am.group(2).lower() in ("decimal", "numeric"):
+            return head + f"{kw}({am.group(1)} AS DECIMAL(18,3))" + rest
         if am and am.group(2).lower() in ("varchar", "text", "bpchar"):
             # __rr_all = Spark-native regexp_replace sentinel (renamed at
             # the end of translate; the DuckDB-dialect regexp_replace
@@ -1703,6 +1720,65 @@ def translate(text: str) -> str:
         out,
         "list_slice",
         lambda a: f"slice({a[0]}, {a[1]}, ({a[2]}) - ({a[1]}) + 1)" if len(a) == 3 else None,
+    )
+    out = _rewrite_calls(
+        out,
+        "array_pop_back",
+        lambda a: f"slice({a[0]}, 1, size({a[0]}) - 1)" if len(a) == 1 else None,
+    )
+    out = _rewrite_calls(
+        out,
+        "array_pop_front",
+        lambda a: f"slice({a[0]}, 2, size({a[0]}) - 1)" if len(a) == 1 else None,
+    )
+    out = _rewrite_calls(
+        out,
+        "list_any_value",
+        lambda a: f"try_element_at(filter({a[0]}, __x -> __x IS NOT NULL), 1)"
+        if len(a) == 1
+        else None,
+    )
+
+    # list_aggregate(l, 'name'): literal-name dispatch onto HOF folds
+    def _list_aggregate(args: list[str]):
+        if len(args) != 2:
+            return None
+        l, name = args[0], args[1].strip().strip("'\"").lower()
+        nn = f"filter({l}, __x -> __x IS NOT NULL)"
+        return {
+            "count": f"size({nn})",
+            "sum": f"aggregate({nn}, CAST(0 AS DECIMAL(28,6)), "
+                   f"(__a, __v) -> CAST(__a + __v AS DECIMAL(28,6)))",
+            "avg": f"CAST(aggregate({nn}, CAST(0 AS DECIMAL(28,6)), "
+                   f"(__a, __v) -> CAST(__a + __v AS DECIMAL(28,6))) / size({nn}) AS DOUBLE)",
+            "min": f"array_min({l})",
+            "max": f"array_max({l})",
+            "first": f"try_element_at({l}, 1)",
+            "last": f"try_element_at({l}, -1)",
+        }.get(name)
+
+    out = _rewrite_calls(out, "list_aggregate", _list_aggregate)
+    out = _rewrite_calls(out, "list_aggr", _list_aggregate)
+    # sign(): TINYINT result, NaN → 0 (reference numeric.cpp SignFun);
+    # Spark returns DOUBLE and propagates NaN. __sig sentinel avoids the
+    # fixpoint re-match.
+    out = _rewrite_calls(
+        out,
+        "sign",
+        lambda a: (
+            f"CASE WHEN isnan(TRY_CAST(({a[0]}) AS DOUBLE)) THEN CAST(0 AS TINYINT) "
+            f"ELSE CAST(__sig({a[0]}) AS TINYINT) END"
+        )
+        if len(a) == 1
+        else None,
+    )
+    out = re.sub(r"\b__sig\s*\(", "sign(", out)
+    # MAP(keys_list, values_list) — the reference's two-list constructor
+    # (map.cpp); Spark's map() is pairwise key,value arguments
+    out = _rewrite_calls(
+        out,
+        "map",
+        lambda a: f"map_from_arrays({a[0]}, {a[1]})" if len(a) == 2 else None,
     )
     # list_sum(l) → aggregate sum (DuckDB sums a list directly)
     out = _rewrite_calls(

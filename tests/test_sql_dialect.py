@@ -388,6 +388,12 @@ def test_list_function_family_vs_duckdb(spark):
         "SELECT list_value(7,8) AS x",
         "SELECT list_reverse([1,2,3]) AS x",
         "SELECT array_length([1,2,3]) AS x",
+        "SELECT array_pop_back([1,2,3]) AS x",
+        "SELECT array_pop_front([1,2,3]) AS x",
+        "SELECT list_any_value([NULL, 4, 5]) AS x",
+        "SELECT list_aggregate([1,NULL,3], 'count') AS x",
+        "SELECT list_aggregate([1.0,2.0], 'sum') AS x",
+        "SELECT list_aggregate([1,2,3], 'max') AS x",
     ):
         got = _canon([tuple(r) for r in sql(spark, q).collect()])
         want = _canon(con.execute(q).fetchall())

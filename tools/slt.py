@@ -190,6 +190,10 @@ def _canon_val(v) -> str:
     if hasattr(v, "asDict"):  # pyspark Row (struct value)
         v = v.asDict()
     if isinstance(v, dict):
+        # duckdb's Python client surfaces MAP as {'key': [...],
+        # 'value': [...]}; Spark surfaces it as a plain dict — normalize
+        if set(v) == {"key", "value"} and isinstance(v.get("key"), list):
+            v = dict(zip(v["key"], v["value"]))
         return "{" + ", ".join(f"{k}: {_canon_val(x)}" for k, x in v.items()) + "}"
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_canon_val(x) for x in v) + "]"

@@ -37,6 +37,14 @@ SKIP_DIRS = {
 }
 
 
+# files whose statements crash the PROCESS natively (duckdb segfault /
+# divide trap observed in dmesg) — a try/except can't survive those
+CRASHERS = {
+    "types/nested/list/test_list_functions_with_null_structs.test",
+    "function/timestamp/test_icu_time_bucket_timestamptz.test",
+}
+
+
 def sweep_file(spark, path: str, max_queries: int = 60) -> dict:
     import duckdb
 
@@ -154,6 +162,9 @@ def main() -> None:
                 if not f.endswith(".test"):
                     continue
                 rel = os.path.relpath(os.path.join(root, f), REF)
+                if rel in CRASHERS:
+                    report[rel] = {"skipped": "native-crash file"}
+                    continue
                 try:
                     # per-file wall clock cap — a few corpus files drive the
                     # JVM into multi-minute analysis; don't let one file
@@ -177,7 +188,9 @@ def main() -> None:
                     f"mismatch={line.get('mismatch', 0)} skips={line.get('skip_q', 0)}",
                     file=sys.stderr,
                 )
-    json.dump(report, sys.stdout, indent=1, default=str)
+                # stream one JSON line per file so a native crash later in
+                # the run doesn't lose everything before it
+                print(json.dumps({rel: line}, default=str), flush=True)
 
 
 if __name__ == "__main__":
