@@ -182,12 +182,73 @@ def _rewrite_json_arrows(text: str) -> str:
 # ------------------------------------------------------------- name rules
 
 # simple name→name (call sites only, outside literals)
+_STRF_CODES = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH", "I": "hh",
+    "M": "mm", "S": "ss", "f": "SSSSSS", "g": "SSS", "p": "a", "j": "DDD",
+    "b": "MMM", "h": "MMM", "B": "MMMM", "a": "EEE", "A": "EEEE",
+    "-d": "d", "-m": "M", "-H": "H", "-M": "m", "-S": "s", "-j": "D",
+    "-I": "h", "-y": "y",
+}
+
+
+def _strf_literal_to_java(fmt: str) -> str | None:
+    """C strftime format literal → Spark DateTimeFormatter pattern, with
+    Java-quoting of literal text. None when a code has no mapping."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush():
+        if lit:
+            chunk = "".join(lit)
+            if re.search(r"[A-Za-z']", chunk):
+                out.append("'" + chunk.replace("'", "''") + "'")
+            else:
+                out.append(chunk)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            code = fmt[i + 1 : i + 2]
+            if code == "-":
+                code = fmt[i + 1 : i + 3]
+            if code == "%":
+                lit.append("%")
+                i += 2
+                continue
+            if code not in _STRF_CODES:
+                return None
+            flush()
+            out.append(_STRF_CODES[code])
+            i += 1 + len(code)
+        else:
+            lit.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _escape_literal_backslashes(text: str) -> str:
+    """Double backslashes inside single-quoted literals (comments and
+    the rest of the text untouched)."""
+    if "\\" not in text:
+        return text
+    out = []
+    last = 0
+    for m in _LITERAL.finditer(text):
+        seg = m.group(0)
+        out.append(text[last : m.start()])
+        out.append(seg.replace("\\", "\\\\") if seg.startswith("'") else seg)
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
 _NAME_RULES: list[tuple[str, str]] = [
     ("list_transform", "transform"),
     ("list_filter", "filter"),
     ("list_reduce", "reduce"),
-    ("list_distinct", "array_distinct"),
-    ("list_contains", "array_contains"),
     ("list_concat", "concat"),
     ("list_cat", "concat"),
     ("list_value", "array"),
@@ -198,9 +259,6 @@ _NAME_RULES: list[tuple[str, str]] = [
     ("array_length", "size"),
     ("list_has_any", "arrays_overlap"),
     ("string_split_regex", "split"),
-    ("string_split", "split"),
-    ("str_split", "split"),
-    ("strftime", "date_format"),
     ("array_to_string", "array_join"),
     ("json_extract_string", "get_json_object"),
     ("regexp_matches", "rlike"),
@@ -1495,6 +1553,11 @@ def translate(text: str) -> str:
     from myduckdb_spark.functions.macros import expand_macros
 
     out = expand_macros(text)  # bind-time macro expansion, before all rules
+    # DuckDB string literals are standard SQL (backslash is an ordinary
+    # character); Spark C-escapes them. Double every backslash INSIDE
+    # '-literals first, so the original literal reaches the engine
+    # byte-identical. Every later rewrite writes Spark-style literals.
+    out = _escape_literal_backslashes(out)
     out = _rewrite_bracket_lists(out)
     out = _rewrite_struct_braces(out)
     out = _rewrite_index_brackets(out)
@@ -1659,6 +1722,138 @@ def translate(text: str) -> str:
         order = args[1].strip().strip("'\"").upper()
         return f"sort_array({args[0]}, {'true' if order == 'ASC' else 'false'})"
 
+    # strftime/strptime: convert the C %-format literal to Spark's
+    # DateTimeFormatter pattern (reference strftime_format.cpp); calls
+    # with unmappable codes are left as-is (error/skip beats a silently
+    # different string)
+    def _strftime(args: list[str]):
+        if len(args) != 2:
+            return None
+        m_fmt = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[1])
+        if not m_fmt:
+            return None
+        j = _strf_literal_to_java(m_fmt.group(1).replace("''", "'"))
+        if j is None:
+            return None
+        return f"date_format({args[0]}, '{j.replace(chr(39), chr(39)*2)}')"
+
+    def _strptime(args: list[str]):
+        if len(args) != 2:
+            return None
+        m_fmt = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[1])
+        if not m_fmt:
+            return None
+        j = _strf_literal_to_java(m_fmt.group(1).replace("''", "'"))
+        if j is None:
+            return None
+        return f"to_timestamp({args[0]}, '{j.replace(chr(39), chr(39)*2)}')"
+
+    out = _rewrite_calls(out, "strftime", _strftime)
+    out = _rewrite_calls(out, "strptime", _strptime)
+    # list_distinct DROPS NULL elements in the reference (list_distinct.cpp)
+    out = _rewrite_calls(
+        out,
+        "list_distinct",
+        lambda a: f"array_distinct(filter({a[0]}, __x -> __x IS NOT NULL))"
+        if len(a) == 1
+        else None,
+    )
+    # list_contains: two-valued (FALSE even when the list holds NULLs),
+    # NULL only for NULL list/needle (contains_or_position.cpp)
+    out = _rewrite_calls(
+        out,
+        "list_contains",
+        lambda a: (
+            f"CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN NULL "
+            f"ELSE coalesce(array_contains({a[0]}, {a[1]}), false) END"
+        )
+        if len(a) == 2
+        else None,
+    )
+    # string_split: LITERAL separator (Spark split takes a regex);
+    # NULL separator keeps the whole string (string_split.cpp)
+    def _string_split(args: list[str]):
+        if len(args) != 2:
+            return None
+        s_, sep = args
+        return (
+            f"CASE WHEN ({sep}) IS NULL THEN array({s_}) "
+            f"ELSE split({s_}, concat('\\\\Q', {sep}, '\\\\E'), -1) END"
+        )
+
+    out = _rewrite_calls(out, "string_split", _string_split)
+    out = _rewrite_calls(out, "str_split", _string_split)
+    out = _rewrite_calls(out, "string_to_array", _string_split)
+    # ltrim/rtrim 2-arg: Spark's argument order is (trimStr, str) —
+    # reversed from the reference's (string, characters)
+    out = _rewrite_calls(
+        out, "ltrim", lambda a: f"__lt2({a[1]}, {a[0]})" if len(a) == 2 else None
+    )
+    out = _rewrite_calls(
+        out, "rtrim", lambda a: f"__rt2({a[1]}, {a[0]})" if len(a) == 2 else None
+    )
+    out = re.sub(r"\b__lt2\s*\(", "ltrim(", out)
+    out = re.sub(r"\b__rt2\s*\(", "rtrim(", out)
+    out = _rewrite_calls(
+        out, "trim", lambda a: f"btrim({a[0]}, {a[1]})" if len(a) == 2 else None
+    )
+    # concat treats NULL arguments as '' in the reference (concat.cpp);
+    # Spark's concat is NULL-propagating. concat_ws('') has the skip
+    # semantics — applied only when no argument looks list-typed (concat
+    # over arrays must stay Spark's array concat).
+    out = _rewrite_calls(
+        out,
+        "concat",
+        lambda a: f"concat_ws('', {', '.join(a)})"
+        if len(a) >= 1 and not any(_LISTY.search(x) for x in a)
+        else None,
+    )
+    # date_trunc to a day-or-coarser literal part returns DATE
+    # (date_trunc.cpp); Spark always returns TIMESTAMP
+    _DATE_PARTS = (
+        "day", "week", "month", "quarter", "year", "decade", "century",
+        "millennium", "isoyear",
+    )
+
+    def _date_trunc(args: list[str]):
+        if len(args) != 2:
+            return None
+        part = args[0].strip().strip("'\"").lower()
+        if part in _DATE_PARTS:
+            return f"CAST(__dtr({args[0]}, {args[1]}) AS DATE)"
+        return None
+
+    out = _rewrite_calls(out, "date_trunc", _date_trunc)
+    out = re.sub(r"\b__dtr\s*\(", "date_trunc(", out)
+    # EXTRACT(dow ...) / date_part('dow', ...): Sunday=0 in the
+    # reference (date_part.cpp); Spark's DOW is Sunday=1
+    while True:
+        spans_dw = _literal_spans(out)
+        dm = next(
+            (
+                c
+                for c in re.finditer(r"\bEXTRACT\s*\(\s*dow\s+FROM\b", out, re.I)
+                if not _in_spans(c.start(), spans_dw)
+            ),
+            None,
+        )
+        if dm is None:
+            break
+        open_dw = out.index("(", dm.start())
+        close_dw = _matching_paren(out, open_dw)
+        inner_expr = out[dm.end():close_dw]
+        out = out[: dm.start()] + f"(dayofweek({inner_expr}) - 1)" + out[close_dw + 1 :]
+
+    def _date_part(args: list[str]):
+        if len(args) != 2:
+            return None
+        part = args[0].strip().strip("'\"").lower()
+        if part in ("dow", "weekday"):
+            return f"(dayofweek({args[1]}) - 1)"
+        return None
+
+    out = _rewrite_calls(out, "date_part", _date_part)
+    out = _rewrite_calls(out, "datepart", _date_part)
     out = _rewrite_calls(out, "list_sort", _list_sort)
     out = _rewrite_calls(out, "list_reverse_sort", lambda a: f"sort_array({a[0]}, false)")
     # list_extract/list_element: 1-based, NULL at 0/out-of-bounds

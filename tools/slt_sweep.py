@@ -42,6 +42,7 @@ SKIP_DIRS = {
 CRASHERS = {
     "types/nested/list/test_list_functions_with_null_structs.test",
     "function/timestamp/test_icu_time_bucket_timestamptz.test",
+    "function/list/list_resize.test",
 }
 
 
