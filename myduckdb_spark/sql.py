@@ -1717,10 +1717,20 @@ def translate(text: str) -> str:
     )
     # list_sort comparator/order forms (DuckDB: list_sort(l [, 'ASC'|'DESC' [, nulls]]))
     def _list_sort(args: list[str]):
+        """DuckDB default null order is NULLS LAST for ASC, and the
+        optional third argument overrides it (list_sort.cpp); Spark's
+        sort_array(asc) is NULLS FIRST, array_sort() NULLS LAST."""
         if len(args) == 1:
             return f"array_sort({args[0]})"
         order = args[1].strip().strip("'\"").upper()
-        return f"sort_array({args[0]}, {'true' if order == 'ASC' else 'false'})"
+        nulls = args[2].strip().strip("'\"").upper() if len(args) == 3 else ""
+        if order == "ASC":
+            if "FIRST" in nulls:
+                return f"sort_array({args[0]}, true)"
+            return f"array_sort({args[0]})"
+        if "FIRST" in nulls:
+            return f"reverse(array_sort({args[0]}))"
+        return f"sort_array({args[0]}, false)"
 
     # strftime/strptime: convert the C %-format literal to Spark's
     # DateTimeFormatter pattern (reference strftime_format.cpp); calls
@@ -1777,7 +1787,9 @@ def translate(text: str) -> str:
             return None
         s_, sep = args
         return (
-            f"CASE WHEN ({sep}) IS NULL THEN array({s_}) "
+            f"CASE WHEN ({s_}) IS NULL THEN NULL "
+            f"WHEN ({sep}) IS NULL THEN array({s_}) "
+            f"WHEN ({sep}) = '' THEN split({s_}, '') "
             f"ELSE split({s_}, concat('\\\\Q', {sep}, '\\\\E'), -1) END"
         )
 
@@ -1814,11 +1826,15 @@ def translate(text: str) -> str:
         "day", "week", "month", "quarter", "year", "decade", "century",
         "millennium", "isoyear",
     )
+    # day-equivalent part names truncate to day (date_trunc.cpp)
+    _DAY_ALIASES = ("doy", "dow", "isodow", "weekday", "dayofyear", "dayofweek")
 
     def _date_trunc(args: list[str]):
         if len(args) != 2:
             return None
         part = args[0].strip().strip("'\"").lower()
+        if part in _DAY_ALIASES:
+            return f"CAST(__dtr('day', {args[1]}) AS DATE)"
         if part in _DATE_PARTS:
             return f"CAST(__dtr({args[0]}, {args[1]}) AS DATE)"
         return None
@@ -1975,11 +1991,15 @@ def translate(text: str) -> str:
         "map",
         lambda a: f"map_from_arrays({a[0]}, {a[1]})" if len(a) == 2 else None,
     )
-    # list_sum(l) → aggregate sum (DuckDB sums a list directly)
+    # list_sum(l): DuckDB sums into HUGEINT for integer lists —
+    # DECIMAL(38,6) accumulation keeps big sums exact
     out = _rewrite_calls(
         out,
         "list_sum",
-        lambda a: f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        lambda a: (
+            f"aggregate(filter({a[0]}, __x -> __x IS NOT NULL), "
+            f"CAST(0 AS DECIMAL(38,6)), (acc, x) -> CAST(acc + x AS DECIMAL(38,6)))"
+        )
         if len(a) == 1
         else None,
     )

@@ -70,15 +70,19 @@ def test_identifier_ending_in_len_untouched():
 def test_list_sort_forms():
     assert translate("SELECT list_sort(xs)") == "SELECT array_sort(xs)"
     assert translate("SELECT list_sort(xs, 'DESC')") == "SELECT sort_array(xs, false)"
-    assert translate("SELECT list_sort(xs, 'ASC')") == "SELECT sort_array(xs, true)"
+    # DuckDB's ASC default null order is NULLS LAST -> array_sort
+    assert translate("SELECT list_sort(xs, 'ASC')") == "SELECT array_sort(xs)"
+    assert (
+        translate("SELECT list_sort(xs, 'ASC', 'NULLS FIRST')")
+        == "SELECT sort_array(xs, true)"
+    )
     assert translate("SELECT list_reverse_sort(xs)") == "SELECT sort_array(xs, false)"
 
 
 def test_list_sum():
-    assert (
-        translate("SELECT list_sum(xs)")
-        == "SELECT aggregate(xs, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
+    # HUGEINT-exact accumulation (DECIMAL(38,6)), NULLs skipped
+    out = translate("SELECT list_sum(xs)")
+    assert out.startswith("SELECT aggregate(filter(xs,") and "DECIMAL(38,6)" in out
 
 
 def test_name_rules_only_on_calls():
