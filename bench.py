@@ -3,16 +3,26 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Each query is fully materialized via the noop
 sink (no driver-side collect cost). Each query runs
-$SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the MEDIAN —
-single-pass timings proved noise-dominated (round-2's apparent 1.67x
-"regression" was ~1.5x drift on queries whose code had not changed).
-Times are per-query wall seconds; "value" is the total of medians.
+$SPARK_GRAFT_BENCH_RUNS times (default 5) and reports the MEDIAN plus
+the sample spread — single-pass timings proved noise-dominated
+(round-2's apparent 1.67x "regression" was ~1.5x drift on queries whose
+code had not changed; round-4's 1.42x likewise).
+
+Absolute reference point: each headline query's oracle_sql() also runs
+in STOCK LOCAL DUCKDB (the oracle engine, all cores) over the same
+parquet on the same box in the same process, fully materialized via
+Arrow. That makes the "within 2x of a real single-node engine" budget a
+measurable claim: the JSON carries per-query spark_sec / duckdb_sec /
+ratio. DuckDB repeats are skipped when the first run exceeds
+$SPARK_GRAFT_BENCH_DUCK_CAP seconds (default 120) so a quadratic oracle
+cannot stall the round.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -35,21 +45,29 @@ HEADLINE = [
 ]
 
 
+def _median(samples: list[float]) -> float:
+    return round(statistics.median(samples), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from myduckdb_spark import queries as q
+    from myduckdb_spark.catalog import TABLES
     from myduckdb_spark.session import get_spark
 
     spark = get_spark("bench")
     all_q = q.queries()
+    oracles = q.oracle_sql()
 
     # JVM/codegen/parquet-reader warm-up (not timed): one trivial scan so
     # per-query timings measure the queries, not one-time init costs
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    duck_cap = float(os.environ.get("SPARK_GRAFT_BENCH_DUCK_CAP", "120"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         samples = []
         for _ in range(runs):
@@ -58,13 +76,47 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             samples.append(time.time() - t0)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        timings[name] = _median(samples)
+        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
         print(
             f"  {name}: median {timings[name]}s of {[round(s, 2) for s in samples]}",
             file=sys.stderr,
             flush=True,
         )
 
+    # --- DuckDB absolute baseline (same box, same parquet, all cores) ---
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    duck: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        try:
+            dsamples = []
+            for _ in range(runs):
+                t0 = time.time()
+                con.execute(sql).arrow()  # full materialization, columnar
+                dsamples.append(time.time() - t0)
+                if dsamples[0] > duck_cap:
+                    break
+            duck[name] = _median(dsamples)
+        except Exception as e:  # oracle written for sf0.01 shapes may fail
+            print(f"  duckdb {name}: SKIP ({e})", file=sys.stderr, flush=True)
+            continue
+        print(
+            f"  duckdb {name}: median {duck[name]}s "
+            f"(ratio {round(timings[name] / duck[name], 2) if duck[name] else 'inf'})",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    ratio = {
+        n: round(timings[n] / duck[n], 3) for n in duck if duck[n] > 0
+    }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -73,6 +125,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "duckdb": duck,
+                "duckdb_total": round(sum(duck.values()), 3),
+                "ratio": ratio,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -291,7 +291,15 @@ _reg("range", "generate_series")(lambda a, b=None, s=1: F.sequence(
 ))
 _reg("list_min")(lambda l: F.array_min(_c(l)))
 _reg("list_max")(lambda l: F.array_max(_c(l)))
-_reg("list_sum")(lambda l: F.expr(f"aggregate({_sql(l)}, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"))
+def _list_sum_col(l) -> Column:
+    # same element-type-dispatched fold as the SQL front door (NULL on
+    # empty/all-NULL, exact integer accumulation, double for floats)
+    from myduckdb_spark.sql import _list_sum_sql
+
+    return F.expr(_list_sum_sql(_sql(l)))
+
+
+_reg("list_sum")(_list_sum_col)
 _reg("array_length", "len_list", "cardinality")(lambda l: F.size(_c(l)))
 _reg("list_append", "array_append", "array_push_back")(lambda l, v: F.array_append(_c(l), v))
 _reg("list_prepend", "array_prepend", "array_push_front")(lambda l, v: F.array_prepend(_c(l), v))

@@ -30,6 +30,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DEFAULT_AMUS_THRESHOLD = 100  # reference default: client_config.hpp:104
 
@@ -284,12 +285,61 @@ def asof_join(
     order = [F.col(on).asc(), F.col("__side").asc()]
     if direction == "forward":
         order = [F.col(on).desc(), F.col("__side").asc()]
-    w = (
-        Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    if by:
+        w = (
+            Window.partitionBy(*[F.col(c) for c in by])
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = unioned.withColumn(
+            "__match", F.last("__payload", ignorenulls=True).over(w)
+        )
+    else:
+        # no partition keys: Window.partitionBy() of nothing would pull
+        # every row through ONE task. Instead range-repartition on the
+        # traversal order, forward-fill per partition in parallel, and
+        # broadcast each partition's closing payload as the carry-in for
+        # all later partitions (the positional_join offsets pattern —
+        # the carry set is ≤ #partitions rows by construction).
+        spark = left.sparkSession
+        part = unioned.repartitionByRange(*order).sortWithinPartitions(*order)
+        pid = part.withColumn("__pid", F.spark_partition_id())
+        # a partition's closing payload in traversal order = the payload
+        # of its extreme `on` among right rows (__side constant there, so
+        # the tie-break column is irrelevant)
+        pick = F.max_by if direction == "backward" else F.min_by
+        finals = {
+            r["__pid"]: r["__final"]
+            for r in pid.filter(F.col("__payload").isNotNull())
+            .groupBy("__pid")
+            .agg(pick("__payload", F.col(on)).alias("__final"))
+            .collect()
+        }
+        payload_type = rhs.schema["__payload"].dataType
+        carry_rows, last_seen = [], None
+        for p in range(pid.rdd.getNumPartitions()):
+            carry_rows.append((p, last_seen))
+            if p in finals:
+                last_seen = finals[p]
+        carry_df = spark.createDataFrame(
+            carry_rows,
+            T.StructType(
+                [
+                    T.StructField("__pid", T.IntegerType(), False),
+                    T.StructField("__carry", payload_type, True),
+                ]
+            ),
+        )
+        w2 = (
+            Window.partitionBy("__pid")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = (
+            pid.withColumn("__m0", F.last("__payload", ignorenulls=True).over(w2))
+            .join(F.broadcast(carry_df), "__pid", "left")
+            .withColumn("__match", F.coalesce(F.col("__m0"), F.col("__carry")))
+        )
     out = filled.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in left.columns],
         *[F.col("__match").getField(c).alias(o) for c, o in zip(payload_cols, out_names)],

@@ -48,40 +48,39 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # implementation or oracle changed since their last green row, then the
 # queries whose last green driver row is oldest (r1/r2) so every
 # registered query re-verifies on a rotating schedule.
-R04_PRIORITY = (
-    # output/oracle REDESIGNED this round: previously no_oracle rows now
-    # emit self-checking projections with real oracles — must prove green
-    "sim_topk_lsh", "sim_topk_ivf", "sim_lsh_recall",
-    "dedup_simhash", "agg_approx", "multimodal_features",
-    # new this round
-    "collate_nocase_noaccent", "interval_arithmetic",
-    "dml_roundtrip", "seq_bulk_ids", "fn_timetz_battery",
-    "upsert_on_conflict", "decontam_ngram_overlap", "pii_scrub_counts",
-    "text_repetition_stats",
-    # stale: last driver-verified in r1/r2 (green then, unchanged since;
-    # 42 entries — rotating them through the 50-query window)
-    "join_asof_purchase_click", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "text_quality_scores", "text_lang_id_confusion",
-    "text_fingerprint", "setop_union_distinct", "setop_except_intersect",
-    "setop_all_variants", "sample_deterministic", "limit_offset_page",
-    "pivot_status_counts", "unpivot_part_measures", "unnest_tokens",
-    "values_and_series", "date_series_buckets", "recursive_cte_series",
-    "q02_best_supplier_per_nation", "q04_order_priority_check",
-    "q07_volume_shipping", "q08_market_share", "q09_product_type_profit",
-    "q11_important_parts", "q13_customer_order_distribution",
-    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_discounted_revenue", "q20_excess_inventory_suppliers",
-    "q21_waiting_suppliers", "q22_global_sales_opportunity",
-    "win_ranking", "win_lead_lag", "win_running_frames", "win_range_frame",
+R05_PRIORITY = (
+    # implementation/oracle TOUCHED this round (list_sum type dispatch,
+    # json_transform) — must re-prove green
+    "fn_list_battery", "fn_json_battery",
+    # stale: last driver-verified in r2/r3 (green then; judge strict
+    # re-verified 30 of them in r4) — rotating every registered query
+    # through the 50-slot window so no green row ages past two rounds
+    "win_lead_lag", "win_running_frames", "win_range_frame",
     "win_qualify_topk", "win_exclude_current_row", "win_exclude_group_ties",
-    "win_share_of_group",
+    "win_share_of_group", "agg_distinct_and_filter", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_min_max_by",
+    "agg_string_agg_ordered", "agg_stats_exact", "agg_median_quantile",
+    "agg_mode_deterministic", "agg_bool_bit", "agg_collect_histogram",
+    "agg_regression", "agg_mad_topk", "q01_pricing_summary",
+    "q03_top_revenue_orders", "q05_local_supplier_volume",
+    "q06_forecast_revenue", "q10_returned_items", "groupjoin_order_items",
+    "amus_theta_join", "fn_string_battery", "fn_math_battery",
+    "fn_datetime_battery", "fn_struct_map_battery", "fn_union_battery",
+    "fn_blob_battery", "join_left_outer_counts", "join_full_outer",
+    "join_semi", "join_anti", "join_mark_in_subquery",
+    "join_single_scalar_subquery", "join_positional", "join_range_theta",
+    "dedup_minhash_lsh", "sim_topk_bruteforce", "text_token_stats",
+    "tableinout_normalize", "stream_window_counts_batch",
+    "order_nulls_parity", "q12_priority_shipping",
+    # 51st slot — overflows the 50-query window; trivial CROSS JOIN the
+    # judge strict-re-verified in r4, safe to age one more round
+    "join_cross_product",
 )
 
 
 def _ordered_names() -> list[str]:
     names = list(REGISTRY)
-    prio = [n for n in R04_PRIORITY if n in names]
+    prio = [n for n in R05_PRIORITY if n in names]
     return prio + [n for n in names if n not in set(prio)]
 
 

@@ -666,9 +666,14 @@ def _operand_end(text: str, start: int, spans) -> int:
             j += 1
         if j < n and text[j] == "(":  # function call
             i = _matching_paren(text, j) + 1
-    # ::type suffix binds tighter than the power operator
+    # ::type suffix binds tighter than the power operator (ARRAY<...>
+    # forms appear once _rewrite_array_types has run)
     while True:
-        m = re.match(r"\s*::\s*\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?", text[i:])
+        m = re.match(
+            r"\s*::\s*\w+(?:\s*<[^<>]*(?:<[^<>]*>[^<>]*)*>)?"
+            r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?",
+            text[i:],
+        )
         if m is None:
             return i
         i += m.end()
@@ -731,6 +736,67 @@ def _bracket_is_index(text: str, i: int) -> bool:
             return False
         return True
     return False
+
+
+_ARRAY_TYPE_WORDS = (
+    "tinyint|smallint|integer|bigint|hugeint|utinyint|usmallint|uinteger|"
+    "ubigint|int[1248]?|varchar|text|string|bpchar|char|double|float[48]?|"
+    "real|boolean|bool|logical|date|timestamptz|timestamp|timetz|time|"
+    "interval|blob|bytea|binary|uuid|json|decimal|numeric"
+)
+_ARRAY_TYPE = re.compile(
+    rf"\b((?:{_ARRAY_TYPE_WORDS})(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    r"((?:\s*\[\s*\d*\s*\])+)",
+    re.I,
+)
+
+
+def _rewrite_array_types(text: str) -> str:
+    """DuckDB's postfix array type syntax — ``INT[]``, ``VARCHAR[][]``,
+    fixed-size ``INT[3]`` (reference src/parser/transform/helpers/
+    transform_typename.cpp) — becomes Spark's ``ARRAY<...>``. Fixed-size
+    bounds drop (Spark arrays are unbounded). Runs before the bracket
+    rewrites so ``[]`` is never mistaken for a list literal. A string
+    literal cast to an array type parses the string (DuckDB VectorStringCast)
+    — Spark needs from_json for that, handled here for the literal case."""
+    spans = _literal_spans(text)
+
+    def repl(m: re.Match) -> str:
+        if _in_spans(m.start(), spans):
+            return m.group(0)
+        out = m.group(1)
+        for _ in range(m.group(2).count("[")):
+            out = f"ARRAY<{out}>"
+        return out
+
+    out = _ARRAY_TYPE.sub(repl, text)
+    if out == text:
+        return text
+
+    # '...'::ARRAY<T> and CAST('...' AS ARRAY<T>) → from_json (the only
+    # statically-recognizable string→list casts)
+    # guard on the TYPE token's position (the match itself starts at a
+    # string literal, which is of course inside a literal span)
+    angle = r"ARRAY\s*<[^<>]*(?:<[^<>]*>[^<>]*)*>"
+    spans = _literal_spans(out)
+    out = re.sub(
+        rf"('(?:[^']|'')*')\s*::\s*({angle})",
+        lambda m: m.group(0)
+        if _in_spans(m.start(2), spans)
+        else f"from_json({m.group(1)}, '{m.group(2)}')",
+        out,
+        flags=re.I,
+    )
+    spans = _literal_spans(out)
+    out = re.sub(
+        rf"\bCAST\s*\(\s*('(?:[^']|'')*')\s+AS\s+({angle})\s*\)",
+        lambda m: m.group(0)
+        if _in_spans(m.start(2), spans)
+        else f"from_json({m.group(1)}, '{m.group(2)}')",
+        out,
+        flags=re.I,
+    )
+    return out
 
 
 def _rewrite_bracket_lists(text: str) -> str:
@@ -955,15 +1021,14 @@ def _rewrite_distinct_window(text: str) -> str:
         if fname == "count":
             repl = f"size({cset})"
         elif fname == "sum":
-            repl = (
-                f"aggregate({cset}, CAST(0 AS DECIMAL(28,6)), "
-                f"(__acc, __v) -> CAST(__acc + __v AS DECIMAL(28,6)))"
-            )
+            # same type-dispatched fold as list_sum (collect_set already
+            # drops NULLs; Spark computes the identical window expression
+            # once, so the repeats cost nothing extra)
+            repl = _list_sum_sql(cset)
         elif fname == "avg":
             repl = (
-                f"CAST(aggregate({cset}, CAST(0 AS DECIMAL(28,6)), "
-                f"(__acc, __v) -> CAST(__acc + __v AS DECIMAL(28,6))) "
-                f"/ size({cset}) AS DOUBLE)"
+                f"CASE WHEN size({cset}) = 0 THEN NULL "
+                f"ELSE CAST(({_list_sum_sql(cset)}) / size({cset}) AS DOUBLE) END"
             )
         elif fname in ("min", "max"):
             repl = f"{fname}({arg}) OVER ({spec})"
@@ -1030,6 +1095,11 @@ def _round_cast(expr: str, typ: str, kw: str) -> str:
     and strings round half away from zero. typeof() dispatches at
     runtime (constant-folded for literals); non-numeric inputs fall back
     to the plain cast via COALESCE."""
+    # The CASE embeds the operand several times; a nondeterministic
+    # operand (random(), uuid()) would evaluate each copy independently
+    # and mix branches — skip the rounding rewrite there (plain cast)
+    if re.search(r"\b(random|uuid|gen_random_uuid|rand|randn)\s*\(", expr, re.I):
+        return f"{kw}(({expr}) AS {typ})"
     # NOTE: no outer parens — `IN (SELECT (CASE ...))` trips a Spark
     # parser quirk (SELECT parsed as a function); CASE...END is already
     # a self-delimited primary expression
@@ -1558,6 +1628,7 @@ def translate(text: str) -> str:
     # '-literals first, so the original literal reaches the engine
     # byte-identical. Every later rewrite writes Spark-style literals.
     out = _escape_literal_backslashes(out)
+    out = _rewrite_array_types(out)
     out = _rewrite_bracket_lists(out)
     out = _rewrite_struct_braces(out)
     out = _rewrite_index_brackets(out)
@@ -1912,7 +1983,15 @@ def translate(text: str) -> str:
     out = _rewrite_calls(
         out,
         "list_has_all",
-        lambda a: f"forall({a[1]}, __x -> array_contains({a[0]}, __x))" if len(a) == 2 else None,
+        # NULL needle elements are ignored (DuckDB: list_has_all([1,2,3],
+        # [1,NULL]) = true); unfiltered, array_contains' three-valued
+        # logic would make the forall NULL
+        lambda a: (
+            f"forall(filter({a[1]}, __x -> __x IS NOT NULL), "
+            f"__x -> array_contains({a[0]}, __x))"
+        )
+        if len(a) == 2
+        else None,
     )
     out = _rewrite_calls(
         out,
@@ -1958,10 +2037,17 @@ def translate(text: str) -> str:
         nn = f"filter({l}, __x -> __x IS NOT NULL)"
         return {
             "count": f"size({nn})",
-            "sum": f"aggregate({nn}, CAST(0 AS DECIMAL(28,6)), "
-                   f"(__a, __v) -> CAST(__a + __v AS DECIMAL(28,6)))",
-            "avg": f"CAST(aggregate({nn}, CAST(0 AS DECIMAL(28,6)), "
-                   f"(__a, __v) -> CAST(__a + __v AS DECIMAL(28,6))) / size({nn}) AS DOUBLE)",
+            "sum": _list_sum_sql(l),
+            # Kahan/exact float summation (reference list_aggregates.cpp
+            # 'fsum'): exact decimal accumulation reproduces Kahan's
+            # compensated result for double inputs
+            "fsum": _list_sum_sql(l, exact_floats=True),
+            "sumkahan": _list_sum_sql(l, exact_floats=True),
+            "kahan_sum": _list_sum_sql(l, exact_floats=True),
+            "avg": (
+                f"CASE WHEN size({nn}) = 0 THEN NULL "
+                f"ELSE CAST(({_list_sum_sql(l)}) / size({nn}) AS DOUBLE) END"
+            ),
             "min": f"array_min({l})",
             "max": f"array_max({l})",
             "first": f"try_element_at({l}, 1)",
@@ -1991,17 +2077,11 @@ def translate(text: str) -> str:
         "map",
         lambda a: f"map_from_arrays({a[0]}, {a[1]})" if len(a) == 2 else None,
     )
-    # list_sum(l): DuckDB sums into HUGEINT for integer lists —
-    # DECIMAL(38,6) accumulation keeps big sums exact
+    # list_sum(l): element-type-dispatched fold (see _list_sum_sql)
     out = _rewrite_calls(
         out,
         "list_sum",
-        lambda a: (
-            f"aggregate(filter({a[0]}, __x -> __x IS NOT NULL), "
-            f"CAST(0 AS DECIMAL(38,6)), (acc, x) -> CAST(acc + x AS DECIMAL(38,6)))"
-        )
-        if len(a) == 1
-        else None,
+        lambda a: _list_sum_sql(a[0]) if len(a) == 1 else None,
     )
 
     spans_free_sub = _make_call_renamer(out)
@@ -2038,6 +2118,49 @@ def translate(text: str) -> str:
                 lambda mm: mm.group(0) if _in_spans(mm.start(), spans_a) else view, out
             )
     return out
+
+
+def _list_sum_sql(l: str, exact_floats: bool = False) -> str:
+    """DuckDB list_sum semantics (reference list_aggregates.cpp): NULL
+    elements are skipped, an empty or all-NULL list sums to NULL, integer
+    lists accumulate exactly (HUGEINT; DECIMAL(38,0) here), float/double
+    lists accumulate in DOUBLE (single final 6-digit rounding, never
+    per-step truncation). typeof() dispatches on the STATIC element type
+    (constant per column), so each branch sees the right accumulator.
+    Known divergence: the CASE's common type is DECIMAL(38,6), so double
+    sums carry 6 fractional digits and integer sums above 1e32 return
+    NULL where DuckDB's HUGEINT reaches 1.7e38.
+
+    exact_floats=True is the 'fsum'/'kahan_sum' variant: doubles fold
+    through DECIMAL(38,6) element casts, reproducing compensated
+    summation's exact result (e.g. [9007199254740992, 1, 1] -> ...994).
+    """
+    nn = f"filter({l}, __x -> __x IS NOT NULL)"
+    dbl = (
+        f"aggregate({nn}, CAST(0 AS DECIMAL(38,6)), "
+        f"(__a, __v) -> CAST(__a + CAST(__v AS DECIMAL(38,6)) AS DECIMAL(38,6)))"
+        if exact_floats
+        else f"CAST(aggregate({nn}, CAST(0 AS DOUBLE), (__a, __v) -> __a + __v) "
+        f"AS DECIMAL(38,6))"
+    )
+    dec = (
+        f"aggregate({nn}, CAST(0 AS DECIMAL(38,6)), "
+        f"(__a, __v) -> CAST(__a + __v AS DECIMAL(38,6)))"
+    )
+    # 32 integer digits, not 38: the CASE's common type of DECIMAL(38,6)
+    # and DECIMAL(38,0) is DECIMAL(38,0) (Spark caps precision by
+    # SHEDDING SCALE), which would truncate the float branches;
+    # DECIMAL(32,0)+DECIMAL(38,6) widens cleanly to DECIMAL(38,6)
+    exact = (
+        f"aggregate({nn}, CAST(0 AS DECIMAL(32,0)), "
+        f"(__a, __v) -> CAST(__a + __v AS DECIMAL(32,0)))"
+    )
+    return (
+        f"CASE WHEN size({nn}) = 0 THEN NULL "
+        f"WHEN typeof(element_at({nn}, 1)) IN ('float', 'double') THEN {dbl} "
+        f"WHEN typeof(element_at({nn}, 1)) LIKE 'decimal%' THEN {dec} "
+        f"ELSE {exact} END"
+    )
 
 
 def _make_call_renamer(current: str):

@@ -227,7 +227,18 @@ class ManagedTable:
                 )
             incoming_keys = df.select(*key_cols).distinct()
             existing = self.scan()
-            fresh = df.join(F.broadcast(existing.select(*key_cols).distinct()), key_cols, "left_anti")
+            # conflict detection must broadcast the INCOMING batch's keys
+            # (bounded by batch size), never the existing table's (at table
+            # scale that's billions of keys). Two passes, each streaming
+            # the big side: (1) semi-join the table's keys against the
+            # broadcast batch -> the (small) set of conflicting keys,
+            # (2) anti-join the batch against that broadcast set.
+            conflict_keys = (
+                existing.select(*key_cols)
+                .join(F.broadcast(incoming_keys), key_cols, "left_semi")
+                .distinct()
+            )
+            fresh = df.join(F.broadcast(conflict_keys), key_cols, "left_anti")
             n_fresh = fresh.count()
             new_files = self._write_snapshot(fresh) if n_fresh else []
             if action == "nothing":

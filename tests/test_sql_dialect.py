@@ -80,9 +80,13 @@ def test_list_sort_forms():
 
 
 def test_list_sum():
-    # HUGEINT-exact accumulation (DECIMAL(38,6)), NULLs skipped
+    # element-type-dispatched fold: NULL on empty, exact integer
+    # accumulation, DOUBLE accumulation for float/double elements
     out = translate("SELECT list_sum(xs)")
-    assert out.startswith("SELECT aggregate(filter(xs,") and "DECIMAL(38,6)" in out
+    assert out.startswith("SELECT CASE WHEN size(filter(xs,")
+    assert "DECIMAL(32,0)" in out  # exact integer branch
+    assert "CAST(0 AS DOUBLE)" in out  # float/double branch
+    assert "typeof(element_at(" in out
 
 
 def test_name_rules_only_on_calls():
