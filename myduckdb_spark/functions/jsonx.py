@@ -1,0 +1,226 @@
+"""DuckDB JSON extension parity: json_structure / json_type /
+json_transform (reference extension/json/json_functions/json_structure.cpp,
+json_type.cpp, json_transform.cpp).
+
+Spark-first mapping:
+
+* ``json_transform(j, structure)`` — the structure argument is a JSON
+  document describing the target type (``{"a": "INTEGER"}``); it is
+  static per query, so it compiles to ``from_json`` with the equivalent
+  Spark DDL schema (``structure_to_ddl``). ``from_json``'s lenient
+  semantics match DuckDB's non-strict transform exactly (uncastable
+  scalar -> NULL field, extra object keys ignored — verified live).
+  Scalar roots (``'"2023-01-02"'::JSON`` transformed to ``"DATE"``)
+  compile to ``CAST(get_json_object(j, '$') AS ...)`` since Spark's
+  from_json requires a container root.
+* ``json_structure(j)`` / ``json_type(j[, path])`` are inherently
+  per-row recursive type inference — no Spark expression computes them,
+  so they run as Arrow-batched pandas UDFs (the sanctioned slow path)
+  over Python's json parser, implementing DuckDB's merge lattice:
+  NULL merges into anything, UBIGINT < BIGINT < DOUBLE widen, any other
+  conflict collapses to "JSON" (verified live against DuckDB on nested
+  object/array corpora).
+
+At 100 TB both UDFs stream Arrow batches through Python workers with no
+shuffle and no state — embarrassingly parallel, bounded memory.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+_NUMERIC = {"UBIGINT", "BIGINT", "DOUBLE"}
+
+
+def _structure(v):
+    """Nested python descriptor: dict / [elem] / type-name string."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "BOOLEAN"
+    if isinstance(v, int):
+        return "UBIGINT" if v >= 0 else "BIGINT"
+    if isinstance(v, float):
+        return "DOUBLE"
+    if isinstance(v, str):
+        return "VARCHAR"
+    if isinstance(v, list):
+        merged = "NULL"
+        for e in v:
+            merged = _merge(merged, _structure(e))
+        return [merged]
+    # dict — key order preserved (DuckDB reports first-seen order)
+    return {k: _structure(x) for k, x in v.items()}
+
+
+def _merge(a, b):
+    """DuckDB's structure merge lattice (json_structure.cpp): NULL is the
+    bottom element; unsigned->signed->double widens; object keys merge
+    per-key; everything else conflicts to the JSON top element."""
+    if a == "NULL":
+        return b
+    if b == "NULL":
+        return a
+    if a == b:
+        return a
+    if isinstance(a, str) and isinstance(b, str):
+        if a in _NUMERIC and b in _NUMERIC:
+            return "DOUBLE" if "DOUBLE" in (a, b) else "BIGINT"
+        return "JSON"
+    if isinstance(a, dict) and isinstance(b, dict):
+        keys = list(a) + [k for k in b if k not in a]
+        return {k: _merge(a.get(k, "NULL"), b.get(k, "NULL")) for k in keys}
+    if isinstance(a, list) and isinstance(b, list):
+        return [_merge(a[0], b[0])]
+    return "JSON"
+
+
+def json_structure_py(s: str | None) -> str | None:
+    if s is None:
+        return None
+    try:
+        v = json.loads(s)
+    except (ValueError, TypeError):
+        return None
+    return json.dumps(_structure(v), separators=(",", ":"))
+
+
+_PATH_TOKEN = re.compile(r"\.(\w+)|\.\"((?:[^\"\\]|\\.)*)\"|\[(\d+)\]")
+
+
+def _resolve_path(v, path: str):
+    """Subset of DuckDB's path forms: ``$.a.b[0]``, JSON pointer
+    ``/a/b/0``, or a bare key. Missing path -> sentinel (NULL result)."""
+    _MISS = object()
+    if path is None or path == "" or path == "$":
+        return v
+    if path.startswith("$"):
+        pos = 1
+        while pos < len(path):
+            m = _PATH_TOKEN.match(path, pos)
+            if m is None:
+                return _MISS
+            if m.group(3) is not None:
+                if not isinstance(v, list) or int(m.group(3)) >= len(v):
+                    return _MISS
+                v = v[int(m.group(3))]
+            else:
+                key = m.group(1) or m.group(2)
+                if not isinstance(v, dict) or key not in v:
+                    return _MISS
+                v = v[key]
+            pos = m.end()
+        return v
+    if path.startswith("/"):
+        for seg in path[1:].split("/"):
+            if isinstance(v, list) and seg.isdigit() and int(seg) < len(v):
+                v = v[int(seg)]
+            elif isinstance(v, dict) and seg in v:
+                v = v[seg]
+            else:
+                return _MISS
+        return v
+    # bare key
+    if isinstance(v, dict) and path in v:
+        return v[path]
+    return _MISS
+
+
+def json_type_py(s: str | None, path: str | None = None) -> str | None:
+    if s is None:
+        return None
+    try:
+        v = json.loads(s)
+    except (ValueError, TypeError):
+        return None
+    if path is not None:
+        v = _resolve_path(v, path)
+        if v.__class__ is object:  # missing-path sentinel
+            return None
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "BOOLEAN"
+    if isinstance(v, int):
+        return "UBIGINT" if v >= 0 else "BIGINT"
+    if isinstance(v, float):
+        return "DOUBLE"
+    if isinstance(v, str):
+        return "VARCHAR"
+    return "ARRAY" if isinstance(v, list) else "OBJECT"
+
+
+# ------------------------------------------------------------------ DDL
+
+# DuckDB type-name -> Spark DDL (transform_typename.cpp name set). TIME /
+# INTERVAL have no Spark column type -> STRING (documented divergence);
+# UBIGINT/HUGEINT -> DECIMAL wide enough for the full unsigned range.
+_TYPE_MAP = {
+    "TINYINT": "TINYINT", "INT1": "TINYINT",
+    "SMALLINT": "SMALLINT", "INT2": "SMALLINT", "SHORT": "SMALLINT",
+    "INTEGER": "INT", "INT": "INT", "INT4": "INT", "SIGNED": "INT",
+    "BIGINT": "BIGINT", "INT8": "BIGINT", "LONG": "BIGINT",
+    "HUGEINT": "DECIMAL(38,0)",
+    "UTINYINT": "SMALLINT", "USMALLINT": "INT", "UINTEGER": "BIGINT",
+    "UBIGINT": "DECIMAL(20,0)",
+    "FLOAT": "FLOAT", "FLOAT4": "FLOAT", "REAL": "FLOAT",
+    "DOUBLE": "DOUBLE", "FLOAT8": "DOUBLE",
+    "VARCHAR": "STRING", "TEXT": "STRING", "STRING": "STRING",
+    "CHAR": "STRING", "BPCHAR": "STRING", "JSON": "STRING",
+    "UUID": "STRING", "TIME": "STRING", "TIMETZ": "STRING",
+    "INTERVAL": "STRING",
+    "BOOLEAN": "BOOLEAN", "BOOL": "BOOLEAN", "LOGICAL": "BOOLEAN",
+    "DATE": "DATE",
+    "TIMESTAMP": "TIMESTAMP", "DATETIME": "TIMESTAMP",
+    "TIMESTAMPTZ": "TIMESTAMP",
+    "BLOB": "BINARY", "BYTEA": "BINARY", "BINARY": "BINARY",
+}
+
+_DECIMAL = re.compile(r"^(DECIMAL|NUMERIC)\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\)$", re.I)
+
+
+def _ddl(s) -> str:
+    if isinstance(s, dict):
+        inner = ", ".join(f"`{k}`: {_ddl(v)}" for k, v in s.items())
+        return f"STRUCT<{inner}>"
+    if isinstance(s, list):
+        if len(s) != 1:
+            raise ValueError(f"array structure needs exactly one element: {s!r}")
+        return f"ARRAY<{_ddl(s[0])}>"
+    name = str(s).strip().upper()
+    if name in _TYPE_MAP:
+        return _TYPE_MAP[name]
+    if _DECIMAL.match(name):
+        return name.replace("NUMERIC", "DECIMAL")
+    raise ValueError(f"unknown DuckDB type in json structure: {s!r}")
+
+
+def structure_to_ddl(structure_json: str) -> tuple[str, bool]:
+    """Parse a DuckDB json_transform structure document into a Spark DDL
+    type string. Returns (ddl, is_container): scalar roots can't go
+    through from_json and need the CAST(get_json_object(...)) form."""
+    v = json.loads(structure_json)
+    return _ddl(v), isinstance(v, (dict, list))
+
+
+# ------------------------------------------------------------------ UDFs
+
+_REGISTERED: set[int] = set()
+
+
+def register_json_udfs(spark) -> None:
+    """Idempotent per-session registration of the pandas-UDF pair."""
+    if id(spark) in _REGISTERED:
+        return
+    from myduckdb_spark.functions.udf import create_scalar_function
+
+    def _structure_udf(s):
+        return s.map(json_structure_py)
+
+    def _type_udf(s, p):
+        return s.combine(p, json_type_py)
+
+    create_scalar_function(spark, "json_structure", _structure_udf, "string")
+    create_scalar_function(spark, "json_type", _type_udf, "string")
+    _REGISTERED.add(id(spark))

@@ -354,7 +354,41 @@ _reg("json_extract_string", "json_extract_path_text")(
 _reg("json_array_length")(lambda j: F.json_array_length(_c(j)))
 _reg("json_keys")(lambda j: F.json_object_keys(_c(j)))
 _reg("json_valid")(lambda j: F.get_json_object(_c(j), "$").isNotNull())
-_reg("json_structure", "json_type", "json_typeof")(lambda j: F.expr(f"schema_of_json({_sql(j)})"))
+def _json_structure_col(j) -> Column:
+    # recursive per-row type inference (json_structure.cpp) — pandas UDF
+    # via functions/jsonx.py; registered lazily on the active session
+    from pyspark.sql import SparkSession
+
+    from myduckdb_spark.functions.jsonx import register_json_udfs
+
+    register_json_udfs(SparkSession.getActiveSession())
+    return F.call_udf("json_structure", _c(j))
+
+
+def _json_type_col(j, path=None) -> Column:
+    from pyspark.sql import SparkSession
+
+    from myduckdb_spark.functions.jsonx import register_json_udfs
+
+    register_json_udfs(SparkSession.getActiveSession())
+    p = F.lit(None).cast("string") if path is None else _c(path)
+    return F.call_udf("json_type", _c(j), p)
+
+
+def _json_transform_col(j, structure) -> Column:
+    # structure is a per-query constant (DuckDB binds it constant too:
+    # json_transform.cpp) -> compiles to from_json with a DDL schema
+    from myduckdb_spark.functions.jsonx import structure_to_ddl
+
+    ddl, container = structure_to_ddl(structure)
+    if container:
+        return F.from_json(_c(j), ddl)
+    return F.get_json_object(_c(j), "$").cast(ddl)
+
+
+_reg("json_structure")(_json_structure_col)
+_reg("json_type", "json_typeof")(_json_type_col)
+_reg("json_transform", "json_transform_strict")(_json_transform_col)
 _reg("to_json")(lambda c: F.to_json(_c(c)))
 _reg("from_json")(lambda j, schema: F.from_json(_c(j), schema))
 _reg("json_merge_patch")(lambda a, b: F.expr(

@@ -273,7 +273,12 @@ def fn_list_battery(spark, sf_dir):
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
            CAST(json_extract_string(props, '$.missing') IS NULL AS BOOLEAN) AS no_key,
-           CAST(json_valid(props) AS BOOLEAN) AS ok
+           CAST(json_valid(props) AS BOOLEAN) AS ok,
+           CAST(json_structure(props::JSON) AS VARCHAR) AS structure,
+           json_type(props::JSON) AS jtype,
+           json_type(props::JSON, '$.k') AS ktype,
+           CAST((json_transform(props, '{"k": "BIGINT"}')).k * 2 AS BIGINT)
+               AS t_k2
     FROM events
     ORDER BY event_id
     """,
@@ -282,7 +287,12 @@ def fn_list_battery(spark, sf_dir):
 def fn_json_battery(spark, sf_dir):
     """JSON library (reference extension/json/json_functions/) →
     get_json_object / from_json. json_valid emulated via try-parse
-    (Spark has no json_valid built-in)."""
+    (Spark has no json_valid built-in); json_structure/json_type are
+    Arrow-batched pandas UDFs, json_transform compiles to from_json with
+    a DDL schema (functions/jsonx.py)."""
+    from myduckdb_spark.functions.jsonx import register_json_udfs
+
+    register_json_udfs(spark)
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -292,6 +302,13 @@ def fn_json_battery(spark, sf_dir):
         F.try_variant_get(F.try_parse_json("props"), "$", "string")
         .isNotNull()
         .alias("ok"),
+        F.call_udf("json_structure", F.col("props")).alias("structure"),
+        F.call_udf("json_type", F.col("props"), F.lit(None).cast("string"))
+        .alias("jtype"),
+        F.call_udf("json_type", F.col("props"), F.lit("$.k")).alias("ktype"),
+        (F.from_json("props", "STRUCT<`k`: BIGINT>").getField("k") * 2)
+        .cast("bigint")
+        .alias("t_k2"),
     ).orderBy("event_id")
 
 

@@ -1758,6 +1758,58 @@ def translate(text: str) -> str:
         else None,
     )
     out = re.sub(r"\b__jal\s*\(", "json_array_length(", out)
+
+    # json_transform(j, 'structure') / json_transform_strict / DuckDB's
+    # from_json alias with a JSON structure document: the structure is a
+    # query constant, so it compiles to Spark from_json with the
+    # equivalent DDL schema (scalar roots -> CAST of the unquoted value).
+    # Non-literal structures stay untouched (and fail loudly) — DuckDB
+    # itself requires a constant structure (json_transform.cpp bind).
+    def _json_transform_sql(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        lit = a[1].strip()
+        if not (lit.startswith("'") and lit.endswith("'")):
+            return None
+        from myduckdb_spark.functions.jsonx import structure_to_ddl
+
+        try:
+            ddl, container = structure_to_ddl(lit[1:-1].replace("''", "'"))
+        except ValueError:
+            return None
+        if container:
+            return f"from_json({a[0]}, '{ddl}')"
+        return f"CAST(get_json_object({a[0]}, '$') AS {ddl})"
+
+    out = _rewrite_calls(out, "json_transform", _json_transform_sql)
+    out = _rewrite_calls(out, "json_transform_strict", _json_transform_sql)
+
+    def _from_json_structure(a: list[str]) -> str | None:
+        # only rewrite when the 2nd arg is a literal that parses as a
+        # JSON structure document; Spark-style DDL strings pass through
+        if len(a) != 2:
+            return None
+        lit = a[1].strip()
+        if not (lit.startswith("'") and lit.endswith("'")):
+            return None
+        body = lit[1:-1].replace("''", "'").lstrip()
+        if not body[:1] in ("{", "[", '"'):
+            return None
+        return _json_transform_sql(a)
+
+    out = _rewrite_calls(out, "from_json", _from_json_structure)
+
+    # json_type 1-arg form -> 2-arg UDF signature; json_typeof alias
+    out = _rewrite_calls(
+        out,
+        "json_typeof",
+        lambda a: f"json_type({', '.join(a)})" if len(a) in (1, 2) else None,
+    )
+    out = _rewrite_calls(
+        out,
+        "json_type",
+        lambda a: f"json_type({a[0]}, CAST(NULL AS STRING))" if len(a) == 1 else None,
+    )
     # regr_avgx/avgy always return DOUBLE in the reference (regr_avg.cpp);
     # Spark preserves DECIMAL inputs. Equivalent both-non-null average.
     out = _rewrite_calls(
@@ -2771,6 +2823,10 @@ def sql(
     if cmd is not None:
         return cmd
     out = translate(text)
+    if re.search(r"\bjson_(structure|type)\s*\(", out):
+        from myduckdb_spark.functions.jsonx import register_json_udfs
+
+        register_json_udfs(spark)
     if args is None:
         return spark.sql(out)
     spans = _literal_spans(out)

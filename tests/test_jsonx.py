@@ -1,0 +1,129 @@
+"""json_structure / json_type / json_transform parity vs live DuckDB
+(reference extension/json/json_functions/{json_structure,json_type,
+json_transform}.cpp)."""
+
+import json
+
+import duckdb
+import pytest
+
+from myduckdb_spark.functions.jsonx import (
+    json_structure_py,
+    json_type_py,
+    structure_to_ddl,
+)
+from myduckdb_spark.sql import sql as run_sql, translate
+
+DOCS = [
+    '{"a": 1, "b": "x", "c": [1.5, 2.5]}',
+    '[null, 1]',
+    '[1, -5]',
+    '[1.5, 1]',
+    '[true, false]',
+    '[null]',
+    '[]',
+    '[[1],[2.5]]',
+    '[[1],["x"]]',
+    '[{"a":1},{"a":"x"}]',
+    '[{"a":1},{"a":2.5}]',
+    '[{"a":[1]},{"a":[2.5]}]',
+    '["x", null]',
+    '[1, true]',
+    '{"a": 9223372036854775807}',
+    '"x"',
+    '3.0',
+    '[{"a":1},5]',
+    '[[1], 1]',
+    '[{"a":null},{"a":1}]',
+    '[{"a":1},{"b":2}]',
+    'null',
+    '-5',
+    'true',
+    '{"deep": {"x": [{"y": [1, 2.5]}]}}',
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def test_json_structure_matches_duckdb(duck):
+    for doc in DOCS:
+        want = duck.sql(
+            "SELECT json_structure(?::JSON)", params=[doc]
+        ).fetchone()[0]
+        assert json_structure_py(doc) == want, doc
+
+
+def test_json_type_matches_duckdb(duck):
+    for doc in DOCS:
+        want = duck.sql("SELECT json_type(?::JSON)", params=[doc]).fetchone()[0]
+        assert json_type_py(doc) == want, doc
+
+
+def test_json_type_paths(duck):
+    doc = '{"a": 1, "b": [2.5, {"c": "x"}], "n": null}'
+    for path in ["$.a", "$.b", "$.b[0]", "$.b[1].c", "$.missing", "/a", "/b/1/c", "a"]:
+        want = duck.sql(
+            "SELECT json_type(?::JSON, ?)", params=[doc, path]
+        ).fetchone()[0]
+        assert json_type_py(doc, path) == want, path
+
+
+def test_structure_to_ddl():
+    ddl, cont = structure_to_ddl('{"a": "INTEGER", "b": "VARCHAR", "c": ["DOUBLE"]}')
+    assert ddl == "STRUCT<`a`: INT, `b`: STRING, `c`: ARRAY<DOUBLE>>" and cont
+    ddl, cont = structure_to_ddl('["BIGINT"]')
+    assert ddl == "ARRAY<BIGINT>" and cont
+    ddl, cont = structure_to_ddl('"DATE"')
+    assert ddl == "DATE" and not cont
+    with pytest.raises(ValueError):
+        structure_to_ddl('{"a": "NOT_A_TYPE"}')
+
+
+def test_translate_json_transform():
+    out = translate("""SELECT json_transform(j, '{"a": "INTEGER"}') FROM t""")
+    assert "from_json(j, 'STRUCT<`a`: INT>')" in out
+    out = translate("""SELECT json_transform(j, '"DATE"') FROM t""")
+    assert "CAST(get_json_object(j, '$') AS DATE)" in out
+    # DuckDB's from_json alias with a structure doc converts; DDL passes
+    out = translate("""SELECT from_json(j, '{"a": "INTEGER"}') FROM t""")
+    assert "from_json(j, 'STRUCT<`a`: INT>')" in out
+    out = translate("SELECT from_json(j, 'a INT') FROM t")
+    assert "from_json(j, 'a INT')" in out
+    # 1-arg json_type gains the NULL path; json_typeof aliases
+    out = translate("SELECT json_type(j) FROM t")
+    assert "json_type(j, CAST(NULL AS STRING))" in out
+    out = translate("SELECT json_typeof(j, '$.a') FROM t")
+    assert "json_type(j, '$.a')" in out
+
+
+def test_sql_end_to_end(spark, duck):
+    rows = run_sql(
+        spark,
+        """SELECT json_transform('{"a": 7, "t": "2021-01-01 05:06:07"}',
+               '{"a": "INTEGER", "t": "TIMESTAMP"}') AS s""",
+    ).collect()
+    assert rows[0].s.a == 7 and rows[0].s.t.year == 2021
+    docs = [d for d in DOCS if d not in ("null",)]
+    got = {
+        r.d: (r.s, r.t)
+        for r in run_sql(
+            spark,
+            "SELECT d, json_structure(d) AS s, json_type(d) AS t "
+            "FROM VALUES "
+            + ", ".join("('" + d.replace("'", "''") + "')" for d in docs)
+            + " AS v(d)",
+        ).collect()
+    }
+    for doc in docs:
+        want_s = duck.sql("SELECT json_structure(?::JSON)", params=[doc]).fetchone()[0]
+        want_t = duck.sql("SELECT json_type(?::JSON)", params=[doc]).fetchone()[0]
+        assert got[doc] == (want_s, want_t), doc
+
+
+def test_transform_lenient_null_on_bad_cast(spark, duck):
+    q = """SELECT json_transform('{"a": "bad"}', '{"a": "INTEGER"}') AS s"""
+    assert run_sql(spark, q).collect()[0].s.a is None
+    assert duck.sql(q).fetchone()[0] == {"a": None}
