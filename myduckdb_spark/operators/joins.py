@@ -39,8 +39,15 @@ DEFAULT_AMUS_THRESHOLD = 100  # reference default: client_config.hpp:104
 # AM_US policy: small-input joins must not shuffle.
 # ---------------------------------------------------------------------------
 
-def _estimated_rows(df: DataFrame) -> float:
-    """Catalyst's size estimate for the plan (rows if available)."""
+def _estimated_rows(df: DataFrame, probe_threshold: int | None = None) -> float:
+    """Catalyst's size estimate for the plan (rows if available).
+
+    The JVM stats API (`df._jdf.queryExecution()`) is a private surface
+    pinned to this PySpark version; if it drifts, fall back to a BOUNDED
+    count probe — `limit(threshold+1).count()` — which answers the only
+    question the AM_US policy asks ("is this input tiny?") at the cost of
+    scanning at most threshold+1 rows, instead of silently disabling the
+    policy with inf."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
         stats = plan.stats()
@@ -50,7 +57,13 @@ def _estimated_rows(df: DataFrame) -> float:
         # Fall back to size-based guess: assume ~100 bytes/row.
         return float(str(stats.sizeInBytes())) / 100.0
     except Exception:
-        return float("inf")
+        if probe_threshold is None:
+            return float("inf")
+        try:
+            n = df.limit(probe_threshold + 1).count()
+            return float(n) if n <= probe_threshold else float("inf")
+        except Exception:
+            return float("inf")
 
 
 def amus_join(
@@ -76,7 +89,8 @@ def amus_join(
         from myduckdb_spark.config import get_option
 
         threshold = int(get_option("am_us_join_threshold"))
-    lrows, rrows = _estimated_rows(left), _estimated_rows(right)
+    lrows = _estimated_rows(left, probe_threshold=threshold)
+    rrows = _estimated_rows(right, probe_threshold=threshold)
     if min(lrows, rrows) <= threshold:
         if rrows <= lrows:
             right = F.broadcast(right)

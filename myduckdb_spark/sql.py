@@ -2248,6 +2248,78 @@ def _seq_store():
     return _SEQUENCES
 
 
+def reset_dml_state(spark: SparkSession) -> None:
+    """Drop every front-door managed table / sequence / prepared statement
+    — a fresh in-memory database, as the reference's test runner opens
+    per .test file (sqllogic_test_runner.hpp LoadDatabase)."""
+    global _SEQUENCES, _TXN
+    for name in list(_MANAGED):
+        _MANAGED.pop(name)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+    _SEQUENCES = None
+    _TXN = None
+    _PREPARED.clear()
+
+
+# ---------------------------------------------------------------------------
+# Single-writer transactions over the copy-on-write manifests. BEGIN
+# records every managed table's manifest version (+ sequence/prepared
+# state); ROLLBACK restores those pointers — no data movement, because
+# copy-on-write never deletes files (the same trick Delta/Iceberg use for
+# time travel; reference MVCC: src/transaction/). Concurrency (multiple
+# writers, isolation) is out of scope by declaration — this provides the
+# BEGIN/COMMIT/ROLLBACK statement surface the reference's sqllogictests
+# exercise on a single connection.
+# ---------------------------------------------------------------------------
+
+_TXN: dict | None = None
+
+
+def _txn_begin() -> None:
+    global _TXN
+    if _TXN is not None:
+        raise ValueError("TransactionContext Error: cannot start a transaction within a transaction")
+    import copy
+
+    _TXN = {
+        "tables": {n: (t, t.version) for n, t in _MANAGED.items()},
+        "seqs": copy.deepcopy(_seq_store()._seqs) if _SEQUENCES is not None else None,
+        "prepared": dict(_PREPARED),
+    }
+
+
+def _txn_end(commit: bool) -> None:
+    global _TXN
+    if _TXN is None:
+        raise ValueError("TransactionContext Error: cannot commit - no transaction is active")
+    _TXN = None
+
+
+def _txn_rollback(spark: SparkSession) -> None:
+    global _TXN
+    if _TXN is None:
+        raise ValueError("TransactionContext Error: cannot rollback - no transaction is active")
+    txn, _TXN = _TXN, None
+    for name in set(_MANAGED) - set(txn["tables"]):  # created during txn
+        _MANAGED.pop(name)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+    for name, (tbl, version) in txn["tables"].items():
+        _MANAGED[name] = tbl  # resurrect tables dropped during the txn
+        if tbl.version != version:
+            tbl.restore(version)
+        _refresh_view(spark, name)
+    if txn["seqs"] is not None and _SEQUENCES is not None:
+        _seq_store()._seqs = txn["seqs"]
+    _PREPARED.clear()
+    _PREPARED.update(txn["prepared"])
+
+
 def _count_df(spark: SparkSession, n: int) -> DataFrame:
     # DuckDB DML returns a single-column `Count` result
     return spark.createDataFrame([(n,)], "Count bigint")
@@ -2299,15 +2371,26 @@ def _parse_column_defs(body: str) -> tuple[list[tuple[str, str]], list[str]]:
             continue
         if re.match(r"^(UNIQUE|CHECK|FOREIGN)\b", p, re.I):
             continue
-        m = re.match(r'^("?[\w]+"?)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(.*)$', p, re.S)
+        m = re.match(
+            r'^("?[\w]+"?)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)'
+            r'((?:\s*\[\s*\d*\s*\])*)(.*)$',
+            p,
+            re.S,
+        )
         if not m:
             raise ValueError(f"cannot parse column definition: {p!r}")
-        name, typ, rest = m.group(1).strip('"'), m.group(2), m.group(3)
+        name, typ, brackets, rest = (
+            m.group(1).strip('"'), m.group(2), m.group(3), m.group(4),
+        )
         base = re.sub(r"\s*\(.*", "", typ).upper()
         if base in _DDL_TYPES and "(" not in typ:
             typ = _DDL_TYPES[base]
         elif base in ("VARCHAR", "CHAR", "BPCHAR"):
             typ = "STRING"  # DuckDB ignores VARCHAR length caps
+        # DuckDB postfix list types: INT[] / VARCHAR[][] / fixed INT[3]
+        # (bounds drop — Spark arrays are unbounded)
+        for _ in range(brackets.count("[")):
+            typ = f"ARRAY<{typ}>"
         if re.search(r"\bPRIMARY\s+KEY\b", rest, re.I):
             key.append(name)
         cols.append((name, typ))
@@ -2343,7 +2426,18 @@ def _qualify_excluded(expr: str, table: str, src_cols: list[str]) -> str:
         out,
         flags=re.I,
     )
-_DELETE = re.compile(r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?;?\s*$", re.I | re.S)
+_DROP_TBL = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*(CASCADE\s*)?;?\s*$", re.I)
+_TRUNCATE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", re.I)
+_BEGIN = re.compile(r"^\s*(?:BEGIN|START)(?:\s+TRANSACTION)?\s*;?\s*$", re.I)
+_COMMIT = re.compile(r"^\s*COMMIT\s*;?\s*$", re.I)
+_ROLLBACK = re.compile(r"^\s*(?:ROLLBACK|ABORT)\s*;?\s*$", re.I)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)"
+    r"(?:\s+(?:AS\s+)?(?!USING\b|WHERE\b)(\w+))?"
+    r"(?:\s+USING\s+(.+?))?"
+    r"(?:\s+WHERE\s+(.+?))?;?\s*$",
+    re.I | re.S,
+)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?;?\s*$", re.I | re.S
 )
@@ -2553,12 +2647,51 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
             n = tbl.insert(src_df)
         _refresh_view(spark, name)
         return _count_df(spark, n)
+    m = _DROP_TBL.match(text)
+    if m:
+        name = m.group(2)
+        if name in _MANAGED:
+            _MANAGED.pop(name)
+            spark.catalog.dropTempView(name)
+        elif not m.group(1):
+            raise KeyError(f"DROP TABLE: unknown table {name}")
+        return _count_df(spark, 0)
+    m = _TRUNCATE.match(text)
+    if m:
+        name = m.group(1)
+        if name not in _MANAGED:
+            raise KeyError(f"TRUNCATE: unknown table {name}")
+        n = _MANAGED[name].truncate()
+        _refresh_view(spark, name)
+        return _count_df(spark, n)
+    if _BEGIN.match(text):
+        _txn_begin()
+        return _count_df(spark, 0)
+    if _COMMIT.match(text):
+        _txn_end(commit=True)
+        return _count_df(spark, 0)
+    if _ROLLBACK.match(text):
+        _txn_rollback(spark)
+        return _count_df(spark, 0)
     m = _DELETE.match(text)
     if m:
-        name, pred = m.group(1), m.group(2)
+        name, alias, using, pred = m.group(1), m.group(2), m.group(3), m.group(4)
         if name not in _MANAGED:
             raise ValueError(f"DELETE: {name} is not a managed table (CREATE TABLE ... AS first)")
-        n = _MANAGED[name].delete(translate(pred) if pred else "true")
+        if using:
+            # DELETE ... USING (reference physical_delete.cpp semi-join
+            # plan): delete rows for which ANY joined combination of the
+            # USING sources satisfies WHERE -> a correlated EXISTS over
+            # the aliased scan; Catalyst plans it as a (broadcastable)
+            # left-semi join against the touched files only
+            body = translate(
+                f"SELECT 1 FROM {using} WHERE {pred}" if pred else f"SELECT 1 FROM {using}"
+            )
+            n = _MANAGED[name].delete(f"EXISTS ({body})", alias=alias or name)
+        else:
+            n = _MANAGED[name].delete(
+                translate(pred) if pred else "true", alias=alias or name
+            )
         _refresh_view(spark, name)
         return _count_df(spark, n)
     m = _UPDATE.match(text)
@@ -2790,6 +2923,21 @@ def _recursive_union_distinct(spark: SparkSession, text: str):
     return sql(spark, rest)
 
 
+def _split_statements(text: str) -> list[str]:
+    """Split a multi-statement script on top-level semicolons (outside
+    string literals; parens can't nest semicolons in SQL)."""
+    spans = _literal_spans(text)
+    parts, start = [], 0
+    for i, ch in enumerate(text):
+        if ch == ";" and not _in_spans(i, spans):
+            if text[start:i].strip():
+                parts.append(text[start:i])
+            start = i + 1
+    if text[start:].strip():
+        parts.append(text[start:])
+    return parts or [text]
+
+
 def sql(
     spark: SparkSession,
     text: str,
@@ -2810,6 +2958,15 @@ def sql(
     acceptable (Catalyst re-optimization is cheap relative to execution)."""
     if sf_dir:
         register_views(spark, sf_dir)
+    parts = _split_statements(text)
+    if len(parts) > 1:
+        # multi-statement script (DuckDB executes these in one call;
+        # e.g. "BEGIN TRANSACTION; DELETE ..."): run sequentially,
+        # return the last statement's result
+        df = None
+        for p in parts:
+            df = sql(spark, p, None, args)
+        return df
     m = _EXECUTE.match(text)
     if m and m.group(1).lower() in _PREPARED:
         # EXECUTE rebinds the stored statement with these literal values

@@ -292,12 +292,14 @@ class ManagedTable:
 
     # -- DML ----------------------------------------------------------------
 
-    def _touched_files(self, pred: str) -> set[str]:
+    def _touched_files(self, pred: str, alias: str | None = None) -> set[str]:
         """Distributed touched-file discovery: pushdown scan projecting
         only input_file_name(); driver receives ≤ one row per file."""
+        scan = self.scan()
+        if alias:
+            scan = scan.alias(alias)
         rows = (
-            self.scan()
-            .filter(F.expr(pred))
+            scan.filter(F.expr(pred))
             .select(F.input_file_name().alias("f"))
             .distinct()
             .collect()
@@ -305,19 +307,43 @@ class ManagedTable:
         # input_file_name returns a URI (file:///...); manifest holds paths
         return {re.sub(r"^file:/+", "/", r["f"]) for r in rows}
 
-    def delete(self, pred: str) -> int:
+    def delete(self, pred: str, alias: str | None = None) -> int:
         """DELETE FROM t WHERE pred. Returns #rows deleted. Only files
-        containing matching rows are rewritten."""
+        containing matching rows are rewritten. ``alias`` names the scan
+        so correlated predicates (DELETE ... USING compiles to EXISTS)
+        can reference the outer row by table name."""
         cur = self._manifest()
-        touched = self._touched_files(pred)
+        touched = self._touched_files(pred, alias)
         if not touched:
             return 0
         keep = [f for f in cur["files"] if f["path"] not in touched]
         touched_rows = sum(f["rows"] for f in cur["files"] if f["path"] in touched)
-        survivors = self.spark.read.parquet(*sorted(touched)).filter(~F.expr(pred))
+        survivors = self.spark.read.parquet(*sorted(touched))
+        if alias:
+            survivors = survivors.alias(alias)
+        # DELETE removes rows where pred is TRUE; a NULL predicate keeps
+        # the row (three-valued logic) — plain ~pred would drop it
+        survivors = survivors.filter(F.coalesce(~F.expr(pred), F.lit(True)))
         new = self._write_snapshot(survivors)
         self._commit(cur["version"] + 1, keep + new)
         return touched_rows - sum(f["rows"] for f in new)
+
+    def truncate(self) -> int:
+        """TRUNCATE: drop every live file from the manifest (files stay on
+        disk for retained-version reads). Returns #rows removed."""
+        cur = self._manifest()
+        n = sum(f["rows"] for f in cur["files"])
+        self._commit(cur["version"] + 1, [])
+        return n
+
+    def restore(self, version: int) -> None:
+        """Reset the current manifest to a retained prior version (the
+        transaction-rollback primitive: copy-on-write never deletes files,
+        so restoring is a pointer swap — reference MVCC rollback
+        src/transaction/undo_buffer.cpp, realized Spark-side as manifest
+        versioning)."""
+        m = self._manifest(version)
+        _atomic_write_json(self._manifest_path(), m)
 
     def update(self, assignments: dict[str, str], pred: str = "true") -> int:
         """UPDATE t SET col = expr[, ...] WHERE pred. Returns #rows

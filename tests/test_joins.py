@@ -124,3 +124,64 @@ def test_positional_join_distributed_numbering(spark):
             assert r["j"] == i and r["rv"] == f"r{i}"
         else:
             assert r["j"] is None and r["rv"] is None
+
+
+def test_asof_no_by_keys_correct_and_parallel(spark):
+    """asof_join with by=None must (a) match the global merge semantics
+    and (b) NOT funnel every row through one task: the no-key path
+    range-partitions on the order column and broadcasts per-partition
+    boundary carry-ins (operators/joins.py::asof_join)."""
+    import random
+
+    rnd = random.Random(7)
+    rows_r = sorted(rnd.sample(range(0, 100000, 3), 500))
+    right = spark.createDataFrame(
+        [(t, float(t)) for t in rows_r], "t int, px double"
+    ).repartition(8)
+    rows_l = sorted(rnd.sample(range(100000), 800))
+    left = spark.createDataFrame([(t,) for t in rows_l], "t int").repartition(8)
+
+    out = asof_join(left, right.select("t", F.col("px").alias("q_px")), on="t")
+    got = {r["t"]: r["q_px"] for r in out.collect()}
+    import bisect
+
+    for t in rows_l:
+        i = bisect.bisect_right(rows_r, t) - 1
+        want = float(rows_r[i]) if i >= 0 else None
+        assert got[t] == want, t
+
+    # forward direction spot check
+    fwd = asof_join(
+        left, right.select("t", F.col("px").alias("q_px")), on="t", direction="forward"
+    )
+    got_f = {r["t"]: r["q_px"] for r in fwd.collect()}
+    for t in rows_l[:100]:
+        i = bisect.bisect_left(rows_r, t)
+        want = float(rows_r[i]) if i < len(rows_r) else None
+        assert got_f[t] == want, t
+
+    # plan guard: the window sort runs over >1 partition (no global
+    # single-partition Exchange feeding the forward-fill window)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_estimated_rows_probe_fallback(spark, monkeypatch):
+    """When the private JVM stats API is unavailable, the AM_US policy
+    falls back to a bounded limit(threshold+1) count probe instead of
+    disabling itself (VERDICT r4 #8)."""
+    from myduckdb_spark.operators import joins as J
+
+    small = spark.createDataFrame([(i,) for i in range(5)], "x int")
+    big = spark.createDataFrame([(i,) for i in range(500)], "y int")
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise RuntimeError("stats API drifted")
+
+    monkeypatch.setattr(
+        type(small._jdf), "queryExecution", lambda self: _Boom(), raising=False
+    )
+    assert J._estimated_rows(small, probe_threshold=100) == 5.0
+    assert J._estimated_rows(big, probe_threshold=100) == float("inf")
+    assert J._estimated_rows(small) == float("inf")  # no probe requested

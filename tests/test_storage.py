@@ -325,3 +325,131 @@ def test_front_door_prepared_statements(spark):
     run_sql(spark, "DEALLOCATE p_add")
     with pytest.raises(Exception):
         run_sql(spark, "EXECUTE p_add(1, 2)")
+
+
+def _dual(spark, con, stmts):
+    """Run the same script against both front doors, return None."""
+    for s in stmts:
+        run_sql(spark, s)
+        con.sql(s)
+
+
+def _compare(spark, con, table, order):
+    got = [tuple(r) for r in spark.table(table).orderBy(order).collect()]
+    want = con.sql(f"SELECT * FROM {table} ORDER BY {order}").fetchall()
+    assert got == want
+
+
+def test_front_door_transactions_rollback_commit(spark):
+    """BEGIN/COMMIT/ROLLBACK over manifest savepoints (reference MVCC
+    rollback src/transaction/undo_buffer.cpp; here a version-pointer
+    swap on the copy-on-write manifest)."""
+    con = duckdb.connect()
+    _dual(spark, con, [
+        "CREATE OR REPLACE TABLE t_txn(i INTEGER, s VARCHAR)",
+        "INSERT INTO t_txn VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+        "BEGIN TRANSACTION",
+        "DELETE FROM t_txn WHERE i = 2",
+        "UPDATE t_txn SET s = 'z' WHERE i = 3",
+    ])
+    _compare(spark, con, "t_txn", "i")  # in-txn state visible
+    _dual(spark, con, ["ROLLBACK"])
+    _compare(spark, con, "t_txn", "i")  # pre-txn state restored
+    _dual(spark, con, [
+        "BEGIN TRANSACTION",
+        "INSERT INTO t_txn VALUES (4, 'd')",
+        "COMMIT",
+    ])
+    _compare(spark, con, "t_txn", "i")
+    # table created inside a rolled-back txn disappears
+    _dual(spark, con, [
+        "BEGIN TRANSACTION",
+        "CREATE TABLE t_txn2 AS SELECT 1 AS x",
+        "ROLLBACK",
+    ])
+    with pytest.raises(Exception):
+        spark.table("t_txn2").collect()
+    run_sql(spark, "DROP TABLE t_txn")
+
+
+def test_front_door_multi_statement_script(spark):
+    con = duckdb.connect()
+    run_sql(
+        spark,
+        "CREATE OR REPLACE TABLE t_ms(i INTEGER); "
+        "INSERT INTO t_ms VALUES (1), (2); "
+        "BEGIN TRANSACTION; DELETE FROM t_ms WHERE i = 1;",
+    )
+    con.sql(
+        "CREATE OR REPLACE TABLE t_ms(i INTEGER); "
+        "INSERT INTO t_ms VALUES (1), (2); "
+        "BEGIN TRANSACTION; DELETE FROM t_ms WHERE i = 1;"
+    )
+    _compare(spark, con, "t_ms", "i")
+    _dual(spark, con, ["ROLLBACK"])
+    _compare(spark, con, "t_ms", "i")
+    run_sql(spark, "DROP TABLE t_ms")
+
+
+def test_front_door_truncate_and_drop(spark):
+    con = duckdb.connect()
+    _dual(spark, con, [
+        "CREATE OR REPLACE TABLE t_tr AS SELECT * FROM range(100) t(i)",
+        "TRUNCATE t_tr",
+    ])
+    assert spark.table("t_tr").count() == 0
+    assert con.sql("SELECT count(*) FROM t_tr").fetchone()[0] == 0
+    _dual(spark, con, ["INSERT INTO t_tr VALUES (7)"])  # schema survives
+    _compare(spark, con, "t_tr", "i")
+    run_sql(spark, "DROP TABLE t_tr")
+    with pytest.raises(Exception):
+        run_sql(spark, "DROP TABLE t_tr")  # already gone
+    run_sql(spark, "DROP TABLE IF EXISTS t_tr")  # no-op
+
+
+def test_front_door_delete_using(spark):
+    """DELETE ... USING (reference test/sql/delete/test_using_delete.test)
+    compiles to a correlated EXISTS, planned as a semi join."""
+    con = duckdb.connect()
+    stmts = [
+        "CREATE OR REPLACE TABLE t_du(i INTEGER)",
+        "INSERT INTO t_du VALUES (1), (2), (3), (4), (4)",
+        "DELETE FROM t_du USING (VALUES (1), (4)) tbl(i) WHERE t_du.i = tbl.i",
+    ]
+    _dual(spark, con, stmts)
+    _compare(spark, con, "t_du", "i")
+    # self-referencing USING: delete every i greater than some other i
+    _dual(spark, con, [
+        "INSERT INTO t_du VALUES (9)",
+        "DELETE FROM t_du USING t_du t2 WHERE t_du.i > t2.i",
+    ])
+    _compare(spark, con, "t_du", "i")
+    run_sql(spark, "DROP TABLE t_du")
+
+
+def test_front_door_null_predicate_delete(spark):
+    """Rows where the DELETE predicate evaluates NULL survive (3VL) —
+    regression for the ~pred survivors filter."""
+    con = duckdb.connect()
+    _dual(spark, con, [
+        "CREATE OR REPLACE TABLE t_np(i INTEGER)",
+        "INSERT INTO t_np VALUES (1), (NULL), (10)",
+        "DELETE FROM t_np WHERE i > 5",
+    ])
+    got = sorted((tuple(r) for r in spark.table("t_np").collect()), key=str)
+    want = sorted(con.sql("SELECT * FROM t_np").fetchall(), key=str)
+    assert got == want
+    assert spark.table("t_np").count() == 2  # 1 and NULL survive
+    run_sql(spark, "DROP TABLE t_np")
+
+
+def test_front_door_array_column_defs(spark):
+    con = duckdb.connect()
+    _dual(spark, con, [
+        "CREATE OR REPLACE TABLE t_arr(k INTEGER, v INTEGER[])",
+        "INSERT INTO t_arr VALUES (1, [1, 2, 3]), (2, NULL)",
+    ])
+    got = [tuple(r) for r in spark.table("t_arr").orderBy("k").collect()]
+    want = con.sql("SELECT * FROM t_arr ORDER BY k").fetchall()
+    assert [(k, list(v) if v is not None else None) for k, v in got] == want
+    run_sql(spark, "DROP TABLE t_arr")

@@ -1,0 +1,79 @@
+"""Sweep the reference's DML test dirs (insert/update/delete/upsert/
+create) through the DUAL-state runner (tools/slt.py::run_file_dual):
+statements apply through the engine's storage front door AND DuckDB,
+queries compare each engine's own state. Triage output: one JSON line per
+file with checked/mismatch/resync counts — files with checked>0 and
+mismatch==0 are candidates for tests/test_slt_corpus.py::DML_CORPUS.
+
+    python tools/dml_sweep.py delete update insert upsert create
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import sys
+import traceback
+
+REF = "/root/reference/test/sql"
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from myduckdb_spark.session import get_spark
+
+    from tools.slt import run_file_dual
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    spark = get_spark()
+    for sub in args:
+        base = os.path.join(REF, sub)
+        files = (
+            [base]
+            if base.endswith(".test")
+            else sorted(
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(base)
+                for f in fs
+                if f.endswith(".test")
+            )
+        )
+        for path in files:
+            rel = os.path.relpath(path, REF)
+
+            def _timeout(signum, frame):
+                raise TimeoutError("per-file sweep timeout")
+
+            signal.signal(signal.SIGALRM, _timeout)
+            signal.alarm(240)
+            try:
+                r = run_file_dual(spark, path, max_queries=60, collect_mismatches=True)
+                line = {
+                    "checked": r.queries,
+                    "statements": r.statements,
+                    "mismatch": len(r.mismatches),
+                    "resyncs": r.resyncs,
+                    "skip_q": len(r.skipped_queries),
+                    "skip_s": len(r.skipped_statements),
+                    "mismatches": r.mismatches[:5],
+                    "skipped_queries": [
+                        (q[:160], e[:160]) for q, e in r.skipped_queries[:5]
+                    ],
+                }
+            except Exception:
+                line = {"fatal": traceback.format_exc()[-400:]}
+            finally:
+                signal.alarm(0)
+            print(
+                f"{rel}: checked={line.get('checked', 0)} "
+                f"mismatch={line.get('mismatch', 0)} resyncs={line.get('resyncs', 0)} "
+                f"skips={line.get('skip_q', 0)}/{line.get('skip_s', 0)}"
+                + (" FATAL" if "fatal" in line else ""),
+                file=sys.stderr,
+            )
+            print(json.dumps({rel: line}, default=str), flush=True)
+
+
+if __name__ == "__main__":
+    main()

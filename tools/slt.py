@@ -357,3 +357,203 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
             )
             res.queries += 1
     return res
+
+
+# ---------------------------------------------------------------------------
+# Dual-state DML runner: the reference's insert/update/delete/upsert test
+# dirs exercise STORAGE, so unlike run_file (state lives in DuckDB only,
+# snapshotted into Spark views) every statement here runs through BOTH
+# engines — ours via the storage front door (sql.py _dml_statement over
+# storage.ManagedTable) and DuckDB — and every query compares each
+# engine's OWN state. When the engines diverge on a statement (e.g.
+# BEGIN/ROLLBACK: transactions are declared out of scope), the engine
+# state is rebuilt from DuckDB's tables so the remaining comparisons stay
+# honest; the resync is recorded, never silent.
+# ---------------------------------------------------------------------------
+
+
+def _resync_from_duck(spark, con) -> None:
+    from myduckdb_spark.sql import reset_dml_state
+    from myduckdb_spark.sql import sql as engine_sql
+
+    reset_dml_state(spark)
+    try:
+        names = [
+            r[0]
+            for r in con.execute(
+                "SELECT table_name FROM information_schema.tables "
+                "WHERE table_schema = 'main' AND table_type = 'BASE TABLE'"
+            ).fetchall()
+        ]
+    except Exception:
+        # DuckDB sits in an aborted transaction — clear it and retry
+        con.execute("ROLLBACK")
+        names = [
+            r[0]
+            for r in con.execute(
+                "SELECT table_name FROM information_schema.tables "
+                "WHERE table_schema = 'main' AND table_type = 'BASE TABLE'"
+            ).fetchall()
+        ]
+    import pyarrow as pa
+
+    _WIDEN = {
+        pa.uint8(): pa.int16(), pa.uint16(): pa.int32(),
+        pa.uint32(): pa.int64(), pa.uint64(): pa.decimal128(20, 0),
+    }
+    for t in names:
+        tbl = con.execute(f'SELECT * FROM "{t}"').arrow()
+        if any(f.type in _WIDEN for f in tbl.schema):
+            tbl = tbl.cast(
+                pa.schema(
+                    [
+                        pa.field(f.name, _WIDEN.get(f.type, f.type), f.nullable)
+                        for f in tbl.schema
+                    ]
+                )
+            )
+        spark.createDataFrame(tbl).createOrReplaceTempView(f"__sync_{t}")
+        engine_sql(spark, f'CREATE OR REPLACE TABLE {t} AS SELECT * FROM __sync_{t}')
+
+
+def run_file_dual(
+    spark, path: str, con=None, max_queries: int | None = None,
+    collect_mismatches: bool = False,
+):
+    """Run one DML .test file with parallel engine/DuckDB state.
+
+    Counts: res.queries = value-checked SELECTs, res.statements = DML/DDL
+    applied by BOTH engines. Raises AssertionError on a value mismatch
+    (unless collect_mismatches, for sweep triage — then mismatches land in
+    res.mismatches)."""
+    import duckdb
+
+    from myduckdb_spark.sql import reset_dml_state
+    from myduckdb_spark.sql import sql as engine_sql
+
+    con = con if con is not None else duckdb.connect()
+    res = RunResult()
+    res.mismatches = []
+    res.resyncs = 0
+    reset_dml_state(spark)
+
+    def duck_try(sql: str):
+        try:
+            cur = con.execute(sql)
+            return cur, None
+        except Exception as e:
+            return None, e
+
+    def engine_try(sql: str):
+        try:
+            df = engine_sql(spark, sql)
+            rows = df.collect() if df is not None else []
+            return (df, rows), None
+        except Exception as e:
+            return None, e
+
+    def resync(sql: str, note: str) -> None:
+        res.resyncs += 1
+        res.skipped_statements.append((sql, note + " [resynced]"))
+        _resync_from_duck(spark, con)
+
+    for rec in parse(path):
+        sql = rec.sql
+        if not sql.strip():
+            continue
+        if re.match(r"\s*PRAGMA", sql, re.I):
+            continue
+        if rec.kind in ("statement_ok", "statement_maybe"):
+            _, derr = duck_try(sql)
+            if derr is not None and "transaction is aborted" in str(derr).lower():
+                # DuckDB no-ops every statement until ROLLBACK; mirroring
+                # means NOT running it on the engine either
+                res.skipped_statements.append((sql, "duckdb transaction aborted (statement not applied)"))
+                continue
+            _, eerr = engine_try(sql)
+            if derr is None and eerr is None:
+                res.statements += 1
+            elif derr is None:
+                resync(sql, f"engine: {eerr}".split("\n")[0][:200])
+            elif eerr is None:
+                resync(sql, f"duckdb rejected, engine applied: {derr}")
+            elif rec.kind == "statement_ok":
+                res.skipped_statements.append((sql, f"both engines rejected: {derr}"))
+        elif rec.kind == "statement_error":
+            dcur, derr = duck_try(sql)
+            if derr is None and dcur is not None:
+                try:
+                    dcur.fetchall()  # force lazy runtime errors
+                except Exception as e:
+                    derr = e
+            if derr is not None and "transaction is aborted" in str(derr).lower():
+                res.statements += 1  # expected error; engine must not run it
+                continue
+            _, eerr = engine_try(sql)
+            if derr is not None and eerr is not None:
+                res.statements += 1  # both reject — parity
+            elif derr is not None:
+                resync(sql, "expected error: duckdb rejected, engine applied")
+            elif eerr is not None:
+                # live DuckDB accepts (version drift) but engine rejected
+                resync(sql, f"expected error: live duckdb accepts, engine: {eerr}")
+            else:
+                res.statements += 1  # both accept (version drift, in sync)
+        else:  # query
+            if max_queries is not None and res.queries >= max_queries:
+                break
+            if re.match(r"\s*(EXPLAIN|DESCRIBE|SHOW|PRAGMA)\b", sql, re.I):
+                res.skipped_queries.append((sql, "plan/metadata query"))
+                continue
+            if re.match(
+                r"\s*(CREATE|INSERT|UPDATE|DELETE|DROP|ALTER|SET|ATTACH|COPY|BEGIN|COMMIT|ROLLBACK)\b",
+                sql, re.I,
+            ) or (
+                re.search(r"\b(INSERT|UPDATE|DELETE|CREATE|DROP|ALTER)\b", sql, re.I)
+                and re.match(r"\s*(WITH|FROM)\b", sql, re.I)
+            ):
+                # DML mislabeled as `query` (returns a Count) — run as state
+                _, derr = duck_try(sql)
+                _, eerr = engine_try(sql)
+                if derr is None and eerr is None:
+                    res.statements += 1
+                elif derr is None:
+                    resync(sql, f"engine: {eerr}".split("\n")[0][:200])
+                elif eerr is None:
+                    resync(sql, f"duckdb rejected, engine applied: {derr}")
+                continue
+            try:
+                cur = con.execute(sql)
+                if cur.description is None:
+                    res.statements += 1
+                    continue
+                duck_cols = [d[0] for d in cur.description]
+                want = _canon(cur.fetchall())
+            except Exception as e:
+                res.skipped_queries.append((sql, f"duckdb: {e}"))
+                continue
+            eres, eerr = engine_try(sql)
+            if eerr is not None:
+                res.skipped_queries.append((sql, f"engine: {eerr}"))
+                continue
+            df, rows = eres
+            low = {c.lower(): c for c in df.columns}
+            if (
+                len(df.columns) == len(duck_cols)
+                and len(set(c.lower() for c in duck_cols)) == len(duck_cols)
+                and all(c.lower() in low for c in duck_cols)
+            ):
+                idx = [df.columns.index(low[c.lower()]) for c in duck_cols]
+                rows = [tuple(r[i] for i in idx) for r in rows]
+            else:
+                rows = [tuple(r) for r in rows]
+            got = _canon(rows)
+            if got != want:
+                if collect_mismatches:
+                    res.mismatches.append((sql[:300], got[:3], want[:3]))
+                    continue
+                raise AssertionError(
+                    f"mismatch for {sql!r}:\n spark={got[:5]}\n duck={want[:5]}"
+                )
+            res.queries += 1
+    return res

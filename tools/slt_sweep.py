@@ -154,6 +154,11 @@ def main() -> None:
             d for d in os.listdir(REF)
             if os.path.isdir(os.path.join(REF, d)) and d not in SKIP_DIRS
         )
+    curated: set[str] = set()
+    if "--new-only" in sys.argv:  # skip files already in the pytest corpus
+        import tests.test_slt_corpus as tc
+
+        curated = set(tc.CORPUS)
     max_q = 60
     spark = get_spark()
     report: dict[str, dict] = {}
@@ -163,6 +168,8 @@ def main() -> None:
                 if not f.endswith(".test"):
                     continue
                 rel = os.path.relpath(os.path.join(root, f), REF)
+                if rel in curated:
+                    continue
                 if rel in CRASHERS:
                     report[rel] = {"skipped": "native-crash file"}
                     continue
