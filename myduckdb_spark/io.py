@@ -34,31 +34,74 @@ import io as _io
 from pyspark.sql import DataFrame, SparkSession
 
 _DELIMS = [",", "|", ";", "\t"]
+_QUOTES = ['"', "'"]
+_MAX_SKIP = 8
+
+
+def _try_parse(lines: list[str], sep: str, quote: str, escape: str) -> list[list[str]] | None:
+    """Parse the sample strictly under one dialect candidate; None on a
+    parse error (the reference sniffer discards candidates the same way —
+    dialect_detection.cpp state machine errors)."""
+    try:
+        rows = list(
+            _csv.reader(
+                _io.StringIO("\n".join(lines)),
+                delimiter=sep,
+                quotechar=quote,
+                doublequote=(escape == quote),
+                escapechar=None if escape == quote else escape,
+                strict=True,
+            )
+        )
+    except _csv.Error:
+        return None
+    return [r for r in rows if r]
 
 
 def sniff_csv(spark: SparkSession, path: str, sample_lines: int = 64) -> dict:
-    """Detect delimiter and header presence from a small sample.
-
-    Mirrors the reference's dialect/header sniffer
-    (``sniffer/dialect_detection.cpp``, ``header_detection.cpp``) with a
-    driver-side sample: the delimiter is the candidate yielding the most
-    columns with a consistent count across sample lines; the file has a
-    header if the first row's cells are non-numeric while later rows are
-    numeric somewhere. Returns ``{"sep": str, "header": bool}``.
+    """Detect delimiter / quote / escape / skip-rows / header from a small
+    sample, mirroring the reference's sniffer matrix
+    (``sniffer/dialect_detection.cpp`` candidate search over delimiter ×
+    quote × escape × skip-rows, ``header_detection.cpp`` for the header
+    vote). Candidate scoring follows the reference: a dialect must parse
+    the post-skip sample with a CONSISTENT column count; among consistent
+    candidates prefer fewer skipped rows, more columns, then the default
+    quote (") and quote-doubling escape. Returns ``{"sep", "header",
+    "quote", "escape", "skip_rows"}`` (escape == quote means doubling,
+    DuckDB's default).
     """
     lines = [r[0] for r in spark.read.text(path).limit(sample_lines).collect()]
     if not lines:
-        return {"sep": ",", "header": False}
-    best_sep, best_cols = ",", 1
+        return {"sep": ",", "header": False, "quote": '"', "escape": '"', "skip_rows": 0}
+    best = None  # (score tuple, sep, quote, escape, skip, rows)
+    max_skip = min(_MAX_SKIP, max(0, len(lines) - 2))
     for sep in _DELIMS:
-        try:
-            rows = list(_csv.reader(_io.StringIO("\n".join(lines)), delimiter=sep))
-        except _csv.Error:
-            continue
-        counts = {len(r) for r in rows if r}
-        if len(counts) == 1 and (cols := counts.pop()) > best_cols:
-            best_sep, best_cols = sep, cols
-    first = next(_csv.reader(_io.StringIO(lines[0]), delimiter=best_sep), [])
+        for quote in _QUOTES:
+            for escape in (quote, "\\"):
+                for skip in range(0, max_skip + 1):
+                    rows = _try_parse(lines[skip:], sep, quote, escape)
+                    if not rows:
+                        continue
+                    counts = {len(r) for r in rows}
+                    if len(counts) != 1:
+                        continue
+                    cols = counts.pop()
+                    score = (
+                        cols > 1,          # a real table beats 1 column
+                        -skip,             # explain as much of the file as possible
+                        cols,
+                        quote == '"',      # defaults win ties
+                        escape == quote,
+                        -_DELIMS.index(sep),
+                    )
+                    if best is None or score > best[0]:
+                        best = (score, sep, quote, escape, skip, rows)
+                    break  # smallest skip for this dialect found
+    if best is None:
+        return {"sep": ",", "header": False, "quote": '"', "escape": '"', "skip_rows": 0}
+    _, best_sep, best_quote, best_escape, skip_rows, parsed = best
+    lines = lines[skip_rows:]
+    first = parsed[0] if parsed else []
 
     def _numeric(cell: str) -> bool:
         try:
@@ -67,9 +110,7 @@ def sniff_csv(spark: SparkSession, path: str, sample_lines: int = 64) -> dict:
         except ValueError:
             return False
 
-    later_rows = [
-        next(_csv.reader(_io.StringIO(line), delimiter=best_sep), []) for line in lines[1:]
-    ]
+    later_rows = parsed[1:]
     later_numeric = any(_numeric(c) for row in later_rows for c in row)
     first_non_numeric = bool(first) and not any(_numeric(c) for c in first)
     if first_non_numeric and later_numeric:
@@ -87,7 +128,13 @@ def sniff_csv(spark: SparkSession, path: str, sample_lines: int = 64) -> dict:
         )
     else:
         header = False
-    return {"sep": best_sep, "header": header}
+    return {
+        "sep": best_sep,
+        "header": header,
+        "quote": best_quote,
+        "escape": best_escape,
+        "skip_rows": skip_rows,
+    }
 
 
 def read_csv(
@@ -106,16 +153,33 @@ def read_csv(
     reference explicit ``columns=``.
     """
     reader = spark.read
+    skip_rows = int(options.pop("skip_rows", options.pop("skip", 0)))
     if auto_detect and ("sep" not in options or "header" not in options):
         sniffed = sniff_csv(spark, path)
         options.setdefault("sep", sniffed["sep"])
         options.setdefault("header", sniffed["header"])
+        options.setdefault("quote", sniffed["quote"])
+        # Spark expresses quote-doubling as escape == quote
+        options.setdefault("escape", sniffed["escape"])
+        skip_rows = skip_rows or sniffed["skip_rows"]
     for k, v in options.items():
         reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
     elif auto_detect:
         reader = reader.option("inferSchema", True)
+    if skip_rows:
+        # leading junk lines (reference skip_rows): drop them from a text
+        # scan, then parse the remainder with the same reader options.
+        # zipWithIndex is per-file deterministic; skip-rows files are
+        # driver-sized exports, not multi-file table scans.
+        txt = (
+            spark.read.text(path)
+            .rdd.zipWithIndex()
+            .filter(lambda t: t[1] >= skip_rows)
+            .map(lambda t: t[0][0])
+        )
+        return reader.csv(txt)
     return reader.csv(path)
 
 
