@@ -50,7 +50,10 @@ def _structure(v):
         for e in v:
             merged = _merge(merged, _structure(e))
         return [merged]
-    # dict — key order preserved (DuckDB reports first-seen order)
+    # dict — key order preserved (DuckDB reports first-seen order); an
+    # EMPTY object is the JSON top element (verified live: '{}' -> "JSON")
+    if not v:
+        return "JSON"
     return {k: _structure(x) for k, x in v.items()}
 
 
@@ -127,14 +130,16 @@ def _resolve_path(v, path: str):
     return _MISS
 
 
-def json_type_py(s: str | None, path: str | None = None) -> str | None:
-    if s is None:
+def json_type_py(s: str | None, path: str | None = "$") -> str | None:
+    """Two-arg json_type: a NULL path is NULL out (DuckDB two-arg
+    semantics); the SQL front door passes '$' for the one-arg form."""
+    if s is None or path is None:
         return None
     try:
         v = json.loads(s)
     except (ValueError, TypeError):
         return None
-    if path is not None:
+    if path != "$":
         v = _resolve_path(v, path)
         if v.__class__ is object:  # missing-path sentinel
             return None

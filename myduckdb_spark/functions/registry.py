@@ -371,7 +371,7 @@ def _json_type_col(j, path=None) -> Column:
     from myduckdb_spark.functions.jsonx import register_json_udfs
 
     register_json_udfs(SparkSession.getActiveSession())
-    p = F.lit(None).cast("string") if path is None else _c(path)
+    p = F.lit("$") if path is None else _c(path)
     return F.call_udf("json_type", _c(j), p)
 
 
@@ -397,9 +397,13 @@ _reg("json_merge_patch")(lambda a, b: F.expr(
 
 
 def _duck_jsonpath(p: str) -> str:
-    """DuckDB '$.a.b' or '/a/b' → Spark '$.a.b'."""
+    """DuckDB '$.a.b' or JSON-pointer '/a/b/0' → Spark '$.a.b[0]'
+    (numeric pointer segments index arrays)."""
     if p.startswith("/"):
-        return "$" + p.replace("/", ".")
+        out = "$"
+        for seg in p[1:].split("/"):
+            out += f"[{seg}]" if seg.isdigit() else f".{seg}"
+        return out
     return p
 
 

@@ -187,8 +187,10 @@ _STRF_CODES = {
     "M": "mm", "S": "ss", "f": "SSSSSS", "g": "SSS", "p": "a", "j": "DDD",
     "b": "MMM", "h": "MMM", "B": "MMMM", "a": "EEE", "A": "EEEE",
     "-d": "d", "-m": "M", "-H": "H", "-M": "m", "-S": "s", "-j": "D",
-    "-I": "h", "-y": "y",
+    "-I": "h",
 }
+# %-y (two-digit year, no pad) has no Java pattern — special-cased in
+# _strftime as year(x) % 100
 
 
 def _strf_literal_to_java(fmt: str) -> str | None:
@@ -1808,7 +1810,8 @@ def translate(text: str) -> str:
     out = _rewrite_calls(
         out,
         "json_type",
-        lambda a: f"json_type({a[0]}, CAST(NULL AS STRING))" if len(a) == 1 else None,
+        # '$' = whole-document type; an actual NULL path returns NULL
+        lambda a: f"json_type({a[0]}, '$')" if len(a) == 1 else None,
     )
     # regr_avgx/avgy always return DOUBLE in the reference (regr_avg.cpp);
     # Spark preserves DECIMAL inputs. Equivalent both-non-null average.
@@ -1865,7 +1868,10 @@ def translate(text: str) -> str:
         m_fmt = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[1])
         if not m_fmt:
             return None
-        j = _strf_literal_to_java(m_fmt.group(1).replace("''", "'"))
+        fmt = m_fmt.group(1).replace("''", "'")
+        if fmt == "%-y":  # unpadded 2-digit year: no Java pattern exists
+            return f"CAST(year({args[0]}) % 100 AS STRING)"
+        j = _strf_literal_to_java(fmt)
         if j is None:
             return None
         return f"date_format({args[0]}, '{j.replace(chr(39), chr(39)*2)}')"
@@ -1876,13 +1882,212 @@ def translate(text: str) -> str:
         m_fmt = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[1])
         if not m_fmt:
             return None
-        j = _strf_literal_to_java(m_fmt.group(1).replace("''", "'"))
+        fmt = m_fmt.group(1).replace("''", "'")
+        j = _strf_literal_to_java(fmt)
         if j is None:
             return None
+        if not re.search(r"%[-]?[YyG]", fmt):
+            # no year directive: DuckDB defaults to 1900, Spark to 1970
+            # (strptime.cpp StrTimeFormat defaults)
+            return (
+                f"to_timestamp(concat('1900 ', {args[0]}), "
+                f"'yyyy {j.replace(chr(39), chr(39)*2)}')"
+            )
         return f"to_timestamp({args[0]}, '{j.replace(chr(39), chr(39)*2)}')"
 
     out = _rewrite_calls(out, "strftime", _strftime)
     out = _rewrite_calls(out, "strptime", _strptime)
+
+    # ---- string-function edge parity (reference test/sql/function/string) --
+    # LEFT/RIGHT with negative counts drop from the other end
+    # (left_right.cpp); Spark returns '' for negatives
+    out = _rewrite_calls(
+        out,
+        "left",
+        lambda a: (
+            f"CASE WHEN ({a[1]}) IS NULL THEN CAST(NULL AS STRING) "
+            f"WHEN ({a[1]}) >= 0 THEN __left({a[0]}, {a[1]}) "
+            f"ELSE __substr({a[0]}, 1, greatest(length({a[0]}) + ({a[1]}), 0)) END"
+        )
+        if len(a) == 2
+        else None,
+    )
+    out = _rewrite_calls(
+        out,
+        "right",
+        lambda a: (
+            f"CASE WHEN ({a[1]}) >= 0 THEN __right({a[0]}, {a[1]}) "
+            f"ELSE __substr({a[0]}, 1 - ({a[1]})) END"
+        )
+        if len(a) == 2
+        else None,
+    )
+
+    # 3-arg substring: DuckDB resolves a negative start from the string's
+    # end, then takes the window [min(start, start+len), max(...)) clamped
+    # to position 1 — so start 0 eats one of the length and a negative
+    # length takes characters BEFORE the start (substring.cpp; verified
+    # live: substring('hello',0,5)='hell', ('hello',2,-2)='h')
+    def _substring3(a: list[str]) -> str | None:
+        if len(a) != 3:
+            return None
+        s, st, ln = a
+        rs = (
+            f"(CASE WHEN ({st}) < 0 THEN length({s}) + ({st}) + 1 "
+            f"ELSE ({st}) END)"
+        )
+        lo = f"greatest(least({rs}, {rs} + ({ln})), 1)"
+        hi = f"greatest({rs}, {rs} + ({ln}))"
+        return (
+            f"CASE WHEN ({st}) IS NULL OR ({ln}) IS NULL THEN CAST(NULL AS STRING) "
+            f"ELSE __substr({s}, {lo}, {hi} - {lo}) END"
+        )
+
+    # SQL-standard `substring(x FROM a [FOR b])` → comma form first
+    def _substr_fromfor(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        m = re.match(
+            r"^(.*?)\s+FROM\s+(.+?)(?:\s+FOR\s+(.+?))?$", a[0].strip(), re.I | re.S
+        )
+        if not m:
+            return None
+        if m.group(3) is not None:
+            return _substring3([m.group(1), m.group(2), m.group(3)])
+        return f"__substr({m.group(1)}, {m.group(2)})"
+
+    out = _rewrite_calls(out, "substring", _substr_fromfor)
+    out = _rewrite_calls(out, "substr", _substr_fromfor)
+    out = _rewrite_calls(out, "substring", _substring3)
+    out = _rewrite_calls(out, "substr", _substring3)
+
+    # split_part with '' separator splits into single characters
+    # (string_split.cpp empty-delimiter path)
+    out = _rewrite_calls(
+        out,
+        "split_part",
+        lambda a: (
+            # NEVER returns NULL ('' for NULL inputs); a NULL separator
+            # doesn't split (part 1 = the whole string); '' separator
+            # splits into characters (verified live)
+            f"coalesce(CASE "
+            f"WHEN ({a[1]}) IS NULL THEN "
+            f"CASE WHEN CAST({a[2]} AS INT) = 1 THEN ({a[0]}) ELSE '' END "
+            f"WHEN ({a[1]}) = '' "
+            f"THEN try_element_at(split({a[0]}, ''), CAST({a[2]} AS INT)) "
+            f"ELSE __split_part({a[0]}, {a[1]}, {a[2]}) END, '')"
+        )
+        if len(a) == 3
+        else None,
+    )
+    for sentinel, real in (
+        ("__left", "left"), ("__right", "right"),
+        ("__substr", "substring"), ("__split_part", "split_part"),
+    ):
+        out = re.sub(rf"\b{sentinel}\s*\(", f"{real}(", out)
+
+    # string_agg with a NULL separator returns NULL (DuckDB binds the
+    # separator eagerly; verified live)
+    def _string_agg_null_sep(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        if a[1].strip().upper() != "NULL":
+            return None
+        return "CAST(NULL AS STRING)"
+
+    out = _rewrite_calls(out, "string_agg", _string_agg_null_sep)
+
+    # printf/format: any NULL argument makes the result NULL (DuckDB
+    # fmt semantics; Spark renders nulls as the string 'null')
+    def _printf_nulls(a: list[str]) -> str | None:
+        if len(a) < 2:
+            return None
+        guard = " OR ".join(f"({x}) IS NULL" for x in a)
+        return (
+            f"CASE WHEN {guard} THEN CAST(NULL AS STRING) "
+            f"ELSE __printf({', '.join(a)}) END"
+        )
+
+    out = _rewrite_calls(out, "printf", _printf_nulls)
+    out = re.sub(r"\b__printf\s*\(", "printf(", out)
+
+    # regexp_extract: DuckDB's default group is 0 (the whole match);
+    # Spark's is 1. A NULL group yields '' (verified live).
+    def _regexp_extract(a: list[str]) -> str | None:
+        if len(a) == 2:
+            return f"regexp_extract({a[0]}, {a[1]}, 0)"
+        if len(a) == 3 and a[2].strip().upper() == "NULL":
+            return "''"
+        return None
+
+    out = _rewrite_calls(out, "regexp_extract", _regexp_extract)
+
+    # ---- list-function edge parity (reference test/sql/function/list) -----
+    # flatten skips NULL sublists but keeps NULL elements (flatten.cpp;
+    # Spark's flatten returns NULL when any sublist is NULL)
+    out = _rewrite_calls(
+        out,
+        "flatten",
+        lambda a: f"flatten(filter({a[0]}, __x -> __x IS NOT NULL))"
+        if len(a) == 1
+        else None,
+    )
+    # list_has_any ignores NULL elements and never returns NULL for
+    # non-NULL inputs (verified live: ([1,NULL],[NULL,3]) = false)
+    out = _rewrite_calls(
+        out,
+        "list_has_any",
+        lambda a: (
+            f"CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN NULL "
+            f"ELSE coalesce(arrays_overlap("
+            f"filter({a[0]}, __x -> __x IS NOT NULL), "
+            f"filter({a[1]}, __x -> __x IS NOT NULL)), false) END"
+        )
+        if len(a) == 2
+        else None,
+    )
+    # list_intersect dedups and drops NULLs (verified live)
+    out = _rewrite_calls(
+        out,
+        "list_intersect",
+        lambda a: (
+            f"array_intersect(filter({a[0]}, __x -> __x IS NOT NULL), "
+            f"filter({a[1]}, __x -> __x IS NOT NULL))"
+        )
+        if len(a) == 2
+        else None,
+    )
+    out = re.sub(r"\barray_intersect\s*\(", "__ai(", out)
+    out = _rewrite_calls(
+        out,
+        "__ai",
+        lambda a: (
+            f"array_intersect(filter({a[0]}, __x -> __x IS NOT NULL), "
+            f"filter({a[1]}, __x -> __x IS NOT NULL))"
+        )
+        if len(a) == 2
+        else f"array_intersect({', '.join(a)})",
+    )
+    # array_to_string: empty list -> NULL, NULL separator behaves as ','
+    # (verified live)
+    out = _rewrite_calls(
+        out,
+        "array_to_string",
+        lambda a: (
+            f"CASE WHEN size({a[0]}) = 0 THEN NULL "
+            f"ELSE array_join({a[0]}, coalesce({a[1]}, ',')) END"
+        )
+        if len(a) == 2
+        else None,
+    )
+    # CURRENT_USER/SESSION_USER/CURRENT_ROLE value functions -> 'duckdb'
+    spans_vf = _literal_spans(out)
+    out = re.sub(
+        r"\b(current_user|session_user|current_role)\b(?!\s*\()",
+        lambda m: m.group(0) if _in_spans(m.start(), spans_vf) else "'duckdb'",
+        out,
+        flags=re.I,
+    )
     # list_distinct DROPS NULL elements in the reference (list_distinct.cpp)
     out = _rewrite_calls(
         out,
@@ -1994,7 +2199,31 @@ def translate(text: str) -> str:
     out = _rewrite_calls(out, "date_part", _date_part)
     out = _rewrite_calls(out, "datepart", _date_part)
     out = _rewrite_calls(out, "list_sort", _list_sort)
-    out = _rewrite_calls(out, "list_reverse_sort", lambda a: f"sort_array({a[0]}, false)")
+
+    def _list_rsort(a: list[str]) -> str | None:
+        # default DESC null order is NULLS LAST; optional arg overrides
+        if len(a) == 2 and "FIRST" in a[1].strip().strip("'\"").upper():
+            return f"reverse(array_sort({a[0]}))"
+        return f"sort_array({a[0]}, false)"
+
+    out = _rewrite_calls(out, "list_reverse_sort", _list_rsort)
+
+    # json_extract* with a literal JSON-pointer path ('/a/b/0'): numeric
+    # segments index arrays (json pointer syntax, json_common.hpp)
+    def _json_pointer(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        m = re.fullmatch(r"\s*'/((?:[^']|'')*)'\s*", a[1])
+        if not m:
+            return None
+        conv = "$" + "".join(
+            f"[{s}]" if s.isdigit() else f".{s}" for s in m.group(1).split("/")
+        )
+        return f"get_json_object({a[0]}, '{conv}')"
+
+    for jf in ("json_extract_string", "json_extract_path_text",
+               "json_extract", "json_extract_path"):
+        out = _rewrite_calls(out, jf, _json_pointer)
     # list_extract/list_element: 1-based, NULL at 0/out-of-bounds
     def _list_extract(args: list[str]):
         if len(args) != 2:
@@ -2093,9 +2322,11 @@ def translate(text: str) -> str:
             # Kahan/exact float summation (reference list_aggregates.cpp
             # 'fsum'): exact decimal accumulation reproduces Kahan's
             # compensated result for double inputs
-            "fsum": _list_sum_sql(l, exact_floats=True),
-            "sumkahan": _list_sum_sql(l, exact_floats=True),
-            "kahan_sum": _list_sum_sql(l, exact_floats=True),
+            # fsum/kahan always return DOUBLE, even for integer lists
+            # (verified live: list_aggr([1::tinyint],'fsum') = 1.0)
+            "fsum": f"CAST(({_list_sum_sql(l, exact_floats=True)}) AS DOUBLE)",
+            "sumkahan": f"CAST(({_list_sum_sql(l, exact_floats=True)}) AS DOUBLE)",
+            "kahan_sum": f"CAST(({_list_sum_sql(l, exact_floats=True)}) AS DOUBLE)",
             "avg": (
                 f"CASE WHEN size({nn}) = 0 THEN NULL "
                 f"ELSE CAST(({_list_sum_sql(l)}) / size({nn}) AS DOUBLE) END"
@@ -2335,18 +2566,28 @@ _CREATE_TBL = re.compile(
     re.I | re.S,
 )
 _INSERT = re.compile(
-    r"^\s*INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\s+(\w+)\s*(?:\(([^()]*)\))?\s*(.+?);?\s*$",
+    r"^\s*INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\s+(\w+)"
+    r"(?:\s+AS\s+(\w+))?\s*(?:\(([^()]*)\))?\s*(.+?);?\s*$",
     re.I | re.S,
 )
 _ON_CONFLICT_CLAUSE = re.compile(
-    r"^\s*(?:\(([^()]*)\))?\s*DO\s+(NOTHING|UPDATE)\s*(?:SET\s+(.+?))?(?:\s+WHERE\s+(.+?))?\s*$",
+    r"^\s*(?:\(([^()]*)\))?\s*(?:WHERE\s+(.+?)\s+)?"
+    r"DO\s+(NOTHING|UPDATE)\s*(?:SET\s+(.+?))?(?:\s+WHERE\s+(.+?))?\s*$",
     re.I | re.S,
 )
+_CREATE_INDEX = re.compile(
+    r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r'("?[\w]+"?)\s+ON\s+(\w+)\s*\(([^()]*)\)\s*;?\s*$',
+    re.I,
+)
+_DROP_INDEX = re.compile(r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?\"?(\w+)\"?\s*;?\s*$", re.I)
 
 # DuckDB column types Spark's DDL parser doesn't know (beyond the intN
 # aliases translate() already maps)
 _DDL_TYPES = {
     "INTEGER": "INT", "SIGNED": "INT", "LONG": "BIGINT",
+    "INT1": "TINYINT", "INT2": "SMALLINT", "INT4": "INT", "INT8": "BIGINT",
+    "FLOAT4": "FLOAT", "FLOAT8": "DOUBLE", "SHORT": "SMALLINT",
     "HUGEINT": "DECIMAL(38,0)", "UHUGEINT": "DECIMAL(38,0)",
     "UTINYINT": "SMALLINT", "USMALLINT": "INT", "UINTEGER": "BIGINT",
     "UBIGINT": "DECIMAL(20,0)", "REAL": "FLOAT", "TEXT": "STRING",
@@ -2356,18 +2597,26 @@ _DDL_TYPES = {
 }
 
 
-def _parse_column_defs(body: str) -> tuple[list[tuple[str, str]], list[str]]:
-    """Parse `a INT PRIMARY KEY, b TEXT, PRIMARY KEY (a, b)` → (cols, key).
-    Constraints other than PRIMARY KEY (NOT NULL / UNIQUE / CHECK /
-    DEFAULT) are accepted and dropped — the managed layer stores data, it
-    does not enforce them (the reference enforces via ART indexes)."""
+def _parse_column_defs(body: str) -> tuple[list[tuple[str, str]], list[str], list[list[str]]]:
+    """Parse `a INT PRIMARY KEY, b TEXT UNIQUE, PRIMARY KEY (a, b)` →
+    (cols, key, uniques). PRIMARY KEY and UNIQUE become arbiter key sets
+    (the reference builds ART indexes for both); CHECK / DEFAULT / NOT
+    NULL / FOREIGN are accepted and dropped — the managed layer stores
+    data, it does not enforce them."""
     cols: list[tuple[str, str]] = []
     key: list[str] = []
+    uniques: list[list[str]] = []
     for part in _split_args(body):
         p = part.strip()
+        if not p:  # trailing comma (the fork's own tests contain these)
+            continue
         m = re.match(r"^PRIMARY\s+KEY\s*\(([^)]*)\)$", p, re.I)
         if m:
             key = [c.strip().strip('"') for c in m.group(1).split(",")]
+            continue
+        m = re.match(r"^UNIQUE\s*\(([^)]*)\)$", p, re.I)
+        if m:
+            uniques.append([c.strip().strip('"') for c in m.group(1).split(",")])
             continue
         if re.match(r"^(UNIQUE|CHECK|FOREIGN)\b", p, re.I):
             continue
@@ -2393,8 +2642,10 @@ def _parse_column_defs(body: str) -> tuple[list[tuple[str, str]], list[str]]:
             typ = f"ARRAY<{typ}>"
         if re.search(r"\bPRIMARY\s+KEY\b", rest, re.I):
             key.append(name)
+        elif re.search(r"\bUNIQUE\b", rest, re.I):
+            uniques.append([name])
         cols.append((name, typ))
-    return cols, key
+    return cols, key, uniques
 
 
 def _split_off_on_conflict(source: str) -> tuple[str, str | None]:
@@ -2408,10 +2659,13 @@ def _split_off_on_conflict(source: str) -> tuple[str, str | None]:
     return source, None
 
 
-def _qualify_excluded(expr: str, table: str, src_cols: list[str]) -> str:
+def _qualify_excluded(
+    expr: str, table: str, src_cols: list[str], alias: str | None = None
+) -> str:
     """Rewrite DO UPDATE expressions for the upsert join: the incoming
-    row's `excluded.c` → `__exc_c`; the stored row's `t.c` (or
-    unqualified `c`, the reference's binding) stays the plain column."""
+    row's `excluded.c` → `__exc_c`; the stored row's `t.c` / `alias.c`
+    (or unqualified `c`, the reference's binding) stays the plain
+    column."""
     spans = _literal_spans(expr)
     out = re.sub(
         r"\bexcluded\.(\w+)",
@@ -2419,13 +2673,15 @@ def _qualify_excluded(expr: str, table: str, src_cols: list[str]) -> str:
         expr,
         flags=re.I,
     )
-    spans = _literal_spans(out)
-    return re.sub(
-        rf"\b{re.escape(table)}\.(\w+)",
-        lambda m: m.group(0) if _in_spans(m.start(), spans) else m.group(1),
-        out,
-        flags=re.I,
-    )
+    for qual in filter(None, {table, alias}):
+        spans = _literal_spans(out)
+        out = re.sub(
+            rf"\b{re.escape(qual)}\.(\w+)",
+            lambda m: m.group(0) if _in_spans(m.start(), spans) else m.group(1),
+            out,
+            flags=re.I,
+        )
+    return out
 _DROP_TBL = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*(CASCADE\s*)?;?\s*$", re.I)
 _TRUNCATE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", re.I)
 _BEGIN = re.compile(r"^\s*(?:BEGIN|START)(?:\s+TRANSACTION)?\s*;?\s*$", re.I)
@@ -2439,7 +2695,9 @@ _DELETE = re.compile(
     re.I | re.S,
 )
 _UPDATE = re.compile(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?;?\s*$", re.I | re.S
+    r"^\s*UPDATE\s+(\w+)(?:\s+(?:AS\s+)?(?!SET\b)(\w+))?\s+SET\s+(.+?)"
+    r"(?:\s+FROM\s+(.+?))?(?:\s+WHERE\s+(.+?))?;?\s*$",
+    re.I | re.S,
 )
 _CREATE_SEQ = re.compile(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(.*?);?\s*$", re.I | re.S)
 _DROP_SEQ = re.compile(r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I)
@@ -2500,6 +2758,29 @@ def _bind_prepared(text: str, argtext: str | None) -> str:
     return "".join(out)
 
 
+def _expand_tuple_assignment(settext: str) -> dict[str, str]:
+    """`SET (a, b, c) = (x, y, z)` (reference multiple-assignment,
+    transform_update.cpp) → per-column assignments; anything else falls
+    through to the plain splitter. A non-tuple or arity-mismatched RHS is
+    a binder error, as in the reference."""
+    m = re.match(r"^\s*\(([^()]*)\)\s*=\s*(.+?)\s*$", settext, re.S)
+    if not m:
+        return _split_assignments(settext)
+    cols = [c.strip().strip('"') for c in m.group(1).split(",")]
+    rhs = m.group(2).strip()
+    if not (rhs.startswith("(") and _matching_paren(rhs, 0) == len(rhs) - 1):
+        raise ValueError(
+            "Binder Error: multiple assignment needs a row value on the right side"
+        )
+    exprs = _split_args(rhs[1:-1])
+    if len(exprs) != len(cols):
+        raise ValueError(
+            f"Binder Error: multiple assignment arity mismatch "
+            f"({len(cols)} columns, {len(exprs)} values)"
+        )
+    return dict(zip(cols, (e.strip() for e in exprs)))
+
+
 def _split_assignments(settext: str) -> dict[str, str]:
     """Split `a = expr, b = expr` at depth 0 outside literals."""
     spans = _literal_spans(settext)
@@ -2539,7 +2820,7 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
     m = _CREATE_TBL.match(text)
     if m and not _CTAS.match(text):
         replace, name, body = bool(m.group(1)), m.group(2), m.group(3)
-        cols, key = _parse_column_defs(body)
+        cols, key, uniques = _parse_column_defs(body)
         if name in _MANAGED:
             if "IF NOT EXISTS" in text.upper():
                 return _count_df(spark, 0)
@@ -2552,12 +2833,34 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         _MANAGED[name] = storage.ManagedTable.create(spark, root, empty)
         if key:
             _MANAGED[name].set_key(key)
+        for u in uniques:
+            _MANAGED[name].add_unique(u)
         _refresh_view(spark, name)
         return _count_df(spark, 0)
+    m = _CREATE_INDEX.match(text)
+    if m:
+        unique, _iname, name, icols = m.groups()
+        if name not in _MANAGED:
+            raise KeyError(f"CREATE INDEX: unknown table {name}")
+        if unique:
+            # a unique index is an ON CONFLICT arbiter + INSERT constraint
+            # (reference: ART index, physical_insert.cpp); non-unique
+            # indexes have no semantic effect in this engine (scan pruning
+            # is parquet zone maps) and are accepted as no-ops
+            cols = [
+                re.sub(r'^"(.*)"$', r"\1", c.strip())
+                for c in icols.split(",")
+            ]
+            if any(not re.fullmatch(r"\w+", c) for c in cols):
+                raise ValueError("CREATE UNIQUE INDEX: expression indexes unsupported")
+            _MANAGED[name].add_unique(cols)
+        return _count_df(spark, 0)
+    if _DROP_INDEX.match(text):
+        return _count_df(spark, 0)  # unique sets are kept — conservative
     m = _INSERT.match(text)
     if m and m.group(2) in _MANAGED:
-        or_action, name, collist, source = (
-            (m.group(1) or "").upper(), m.group(2), m.group(3), m.group(4),
+        or_action, name, ins_alias, collist, source = (
+            (m.group(1) or "").upper(), m.group(2), m.group(3), m.group(4), m.group(5),
         )
         if collist is not None and not re.match(
             r'^\s*"?\w+"?(\s*,\s*"?\w+"?)*\s*$', collist
@@ -2566,6 +2869,17 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
             # column list (the reference's binder makes the same call)
             source, collist = f"({collist}) {source}", None
         source, conflict = _split_off_on_conflict(source)
+        source = re.sub(r",\s*$", "", source)  # fork files: VALUES (..),
+        if or_action and conflict is not None:
+            raise ValueError(
+                "Parser Error: You can not provide both OR REPLACE|IGNORE "
+                "and an ON CONFLICT clause"
+            )
+        if ins_alias and ins_alias.lower() == "excluded":
+            raise ValueError(
+                'Binder Error: INSERT alias cannot be "excluded" '
+                "(reserved for the ON CONFLICT incoming row)"
+            )
         tbl = _MANAGED[name]
         src_df = spark.sql(translate(source))
         if collist is not None:
@@ -2586,10 +2900,16 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                 ]
             )
         if or_action or conflict is not None:
-            key = tbl.key()
+            all_keys = tbl.keys()
+            key = all_keys[0] if all_keys else None
             if or_action == "REPLACE":
                 if not key:
                     raise ValueError("INSERT OR REPLACE requires a table key")
+                if len(all_keys) > 1:
+                    raise ValueError(
+                        "INSERT OR REPLACE with multiple UNIQUE/PRIMARY KEY "
+                        "constraints is unsupported"
+                    )
                 table_cols = tbl.scan().columns
                 assignments = {
                     c: f"__exc_{c}" for c in table_cols if c not in key
@@ -2603,28 +2923,55 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                 cm = _ON_CONFLICT_CLAUSE.match(conflict)
                 if not cm:
                     raise ValueError(f"cannot parse ON CONFLICT clause: {conflict!r}")
-                target, act, settext, wheretext = cm.groups()
+                target, arb_where, act, settext, wheretext = cm.groups()
                 key_cols = (
-                    [c.strip().strip('"') for c in target.split(",")] if target else key
+                    # dedup repeated target columns (DuckDB accepts
+                    # `ON CONFLICT (key, key)`, binding the set)
+                    list(dict.fromkeys(c.strip().strip('"') for c in target.split(",")))
+                    if target
+                    else key
                 )
                 if not key_cols:
                     raise ValueError("ON CONFLICT requires a conflict target or table key")
+                # the conflict target must name a UNIQUE/PRIMARY KEY set
+                # (Binder Error in the reference, bind_insert.cpp)
+                if all_keys and not any(set(key_cols) == set(k) for k in all_keys):
+                    raise ValueError(
+                        "Binder Error: The specified columns as conflict target "
+                        "are not referenced by a UNIQUE/PRIMARY KEY CONSTRAINT"
+                    )
+                arb = (
+                    translate(_qualify_excluded(arb_where, name, src_df.columns, ins_alias))
+                    if arb_where
+                    else None
+                )
                 if act.upper() == "NOTHING":
-                    n = tbl.upsert(src_df, key_cols, "nothing")
+                    n = tbl.upsert(src_df, key_cols, "nothing", arbiter_where=arb)
                 else:
                     assignments = {
-                        c: translate(_qualify_excluded(e, name, src_df.columns))
+                        c: translate(_qualify_excluded(e, name, src_df.columns, ins_alias))
                         for c, e in _split_assignments(settext or "").items()
                     }
+                    # assigning a conflict-target / key column is a Binder
+                    # Error in the reference (it would re-violate the index)
+                    banned = set(key_cols) & set(assignments)
+                    if banned:
+                        raise ValueError(
+                            f"Binder Error: Can not assign to column '{sorted(banned)[0]}' "
+                            f"because it has a UNIQUE/PRIMARY KEY constraint"
+                        )
                     where = (
-                        translate(_qualify_excluded(wheretext, name, src_df.columns))
+                        translate(_qualify_excluded(wheretext, name, src_df.columns, ins_alias))
                         if wheretext
                         else None
                     )
-                    n = tbl.upsert(src_df, key_cols, "update", assignments, where)
+                    n = tbl.upsert(
+                        src_df, key_cols, "update", assignments, where,
+                        arbiter_where=arb,
+                    )
         else:
-            key = tbl.key()
-            if key:
+            keysets = tbl.keys()
+            for key in keysets:
                 # plain INSERT into a keyed table enforces the constraint
                 # (reference: ART index check in physical_insert.cpp)
                 from pyspark.sql import functions as _F
@@ -2696,13 +3043,22 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         return _count_df(spark, n)
     m = _UPDATE.match(text)
     if m:
-        name, settext, pred = m.group(1), m.group(2), m.group(3)
+        name, upd_alias, settext, fromtext, pred = m.groups()
         if name not in _MANAGED:
             raise ValueError(f"UPDATE: {name} is not a managed table (CREATE TABLE ... AS first)")
-        n = _MANAGED[name].update(
-            {c: translate(e) for c, e in _split_assignments(settext).items()},
-            translate(pred) if pred else "true",
-        )
+        assignments = _expand_tuple_assignment(settext)
+        assignments = {c: translate(e) for c, e in assignments.items()}
+        if fromtext:
+            n = _MANAGED[name].update_from(
+                assignments,
+                translate(fromtext),
+                translate(pred) if pred else None,
+                upd_alias or name,
+            )
+        else:
+            n = _MANAGED[name].update(
+                assignments, translate(pred) if pred else "true"
+            )
         _refresh_view(spark, name)
         return _count_df(spark, n)
     m = _CREATE_SEQ.match(text)

@@ -137,6 +137,8 @@ class ManagedTable:
         m = {"version": version, "files": files, "schema_probe": probe}
         if cur.get("key"):
             m["key"] = cur["key"]
+        if cur.get("unique"):
+            m["unique"] = cur["unique"]
         _atomic_write_json(self._manifest_path(version), m)
         _atomic_write_json(self._manifest_path(), m)
 
@@ -165,8 +167,17 @@ class ManagedTable:
     #    physical_insert.cpp OnConflictHandling) -----------------------------
 
     def key(self) -> list[str] | None:
-        """Conflict-target columns (the reference's PRIMARY KEY)."""
+        """Primary conflict-target columns (the reference's PRIMARY KEY)."""
         return self._manifest().get("key")
+
+    def keys(self) -> list[list[str]]:
+        """Every arbiter key set: the PRIMARY KEY plus UNIQUE constraints /
+        unique indexes (reference: each is an ART index usable as an ON
+        CONFLICT arbiter, physical_insert.cpp)."""
+        m = self._manifest()
+        out = [m["key"]] if m.get("key") else []
+        out += [k for k in m.get("unique", []) if k not in out]
+        return out
 
     def set_key(self, cols: list[str]) -> None:
         cur = self._manifest()
@@ -177,6 +188,20 @@ class ManagedTable:
         _atomic_write_json(self._manifest_path(cur["version"]), cur)
         _atomic_write_json(self._manifest_path(), cur)
 
+    def add_unique(self, cols: list[str]) -> None:
+        """CREATE UNIQUE INDEX / UNIQUE column constraint: an additional
+        arbiter key set."""
+        cur = self._manifest()
+        missing = set(cols) - set(self.scan().columns)
+        if missing:
+            raise ValueError(f"key column(s) not in table: {sorted(missing)}")
+        uniq = cur.get("unique", [])
+        if list(cols) not in uniq:
+            uniq.append(list(cols))
+        cur["unique"] = uniq
+        _atomic_write_json(self._manifest_path(cur["version"]), cur)
+        _atomic_write_json(self._manifest_path(), cur)
+
     def upsert(
         self,
         df: DataFrame,
@@ -184,6 +209,7 @@ class ManagedTable:
         action: str = "nothing",  # "nothing" | "update"
         assignments: dict[str, str] | None = None,
         where: str | None = None,
+        arbiter_where: str | None = None,
     ) -> int:
         """INSERT ... ON CONFLICT (key) DO NOTHING / DO UPDATE SET.
 
@@ -238,6 +264,32 @@ class ManagedTable:
                 .join(F.broadcast(incoming_keys), key_cols, "left_semi")
                 .distinct()
             )
+            if arbiter_where:
+                # ON CONFLICT (target) WHERE pred: the arbiter predicate is
+                # evaluated over the (stored row, excluded row) pair —
+                # stored columns unqualified, incoming as __exc_* — and a
+                # conflict whose pair FAILS the predicate has no arbiter
+                # and raises, exactly like the reference (verified live:
+                # true pred updates, false pred errors)
+                pair_exc = df.select(
+                    *[F.col(c).alias(f"__exc_{c}") for c in df.columns]
+                )
+                uncovered = (
+                    existing.join(
+                        F.broadcast(pair_exc),
+                        [existing[k] == pair_exc[f"__exc_{k}"] for k in key_cols],
+                        "inner",
+                    )
+                    .filter(~F.coalesce(F.expr(arbiter_where), F.lit(False)))
+                    .limit(1)
+                    .collect()
+                )
+                if uncovered:
+                    keyval = ", ".join(f"{k}: {uncovered[0][k]}" for k in key_cols)
+                    raise ValueError(
+                        f'Constraint Error: Duplicate key "{keyval}" violates '
+                        f"primary key constraint."
+                    )
             fresh = df.join(F.broadcast(conflict_keys), key_cols, "left_anti")
             n_fresh = fresh.count()
             new_files = self._write_snapshot(fresh) if n_fresh else []
@@ -374,6 +426,68 @@ class ManagedTable:
         n_updated = src.filter(F.expr(pred)).count()
         new = self._write_snapshot(updated)
         self._commit(cur["version"] + 1, keep + new)
+        return n_updated
+
+    def update_from(
+        self,
+        assignments: dict[str, str],
+        from_clause: str,
+        pred: str | None,
+        alias: str,
+    ) -> int:
+        """UPDATE t SET ... FROM src [, ...] WHERE pred (reference
+        planner joins the target to the FROM sources; one ARBITRARY
+        matching source row feeds each target row's assignments, Postgres
+        semantics).
+
+        Implementation: stamp every target row with a row id and
+        MATERIALIZE the stamped scan (monotonically_increasing_id is
+        nondeterministic — re-evaluating it across two plans would break
+        the join-back), compute per-rid assignment values over target ×
+        FROM (row_number picks one arbitrary match), left-join the values
+        back by rid and CASE-merge. A full-table rewrite — row-level
+        pruning doesn't apply because assignments may read source rows.
+        """
+        spark = self.spark
+        cur = self._manifest()
+        target = self.scan()
+        types = dict(target.dtypes)
+        unknown = set(assignments) - set(types)
+        if unknown:
+            raise ValueError(f"UPDATE of unknown column(s): {sorted(unknown)}")
+        stamped_dir = os.path.join(self.root, "data", f"upd_{uuid.uuid4().hex}")
+        target.withColumn("__rid", F.monotonically_increasing_id()).write.parquet(
+            stamped_dir
+        )
+        stamped = spark.read.parquet(stamped_dir)
+        stamped.createOrReplaceTempView("__upd_target")
+        # ONE source row feeds all of a target row's assignments coherently:
+        # aggregate the assignment tuple as a single first(struct(...))
+        assign_struct = ", ".join(f"'{c}', ({e})" for c, e in assignments.items())
+        matched = spark.sql(
+            f"SELECT {alias}.__rid AS __mrid, "
+            f"first(named_struct({assign_struct})) AS __new "
+            f"FROM __upd_target AS {alias}, {from_clause} "
+            + (f"WHERE {pred} " if pred else "")
+            + f"GROUP BY {alias}.__rid"
+        )
+        joined = stamped.join(
+            matched, stamped["__rid"] == matched["__mrid"], "left"
+        )
+        new_df = joined.select(
+            *[
+                F.expr(
+                    f"CAST(CASE WHEN __mrid IS NOT NULL THEN __new.{c} "
+                    f"ELSE {c} END AS {types[c]}) AS {c}"
+                )
+                if c in assignments
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+        n_updated = matched.count()
+        new = self._write_snapshot(new_df)
+        self._commit(cur["version"] + 1, new)
         return n_updated
 
 

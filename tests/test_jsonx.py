@@ -92,9 +92,9 @@ def test_translate_json_transform():
     assert "from_json(j, 'STRUCT<`a`: INT>')" in out
     out = translate("SELECT from_json(j, 'a INT') FROM t")
     assert "from_json(j, 'a INT')" in out
-    # 1-arg json_type gains the NULL path; json_typeof aliases
+    # 1-arg json_type gains the whole-document path; json_typeof aliases
     out = translate("SELECT json_type(j) FROM t")
-    assert "json_type(j, CAST(NULL AS STRING))" in out
+    assert "json_type(j, '$')" in out
     out = translate("SELECT json_typeof(j, '$.a') FROM t")
     assert "json_type(j, '$.a')" in out
 

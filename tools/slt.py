@@ -414,6 +414,23 @@ def _resync_from_duck(spark, con) -> None:
             )
         spark.createDataFrame(tbl).createOrReplaceTempView(f"__sync_{t}")
         engine_sql(spark, f'CREATE OR REPLACE TABLE {t} AS SELECT * FROM __sync_{t}')
+    # carry the arbiter constraints across the resync so later ON
+    # CONFLICT / constraint-check statements keep their semantics
+    try:
+        cons = con.execute(
+            "SELECT table_name, constraint_type, constraint_column_names "
+            "FROM duckdb_constraints() WHERE constraint_type IN ('PRIMARY KEY', 'UNIQUE')"
+        ).fetchall()
+    except Exception:
+        cons = []
+    from myduckdb_spark.sql import _MANAGED
+
+    for tname, ctype, ccols in cons:
+        if tname in _MANAGED and ccols:
+            if ctype == "PRIMARY KEY":
+                _MANAGED[tname].set_key(list(ccols))
+            else:
+                _MANAGED[tname].add_unique(list(ccols))
 
 
 def run_file_dual(
