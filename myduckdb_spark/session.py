@@ -60,6 +60,9 @@ def get_spark(
         # reader rejects by default; read nanos as BIGINT and convert in
         # catalog.load_table (values carry no sub-µs precision).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # DuckDB map_concat / map() keeps the LAST value for duplicate
+        # keys (map_concat.cpp); Spark errors by default
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     if driver_memory is None:
         driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")

@@ -890,12 +890,23 @@ def _rewrite_index_brackets(text: str) -> str:
                 f"ELSE try_element_at({operand}, {idx}) END)"
             )
         elif len(parts) == 2:
+            # negative bounds count from the end (-1 = last element,
+            # array_slice.cpp); 0 behaves as 1; bounds clamp to the list
             lo = parts[0].strip() or "1"
-            hi = parts[1].strip()
-            if hi:
-                repl = f"slice({operand}, {lo}, ({hi})-({lo})+1)"
-            else:
-                repl = f"slice({operand}, {lo}, size({operand})-({lo})+1)"
+            hi = parts[1].strip() or f"size({operand})"
+            rlo = (
+                f"greatest(CASE WHEN ({lo}) < 0 "
+                f"THEN size({operand}) + ({lo}) + 1 ELSE ({lo}) END, 1)"
+            )
+            rhi = (
+                f"least(CASE WHEN ({hi}) < 0 "
+                f"THEN size({operand}) + ({hi}) + 1 ELSE ({hi}) END, "
+                f"size({operand}))"
+            )
+            repl = (
+                f"(CASE WHEN ({lo}) IS NULL OR ({hi}) IS NULL THEN NULL "
+                f"ELSE slice({operand}, {rlo}, greatest({rhi} - {rlo} + 1, 0)) END)"
+            )
         else:
             return text
         text = text[:start] + repl + text[close + 1 :]
@@ -1620,6 +1631,189 @@ def _rewrite_window_exclude(text: str) -> str:
         text = text[:fn_start] + repl + text[close_idx + 1 :]
 
 
+_GLOB_OP = re.compile(r"\b(NOT\s+)?(GLOB|SIMILAR\s+TO)\b", re.I)
+
+
+def _glob_to_regex_sql(p: str) -> str:
+    """Runtime glob→regex conversion chain: backslash-escaped glob
+    wildcards (``\\*`` ``\\?`` ``\\\\``) are parked on control-char
+    placeholders, regex metacharacters get escaped, ``*``/``?`` become
+    ``.*``/``.``, ``[!`` becomes ``[^``, then the parked literals return
+    regex-escaped. Runs per-row, so non-literal patterns work too.
+    ``[...]`` character classes pass through — glob shares them with
+    regex (verified live: 'a[b]c' GLOB 'a[b]c' is false)."""
+    # SB renders as '\\' in the emitted SQL text, i.e. ONE backslash after
+    # Spark's string parser. Plain replace() args are literal values;
+    # regexp args pay one more escaping level (hence doubled SB there).
+    SB = "\\\\"
+    parked = (
+        f"replace(replace(replace({p}, '{SB}{SB}', chr(2)), "
+        f"'{SB}*', chr(1)), '{SB}?', chr(3))"
+    )
+    escaped = (
+        f"regexp_replace({parked}, "
+        f"'([.^$+(){{}}{SB}{SB}|])', '{SB}{SB}$1')"
+    )
+    # wildcards inside [...] classes are literal: park the common
+    # single-char classes before the global * / ? conversion
+    cls_parked = (
+        f"replace(replace({escaped}, '[?]', chr(4)), '[*]', chr(5))"
+    )
+    globbed = (
+        f"replace(replace(replace({cls_parked}, '*', '.*'), "
+        f"'?', '.'), '[!', '[^')"
+    )
+    unparked = (
+        f"replace(replace(replace(replace(replace({globbed}, "
+        f"chr(1), '{SB}*'), chr(3), '{SB}?'), chr(2), '{SB}{SB}'), "
+        f"chr(4), '[?]'), chr(5), '[*]')"
+    )
+    return f"concat('^', {unparked}, '$')"
+
+
+def _rewrite_glob_similar(text: str) -> str:
+    """Infix ``x GLOB pat`` / ``x SIMILAR TO pat`` (+NOT forms) →
+    anchored rlike (reference like.cpp glob kernel; regexp.cpp
+    regexp_full_match). Operands are resolved with the shared
+    operand-span helpers, so arbitrary expressions work on both sides."""
+    while True:
+        spans = _literal_spans(text)
+        m = next(
+            (
+                g
+                for g in _GLOB_OP.finditer(text)
+                if not _in_spans(g.start(), spans)
+            ),
+            None,
+        )
+        if m is None:
+            return text
+        lhs_start = _operand_start(text, m.start(), spans)
+        rhs_end = _operand_end(text, m.end(), spans)
+        lhs = text[lhs_start : m.start()].strip()
+        rhs = text[m.end() : rhs_end].strip()
+        if not lhs or not rhs:
+            return text
+        is_glob = m.group(2).upper() == "GLOB"
+        pat = _glob_to_regex_sql(rhs) if is_glob else f"concat('^(?:', {rhs}, ')$')"
+        repl = f"rlike({lhs}, {pat})"
+        if m.group(1):
+            repl = f"(NOT {repl})"
+        text = text[:lhs_start] + repl + text[rhs_end:]
+
+
+_COLLATE_EXPR = re.compile(r"\bCOLLATE\s+([A-Za-z_.]+)", re.I)
+
+
+def _rewrite_collate_expr(text: str) -> str:
+    """``expr COLLATE NOCASE|NOACCENT|NOCASE.NOACCENT`` → the collation
+    key expression (operators/collation.py): lower() / accent fold.
+    BINARY/C/POSIX collations are the default — dropped.
+
+    The reference's binder PROPAGATES a collation to the whole comparison
+    (`'x' = s COLLATE NOCASE` collates both sides; BETWEEN collates all
+    three operands — collate_test corpus). Mirrored here for the binary
+    comparison operators and BETWEEN."""
+    from myduckdb_spark.operators.collation import _ACCENT_DST, _ACCENT_SRC
+
+    _CMP = r"(=|<>|!=|<=|>=|<|>)"
+
+    while True:
+        spans = _literal_spans(text)
+        m = next(
+            (
+                c
+                for c in _COLLATE_EXPR.finditer(text)
+                if not _in_spans(c.start(), spans)
+            ),
+            None,
+        )
+        if m is None:
+            return text
+        parts = m.group(1).lower().split(".")
+        if not all(p in ("nocase", "noaccent", "binary", "c", "posix") for p in parts):
+            return text  # unknown collation — leave for the engine to reject
+
+        def fold(e: str) -> str:
+            for p in parts:
+                if p == "nocase":
+                    e = f"lower({e})"
+                elif p == "noaccent":
+                    e = f"translate({e}, '{_ACCENT_SRC}', '{_ACCENT_DST}')"
+            return e
+
+        lhs_start = _operand_start(text, m.start(), spans)
+        expr = text[lhs_start : m.start()].strip()
+        if not expr:
+            return text
+        region_end = m.end()
+        # `(expr COLLATE c)` — the parens belong to the collate expression;
+        # sibling detection must look OUTSIDE them
+        pre = re.search(r"\(\s*$", text[:lhs_start])
+        post = re.match(r"\s*\)", text[region_end:])
+        if pre and post:
+            lhs_start = pre.start()
+            region_end = region_end + post.end()
+
+        # collect sibling operands the collation propagates to, as
+        # (start, end) slices; rewrite right-to-left so indices hold
+        extra: list[tuple[int, int]] = []
+
+        def _operand_after(pos: int) -> tuple[int, int] | None:
+            ws = re.match(r"\s*", text[pos:]).end()
+            end = _operand_end(text, pos + ws, spans)
+            return (pos + ws, end) if end > pos + ws else None
+
+        tail = text[region_end:]
+        tm = re.match(rf"\s*{_CMP}", tail)
+        bm = re.match(r"\s*(NOT\s+)?BETWEEN\b", tail, re.I)
+        before = text[:lhs_start]
+        pm = re.search(rf"{_CMP}\s*$", before)
+        if tm:  # folded OP rhs
+            o = _operand_after(region_end + tm.end())
+            if o:
+                extra.append(o)
+        elif bm:  # folded BETWEEN lo AND hi
+            o = _operand_after(region_end + bm.end())
+            if o:
+                extra.append(o)
+                am = re.match(r"\s*AND\b", text[o[1]:], re.I)
+                if am:
+                    o2 = _operand_after(o[1] + am.end())
+                    if o2:
+                        extra.append(o2)
+        elif pm:  # lhs2 OP folded
+            s2 = _operand_start(text, pm.start(), spans)
+            if s2 < pm.start():
+                extra.append((s2, pm.start()))
+        else:
+            # X BETWEEN folded AND hi  /  X BETWEEN lo AND folded
+            btm = re.search(r"\b(NOT\s+)?BETWEEN\s*$", before, re.I)
+            anm = re.search(r"\bAND\s*$", before, re.I)
+            if btm:
+                xs = _operand_start(text, btm.start(), spans)
+                if xs < btm.start():
+                    extra.append((xs, btm.start()))
+                am = re.match(r"\s*AND\b", tail, re.I)
+                if am:
+                    o = _operand_after(region_end + am.end())
+                    if o:
+                        extra.append(o)
+            elif anm:
+                los = _operand_start(text, anm.start(), spans)
+                b2 = re.search(r"\b(NOT\s+)?BETWEEN\s*$", text[:los], re.I)
+                if b2 and los < anm.start():
+                    extra.append((los, anm.start()))
+                    xs = _operand_start(text, b2.start(), spans)
+                    if xs < b2.start():
+                        extra.append((xs, b2.start()))
+
+        pieces = sorted(extra + [(lhs_start, region_end)], reverse=True)
+        for s, e in pieces:
+            src = expr if (s, e) == (lhs_start, region_end) else text[s:e].strip()
+            text = text[:s] + fold(src) + " " + text[e:]
+
+
 def translate(text: str) -> str:
     """DuckDB dialect → Spark SQL dialect (token-aware, conservative)."""
     from myduckdb_spark.functions.macros import expand_macros
@@ -2088,6 +2282,155 @@ def translate(text: str) -> str:
         out,
         flags=re.I,
     )
+
+    # ---- missing scalar functions (SQL front door; Column forms live in
+    # functions/registry.py) ------------------------------------------------
+    out = _rewrite_calls(
+        out, "starts_with", lambda a: f"startswith({', '.join(a)})" if a else None
+    )
+    out = _rewrite_calls(
+        out, "sha256", lambda a: f"sha2({a[0]}, 256)" if len(a) == 1 else None
+    )
+    out = _rewrite_calls(
+        out,
+        "to_base",
+        lambda a: (
+            f"conv(CAST({a[0]} AS BIGINT), 10, {a[1]})" if len(a) == 2
+            else f"lpad(conv(CAST({a[0]} AS BIGINT), 10, {a[1]}), {a[2]}, '0')"
+            if len(a) == 3
+            else None
+        ),
+    )
+    out = _rewrite_calls(
+        out, "error", lambda a: f"raise_error({a[0]})" if len(a) == 1 else None
+    )
+    out = _rewrite_calls(
+        out, "encode", lambda a: f"encode({a[0]}, 'UTF-8')" if len(a) == 1 else None
+    )
+    out = _rewrite_calls(
+        out, "decode", lambda a: f"decode({a[0]}, 'UTF-8')" if len(a) == 1 else None
+    )
+    # regexp_escape: RE2 QuoteMeta — every non-word character gets a
+    # backslash (verified live: ':' and '/' are escaped too)
+    out = _rewrite_calls(
+        out,
+        "regexp_escape",
+        lambda a: (
+            f"regexp_replace({a[0]}, '([^A-Za-z0-9_])', '\\\\\\\\$1')"
+        )
+        if len(a) == 1
+        else None,
+    )
+    from myduckdb_spark.operators.collation import _ACCENT_DST, _ACCENT_SRC
+
+    out = _rewrite_calls(
+        out,
+        "strip_accents",
+        lambda a: f"translate({a[0]}, '{_ACCENT_SRC}', '{_ACCENT_DST}')"
+        if len(a) == 1
+        else None,
+    )
+    out = _rewrite_calls(
+        out,
+        "jaccard",
+        lambda a: (
+            f"CAST(size(array_intersect(array_distinct(split({a[0]}, '')), "
+            f"array_distinct(split({a[1]}, '')))) AS DOUBLE) / "
+            f"size(array_union(array_distinct(split({a[0]}, '')), "
+            f"array_distinct(split({a[1]}, ''))))"
+        )
+        if len(a) == 2
+        else None,
+    )
+    # list_zip: DuckDB struct fields are list_1, list_2 (list_zip.cpp)
+    out = _rewrite_calls(
+        out,
+        "list_zip",
+        lambda a: (
+            f"transform({a[0]}, __x -> named_struct('list_1', __x))" if len(a) == 1
+            else f"zip_with({a[0]}, {a[1]}, (__x, __y) -> "
+            f"named_struct('list_1', __x, 'list_2', __y))"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # list_histogram: element -> count map, NULLs dropped
+    out = _rewrite_calls(
+        out,
+        "list_histogram",
+        lambda a: (
+            f"map_from_arrays("
+            f"array_distinct(filter({a[0]}, __x -> __x IS NOT NULL)), "
+            f"transform(array_distinct(filter({a[0]}, __x -> __x IS NOT NULL)), "
+            f"__x -> size(filter({a[0]}, __y -> __y = __x))))"
+        )
+        if len(a) == 1
+        else None,
+    )
+    # vector distance family over list columns (reference array_distance /
+    # list_distance; fixed-size bounds already dropped by the type rewrite)
+    def _vec_dist(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        return (
+            f"sqrt(aggregate(zip_with({a[0]}, {a[1]}, "
+            f"(__x, __y) -> (CAST(__x AS DOUBLE) - __y) * (CAST(__x AS DOUBLE) - __y)), "
+            f"CAST(0 AS DOUBLE), (__acc, __v) -> __acc + __v))"
+        )
+
+    out = _rewrite_calls(out, "array_distance", _vec_dist)
+    out = _rewrite_calls(out, "list_distance", _vec_dist)
+
+    def _vec_dot(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        return (
+            f"aggregate(zip_with({a[0]}, {a[1]}, "
+            f"(__x, __y) -> CAST(__x AS DOUBLE) * __y), "
+            f"CAST(0 AS DOUBLE), (__acc, __v) -> __acc + __v)"
+        )
+
+    out = _rewrite_calls(out, "array_inner_product", _vec_dot)
+    out = _rewrite_calls(out, "list_inner_product", _vec_dot)
+
+    def _try_strptime(args: list[str]):
+        if len(args) != 2:
+            return None
+        m_fmt = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[1])
+        if not m_fmt:
+            return None
+        fmt = m_fmt.group(1).replace("''", "'")
+        j = _strf_literal_to_java(fmt)
+        if j is None:
+            return None
+        if not re.search(r"%[-]?[YyG]", fmt):
+            return (
+                f"try_to_timestamp(concat('1900 ', {args[0]}), "
+                f"'yyyy {j.replace(chr(39), chr(39)*2)}')"
+            )
+        return f"try_to_timestamp({args[0]}, '{j.replace(chr(39), chr(39)*2)}')"
+
+    out = _rewrite_calls(out, "try_strptime", _try_strptime)
+    # map_concat treats NULL maps as empty, unless ALL are NULL -> NULL
+    # (verified live)
+    out = _rewrite_calls(
+        out,
+        "map_concat",
+        lambda a: (
+            "CASE WHEN "
+            + " AND ".join(f"({x}) IS NULL" for x in a)
+            + " THEN NULL ELSE __mapcat("
+            + ", ".join(f"coalesce({x}, map())" for x in a)
+            + ") END"
+        )
+        if len(a) >= 2
+        else None,
+    )
+    out = re.sub(r"\b__mapcat\s*\(", "map_concat(", out)
+
+    # ---- infix GLOB / SIMILAR TO / COLLATE --------------------------------
+    out = _rewrite_glob_similar(out)
+    out = _rewrite_collate_expr(out)
     # list_distinct DROPS NULL elements in the reference (list_distinct.cpp)
     out = _rewrite_calls(
         out,
@@ -3175,6 +3518,53 @@ def _statement_command(spark: SparkSession, text: str) -> DataFrame | None:
     return None
 
 
+_UNPIVOT_IN = re.compile(
+    r"\bUNPIVOT\s*\(\s*(?:\w+|\([^()]*\))\s+FOR\s+\w+\s+IN\s*(\()", re.I
+)
+
+
+def _fix_unpivot_case(spark: SparkSession, text: str) -> str:
+    """DuckDB's UNPIVOT name column reports the table's ORIGINAL column
+    casing (case-insensitive binder); Spark reports the name as written
+    in the IN list. Resolve each IN-list name against the FROM table's
+    actual columns — including multi-column ``(a, b)`` groups. Needs the
+    catalog, so it runs engine-side (like COLUMNS(*) expansion)."""
+    m = _UNPIVOT_IN.search(text)
+    if m is None:
+        return text
+    fm = re.search(r"\bFROM\s+([A-Za-z_]\w*)", text, re.I)
+    if not fm:
+        return text
+    try:
+        cols = {c.lower(): c for c in spark.table(fm.group(1)).columns}
+    except Exception:
+        return text
+    open_idx = m.start(1)
+    close = _matching_paren(text, open_idx)
+    if close < 0:
+        return text
+    body = text[open_idx + 1 : close]
+
+    def fix_one(n: str) -> str | None:
+        n = n.strip()
+        if re.fullmatch(r'"?\w+"?', n):
+            return cols.get(n.strip('"').lower(), n)
+        if re.fullmatch(r'"?\w+"?\s+AS\s+\S+', n, re.I):
+            return n  # explicit alias wins
+        gm = re.fullmatch(r"\(([^()]*)\)(\s+AS\s+\S+)?", n, re.I | re.S)
+        if gm:  # (a, b) group — fix each member
+            inner = [fix_one(x) for x in gm.group(1).split(",")]
+            if any(x is None for x in inner):
+                return None
+            return "(" + ", ".join(inner) + ")" + (gm.group(2) or "")
+        return None
+
+    fixed = [fix_one(x) for x in _split_args(body)]
+    if any(x is None for x in fixed):
+        return text  # expression entries — leave untouched
+    return text[: open_idx + 1] + ", ".join(fixed) + text[close:]
+
+
 _COLUMNS_STAR = re.compile(r"\bCOLUMNS\s*\(", re.I)
 
 
@@ -3281,15 +3671,20 @@ def _recursive_union_distinct(spark: SparkSession, text: str):
 
 def _split_statements(text: str) -> list[str]:
     """Split a multi-statement script on top-level semicolons (outside
-    string literals; parens can't nest semicolons in SQL)."""
+    string literals; parens can't nest semicolons in SQL). Parts that
+    hold only whitespace/comments (trailing ``; -- note``) are dropped."""
+
+    def _blank(p: str) -> bool:
+        return not re.sub(r"--[^\n]*", "", p).strip()
+
     spans = _literal_spans(text)
     parts, start = [], 0
     for i, ch in enumerate(text):
         if ch == ";" and not _in_spans(i, spans):
-            if text[start:i].strip():
+            if not _blank(text[start:i]):
                 parts.append(text[start:i])
             start = i + 1
-    if text[start:].strip():
+    if not _blank(text[start:]):
         parts.append(text[start:])
     return parts or [text]
 
@@ -3329,6 +3724,7 @@ def sql(
         # and runs it through the full front door (queries AND DML).
         text = _bind_prepared(_PREPARED[m.group(1).lower()], m.group(2))
     text = _expand_columns_star(spark, text)
+    text = _fix_unpivot_case(spark, text)
     rec = _recursive_union_distinct(spark, text)
     if rec is not None:
         return rec

@@ -191,10 +191,18 @@ def _canon_val(v) -> str:
         v = v.asDict()
     if isinstance(v, dict):
         # duckdb's Python client surfaces MAP as {'key': [...],
-        # 'value': [...]}; Spark surfaces it as a plain dict — normalize
+        # 'value': [...]}; Spark surfaces it as a plain dict — normalize.
+        # Entries render SORTED by key: Spark maps are unordered while
+        # DuckDB maps keep insertion order, so raw order isn't comparable.
         if set(v) == {"key", "value"} and isinstance(v.get("key"), list):
             v = dict(zip(v["key"], v["value"]))
-        return "{" + ", ".join(f"{k}: {_canon_val(x)}" for k, x in v.items()) + "}"
+        return (
+            "{"
+            + ", ".join(
+                f"{k}: {_canon_val(x)}" for k, x in sorted(v.items(), key=lambda e: str(e[0]))
+            )
+            + "}"
+        )
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_canon_val(x) for x in v) + "]"
     return str(v)
