@@ -303,8 +303,7 @@ def fn_json_battery(spark, sf_dir):
         .isNotNull()
         .alias("ok"),
         F.call_udf("json_structure", F.col("props")).alias("structure"),
-        F.call_udf("json_type", F.col("props"), F.lit(None).cast("string"))
-        .alias("jtype"),
+        F.call_udf("json_type", F.col("props"), F.lit("$")).alias("jtype"),
         F.call_udf("json_type", F.col("props"), F.lit("$.k")).alias("ktype"),
         (F.from_json("props", "STRUCT<`k`: BIGINT>").getField("k") * 2)
         .cast("bigint")

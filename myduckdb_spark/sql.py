@@ -2222,10 +2222,11 @@ def translate(text: str) -> str:
     out = _rewrite_calls(
         out,
         "flatten",
-        lambda a: f"flatten(filter({a[0]}, __x -> __x IS NOT NULL))"
+        lambda a: f"__flat(filter({a[0]}, __x -> __x IS NOT NULL))"
         if len(a) == 1
         else None,
     )
+    out = re.sub(r"\b__flat\s*\(", "flatten(", out)
     # list_has_any ignores NULL elements and never returns NULL for
     # non-NULL inputs (verified live: ([1,NULL],[NULL,3]) = false)
     out = _rewrite_calls(
@@ -2411,6 +2412,39 @@ def translate(text: str) -> str:
         return f"try_to_timestamp({args[0]}, '{j.replace(chr(39), chr(39)*2)}')"
 
     out = _rewrite_calls(out, "try_strptime", _try_strptime)
+    # array_agg / list KEEP NULL elements (reference list.cpp; Spark's
+    # array_agg drops them) — wrap in a non-null struct during collection
+    def _array_agg_nulls(a: list[str]) -> str | None:
+        if len(a) != 1 or re.match(r"\s*DISTINCT\b", a[0], re.I):
+            return None
+        arg = a[0]
+        om = re.search(r"\bORDER\s+BY\b", arg, re.I)
+        if om and _depth_profile(arg)[om.start()] == 0:
+            # ordered form: Spark's array_agg takes no ORDER BY — sort a
+            # (key, value) struct array instead (single sort key only)
+            km = re.fullmatch(
+                r"(.+?)\s*(ASC|DESC)?\s*", arg[om.end():].strip(), re.I | re.S
+            )
+            key, direction = km.group(1), (km.group(2) or "ASC").upper()
+            val = arg[: om.start()].rstrip()
+            agg = f"array_sort(__arragg(named_struct('k', {key}, 'v', {val})))"
+            if direction == "DESC":
+                agg = f"reverse({agg})"
+            return (
+                f"CASE WHEN size({agg}) = 0 THEN NULL "
+                f"ELSE transform({agg}, __s -> __s.v) END"
+            )
+        agg = f"__arragg(named_struct('v', {arg}))"
+        # empty input -> NULL (DuckDB; Spark's array_agg gives [])
+        return (
+            f"CASE WHEN size({agg}) = 0 THEN NULL "
+            f"ELSE transform({agg}, __s -> __s.v) END"
+        )
+
+    out = _rewrite_calls(out, "array_agg", _array_agg_nulls)
+    out = _rewrite_calls(out, "list", _array_agg_nulls)
+    out = re.sub(r"\b__arragg\s*\(", "array_agg(", out)
+
     # map_concat treats NULL maps as empty, unless ALL are NULL -> NULL
     # (verified live)
     out = _rewrite_calls(
