@@ -2070,7 +2070,30 @@ def translate(text: str) -> str:
             return None
         return f"date_format({args[0]}, '{j.replace(chr(39), chr(39)*2)}')"
 
-    def _strptime(args: list[str]):
+    def _java_parse_lenient(j: str) -> str:
+        """Parse-mode pattern: single-letter numeric fields accept 1-N
+        digits (DuckDB's strptime is non-strict about zero padding);
+        strftime keeps the padded multi-letter forms. Quoted literal
+        sections pass through untouched."""
+        out_parts = []
+        for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", j)):
+            if i % 2 == 0:
+                # adjacent numeric fields ('%Y%d%m') NEED fixed widths to
+                # parse unambiguously — keep those padded
+                blk = r"(?:yyyy|yy|MM|dd|HH|hh|mm|ss|DDD)"
+                if re.search(blk + blk, seg):
+                    out_parts.append(seg)
+                    continue
+                # exact-length runs only — MMMM (month name) must survive
+                for ch in "DMdHhms":
+                    n = 3 if ch == "D" else 2
+                    seg = re.sub(
+                        f"(?<!{ch}){ch}{{{n}}}(?!{ch})", ch, seg
+                    )
+            out_parts.append(seg)
+        return "".join(out_parts)
+
+    def _strptime(args: list[str], fn: str = "to_timestamp"):
         if len(args) != 2:
             return None
         m_fmt = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[1])
@@ -2080,14 +2103,15 @@ def translate(text: str) -> str:
         j = _strf_literal_to_java(fmt)
         if j is None:
             return None
+        j = _java_parse_lenient(j)
         if not re.search(r"%[-]?[YyG]", fmt):
             # no year directive: DuckDB defaults to 1900, Spark to 1970
             # (strptime.cpp StrTimeFormat defaults)
             return (
-                f"to_timestamp(concat('1900 ', {args[0]}), "
+                f"{fn}(concat('1900 ', {args[0]}), "
                 f"'yyyy {j.replace(chr(39), chr(39)*2)}')"
             )
-        return f"to_timestamp({args[0]}, '{j.replace(chr(39), chr(39)*2)}')"
+        return f"{fn}({args[0]}, '{j.replace(chr(39), chr(39)*2)}')"
 
     out = _rewrite_calls(out, "strftime", _strftime)
     out = _rewrite_calls(out, "strptime", _strptime)
@@ -2241,13 +2265,16 @@ def translate(text: str) -> str:
         if len(a) == 2
         else None,
     )
-    # list_intersect dedups and drops NULLs (verified live)
+    # list_intersect dedups and drops NULLs; NULL first arg -> NULL but
+    # NULL second arg -> [] (verified live, asymmetric)
     out = _rewrite_calls(
         out,
         "list_intersect",
         lambda a: (
-            f"array_intersect(filter({a[0]}, __x -> __x IS NOT NULL), "
-            f"filter({a[1]}, __x -> __x IS NOT NULL))"
+            f"CASE WHEN ({a[0]}) IS NULL THEN NULL "
+            f"WHEN ({a[1]}) IS NULL THEN filter({a[0]}, __x -> false) "
+            f"ELSE array_intersect(filter({a[0]}, __x -> __x IS NOT NULL), "
+            f"filter({a[1]}, __x -> __x IS NOT NULL)) END"
         )
         if len(a) == 2
         else None,
@@ -2257,8 +2284,10 @@ def translate(text: str) -> str:
         out,
         "__ai",
         lambda a: (
-            f"array_intersect(filter({a[0]}, __x -> __x IS NOT NULL), "
-            f"filter({a[1]}, __x -> __x IS NOT NULL))"
+            f"CASE WHEN ({a[0]}) IS NULL THEN NULL "
+            f"WHEN ({a[1]}) IS NULL THEN filter({a[0]}, __x -> false) "
+            f"ELSE array_intersect(filter({a[0]}, __x -> __x IS NOT NULL), "
+            f"filter({a[1]}, __x -> __x IS NOT NULL)) END"
         )
         if len(a) == 2
         else f"array_intersect({', '.join(a)})",
@@ -2394,24 +2423,9 @@ def translate(text: str) -> str:
     out = _rewrite_calls(out, "array_inner_product", _vec_dot)
     out = _rewrite_calls(out, "list_inner_product", _vec_dot)
 
-    def _try_strptime(args: list[str]):
-        if len(args) != 2:
-            return None
-        m_fmt = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[1])
-        if not m_fmt:
-            return None
-        fmt = m_fmt.group(1).replace("''", "'")
-        j = _strf_literal_to_java(fmt)
-        if j is None:
-            return None
-        if not re.search(r"%[-]?[YyG]", fmt):
-            return (
-                f"try_to_timestamp(concat('1900 ', {args[0]}), "
-                f"'yyyy {j.replace(chr(39), chr(39)*2)}')"
-            )
-        return f"try_to_timestamp({args[0]}, '{j.replace(chr(39), chr(39)*2)}')"
-
-    out = _rewrite_calls(out, "try_strptime", _try_strptime)
+    out = _rewrite_calls(
+        out, "try_strptime", lambda a: _strptime(a, fn="try_to_timestamp")
+    )
     # array_agg / list KEEP NULL elements (reference list.cpp; Spark's
     # array_agg drops them) — wrap in a non-null struct during collection
     def _array_agg_nulls(a: list[str]) -> str | None:
@@ -2469,10 +2483,19 @@ def translate(text: str) -> str:
     out = _rewrite_calls(
         out,
         "list_distinct",
-        lambda a: f"array_distinct(filter({a[0]}, __x -> __x IS NOT NULL))"
+        lambda a: f"__adist(filter({a[0]}, __x -> __x IS NOT NULL))"
         if len(a) == 1
         else None,
     )
+    # array_distinct alias shares the NULL-dropping semantics
+    out = _rewrite_calls(
+        out,
+        "array_distinct",
+        lambda a: f"__adist(filter({a[0]}, __x -> __x IS NOT NULL))"
+        if len(a) == 1
+        else None,
+    )
+    out = re.sub(r"\b__adist\s*\(", "array_distinct(", out)
     # list_contains: two-valued (FALSE even when the list holds NULLs),
     # NULL only for NULL list/needle (contains_or_position.cpp)
     out = _rewrite_calls(
@@ -2642,11 +2665,14 @@ def translate(text: str) -> str:
         out,
         "list_has_all",
         # NULL needle elements are ignored (DuckDB: list_has_all([1,2,3],
-        # [1,NULL]) = true); unfiltered, array_contains' three-valued
-        # logic would make the forall NULL
+        # [1,NULL]) = true) and the haystack check is TWO-valued — NULLs
+        # in the haystack never match, so strip them before
+        # array_contains (verified live: has_all([1,2,NULL],[2,3]) =
+        # false, not NULL)
         lambda a: (
-            f"forall(filter({a[1]}, __x -> __x IS NOT NULL), "
-            f"__x -> array_contains({a[0]}, __x))"
+            f"CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN NULL "
+            f"ELSE forall(filter({a[1]}, __x -> __x IS NOT NULL), "
+            f"__x -> array_contains(filter({a[0]}, __y -> __y IS NOT NULL), __x)) END"
         )
         if len(a) == 2
         else None,

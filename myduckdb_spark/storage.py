@@ -110,16 +110,24 @@ class ManagedTable:
         return self._manifest()["version"]
 
     def scan(self, version: int | None = None) -> DataFrame:
-        """DataFrame over the live files (or a retained prior version)."""
-        files = self._manifest(version)["files"]
+        """DataFrame over the live files (or a retained prior version).
+
+        The read pins an EXPLICIT schema (from the schema probe file):
+        multi-file parquet unions otherwise infer/merge the schema from a
+        nondeterministically-sampled file, and the resulting field order
+        must never drift across scans (DML rewrites re-read these files
+        and write new ones — order drift would compound)."""
+        m = self._manifest(version)
+        files = m["files"]
+        probe = self._manifest().get("schema_probe")
         if not files:
-            cur = self._manifest()
             # empty table: scan any known snapshot for schema, keep 0 rows
-            probe = cur.get("schema_probe")
             if probe:
                 return self.spark.read.parquet(probe).limit(0)
             raise ValueError("empty table with no schema probe")
-        return self.spark.read.parquet(*[f["path"] for f in files])
+        paths = [f["path"] for f in files]
+        schema = self.spark.read.parquet(probe or paths[0]).schema
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def count(self) -> int:
         return sum(f["rows"] for f in self._manifest()["files"])
