@@ -79,11 +79,27 @@ def _merge(a, b):
     return "JSON"
 
 
+def _loads(s: str):
+    """json.loads with DuckDB's yyjson leniency for bare nan/inf tokens
+    (Python only accepts NaN/Infinity): retry with tokens normalized
+    outside double-quoted spans."""
+    try:
+        return json.loads(s)
+    except ValueError:
+        parts = re.split(r'("(?:[^"\\]|\\.)*")', s)
+        for i in range(0, len(parts), 2):  # even indexes = outside strings
+            parts[i] = re.sub(r"(?<![\w.])nan(?![\w.])", "NaN", parts[i])
+            parts[i] = re.sub(r"(?<![\w.])-?inf(?:inity)?(?![\w.])",
+                              lambda m: ("-" if m.group(0).startswith("-") else "")
+                              + "Infinity", parts[i])
+        return json.loads("".join(parts))
+
+
 def json_structure_py(s: str | None) -> str | None:
     if s is None:
         return None
     try:
-        v = json.loads(s)
+        v = _loads(s)
     except (ValueError, TypeError):
         return None
     return json.dumps(_structure(v), separators=(",", ":"))
@@ -136,7 +152,7 @@ def json_type_py(s: str | None, path: str | None = "$") -> str | None:
     if s is None or path is None:
         return None
     try:
-        v = json.loads(s)
+        v = _loads(s)
     except (ValueError, TypeError):
         return None
     if path != "$":

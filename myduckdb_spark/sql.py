@@ -2068,7 +2068,11 @@ def translate(text: str) -> str:
         j = _strf_literal_to_java(fmt)
         if j is None:
             return None
-        return f"date_format({args[0]}, '{j.replace(chr(39), chr(39)*2)}')"
+        out_expr = f"date_format({args[0]}, '{j.replace(chr(39), chr(39)*2)}')"
+        if "yyyy" in j:
+            # Java prints years > 9999 as '+99999'; DuckDB has no sign
+            out_expr = f"regexp_replace({out_expr}, '^\\\\+', '')"
+        return out_expr
 
     def _java_parse_lenient(j: str) -> str:
         """Parse-mode pattern: single-letter numeric fields accept 1-N
