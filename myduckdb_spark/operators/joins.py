@@ -317,7 +317,12 @@ def asof_join(
         # the carry set is ≤ #partitions rows by construction).
         spark = left.sparkSession
         part = unioned.repartitionByRange(*order).sortWithinPartitions(*order)
-        pid = part.withColumn("__pid", F.spark_partition_id())
+        # persist BEFORE any job runs: range partitioning samples the input,
+        # so without a materialized cache the finals collect, the partition
+        # count, and the final output job could each re-sample and assign
+        # rows to DIFFERENT partitions — silently attaching wrong carry
+        # payloads. One materialization, three consistent readers.
+        pid = part.withColumn("__pid", F.spark_partition_id()).persist()
         # a partition's closing payload in traversal order = the payload
         # of its extreme `on` among right rows (__side constant there, so
         # the tie-break column is irrelevant)

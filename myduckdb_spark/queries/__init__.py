@@ -46,8 +46,42 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registration order, so queries() yields highest-priority entries first:
 # queries needing a (re-)verification this round — entries whose
 # implementation or oracle changed since their last green row, then the
-# queries whose last green driver row is oldest (r1/r2) so every
-# registered query re-verifies on a rotating schedule.
+# queries whose last green driver row is oldest so every registered
+# query re-verifies on a rotating schedule.
+R06_PRIORITY = (
+    # code paths TOUCHED this round (ADVICE r5 fixes: collate-in-call,
+    # asof no-key persist, UPDATE...FROM scratch cleanup, array_agg
+    # ORDER BY comparator) — must re-prove green
+    # (agg_string_agg_ordered / agg_collect_histogram are native
+    # DataFrame builders — the array_agg SQL-front-door fix doesn't
+    # touch them, and they greened in r5)
+    "collate_nocase_noaccent", "join_asof_purchase_click",
+    "dml_roundtrip", "upsert_on_conflict",
+    # stale: every other query whose latest green driver row is r4 or
+    # older (r5 verified the other 50) — rotates the full registry
+    # through the window every two rounds
+    "join_cross_product", "agg_approx", "fn_timetz_battery",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_embedding_cosine", "sim_topk_lsh", "sim_topk_ivf",
+    "sim_lsh_recall", "text_quality_scores", "text_lang_id_confusion",
+    "text_fingerprint", "multimodal_features", "decontam_ngram_overlap",
+    "pii_scrub_counts", "text_repetition_stats", "setop_union_distinct",
+    "setop_except_intersect", "setop_all_variants", "sample_deterministic",
+    "limit_offset_page", "pivot_status_counts", "unpivot_part_measures",
+    "unnest_tokens", "values_and_series", "date_series_buckets",
+    "recursive_cte_series", "interval_arithmetic", "seq_bulk_ids",
+    "q02_best_supplier_per_nation", "q04_order_priority_check",
+    "q07_volume_shipping", "q08_market_share", "q09_product_type_profit",
+    "q11_important_parts", "q13_customer_order_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_discounted_revenue", "q20_excess_inventory_suppliers",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    # 51st slot — overflows the 50-query window; r4-green ranking-window
+    # query on an unchanged code path, safe to age one more round
+    "win_ranking",
+)
+
 R05_PRIORITY = (
     # implementation/oracle TOUCHED this round (list_sum type dispatch,
     # json_transform) — must re-prove green
@@ -80,7 +114,7 @@ R05_PRIORITY = (
 
 def _ordered_names() -> list[str]:
     names = list(REGISTRY)
-    prio = [n for n in R05_PRIORITY if n in names]
+    prio = [n for n in R06_PRIORITY if n in names]
     return prio + [n for n in names if n not in set(prio)]
 
 

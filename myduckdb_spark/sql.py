@@ -23,9 +23,10 @@ The translator is intentionally small but *token-aware*, not blind regex:
 
 from __future__ import annotations
 
+import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from myduckdb_spark.catalog import register_views
 
@@ -760,11 +761,52 @@ def _rewrite_array_types(text: str) -> str:
     bounds drop (Spark arrays are unbounded). Runs before the bracket
     rewrites so ``[]`` is never mistaken for a list literal. A string
     literal cast to an array type parses the string (DuckDB VectorStringCast)
-    — Spark needs from_json for that, handled here for the literal case."""
+    — Spark needs from_json for that, handled here for the literal case.
+
+    A type word followed by brackets is only a TYPE in type positions —
+    ``date[1]`` in a SELECT list is indexing a column named ``date``
+    (DuckDB's parser agrees: T[...] is a type only in type contexts).
+    Guards: never rewrite a qualified reference (``t.date[2]``); rewrite
+    the digit-bracket (fixed-size) form only when the match sits in a type
+    position — after ``::``, after ``AS`` (CAST), or after a plain
+    identifier (a column name in DDL / RETURNS position). Empty ``[]`` is
+    never valid indexing, so it rewrites anywhere except after ``.``."""
     spans = _literal_spans(text)
+
+    # keywords that put the NEXT token in expression (operand) position —
+    # a type word after one of these followed by [digits] is indexing
+    _EXPR_KEYWORDS = {
+        "SELECT", "WHERE", "BY", "AND", "OR", "NOT", "ON", "WHEN", "THEN",
+        "ELSE", "CASE", "HAVING", "SET", "IN", "DISTINCT", "ALL", "LIKE",
+        "ILIKE", "GLOB", "BETWEEN", "IS", "FROM", "JOIN", "USING", "LIMIT",
+        "OFFSET", "VALUES", "UNION", "INTERSECT", "EXCEPT", "OVER",
+        "PARTITION", "ASC", "DESC", "NULLS", "ESCAPE", "EXISTS", "ANY",
+        "SOME", "QUALIFY", "RETURNING", "IF", "COALESCE", "NULLIF",
+    }
+
+    def _type_position(start: int, fixed_size: bool) -> bool:
+        before = text[:start].rstrip()
+        if before.endswith("."):
+            return False  # qualified column reference, never a type
+        if not fixed_size:
+            return True  # empty [] is never valid indexing
+        if before.endswith("::"):
+            return True
+        wm = re.search(r"([A-Za-z_]\w*)$", before)
+        if not wm:
+            return False  # operand position (after '(' ',' operator, start)
+        word = wm.group(1).upper()
+        if word == "AS":
+            return True  # CAST(... AS T[3])  /  column alias can't be indexed
+        # a plain identifier before a type word = DDL column def / RETURNS;
+        # an expression-introducing keyword = operand position (indexing)
+        return word not in _EXPR_KEYWORDS
 
     def repl(m: re.Match) -> str:
         if _in_spans(m.start(), spans):
+            return m.group(0)
+        fixed = bool(re.search(r"\[\s*\d", m.group(2)))
+        if not _type_position(m.start(), fixed):
             return m.group(0)
         out = m.group(1)
         for _ in range(m.group(2).count("[")):
@@ -1748,12 +1790,21 @@ def _rewrite_collate_expr(text: str) -> str:
             return text
         region_end = m.end()
         # `(expr COLLATE c)` — the parens belong to the collate expression;
-        # sibling detection must look OUTSIDE them
-        pre = re.search(r"\(\s*$", text[:lhs_start])
+        # sibling detection must look OUTSIDE them. Only a GROUPING paren
+        # counts: a '(' preceded by an identifier char is a function call
+        # (`count(s COLLATE NOCASE)`) and must stay put.
+        pre = re.search(r"(?<![A-Za-z0-9_])\(\s*$", text[:lhs_start])
         post = re.match(r"\s*\)", text[region_end:])
         if pre and post:
             lhs_start = pre.start()
             region_end = region_end + post.end()
+
+        # DuckDB quirk (verified live): an aggregate's DISTINCT ignores
+        # collation — count(DISTINCT s COLLATE NOCASE) counts RAW values.
+        # Drop the COLLATE clause without folding in that position.
+        if re.search(r"[A-Za-z_]\w*\s*\(\s*DISTINCT\s*$", text[:lhs_start], re.I):
+            text = text[:lhs_start] + expr + " " + text[region_end:]
+            continue
 
         # collect sibling operands the collation propagates to, as
         # (start, end) slices; rewrite right-to-left so indices hold
@@ -2445,9 +2496,22 @@ def translate(text: str) -> str:
             )
             key, direction = km.group(1), (km.group(2) or "ASC").upper()
             val = arg[: om.start()].rstrip()
-            agg = f"array_sort(__arragg(named_struct('k', {key}, 'v', {val})))"
-            if direction == "DESC":
-                agg = f"reverse({agg})"
+            # explicit comparator over k ONLY: DuckDB's default null order
+            # is NULLS LAST for both ASC and DESC (reverse(array_sort(..))
+            # would put NULL keys first on DESC), and comparing the whole
+            # struct would fail for non-comparable payloads (e.g. MAP)
+            lt, gt = ("-1", "1") if direction == "ASC" else ("1", "-1")
+            cmp = (
+                "(__l, __r) -> CASE "
+                "WHEN __l.k IS NULL AND __r.k IS NULL THEN 0 "
+                "WHEN __l.k IS NULL THEN 1 WHEN __r.k IS NULL THEN -1 "
+                f"WHEN __l.k < __r.k THEN {lt} "
+                f"WHEN __l.k > __r.k THEN {gt} ELSE 0 END"
+            )
+            agg = (
+                f"array_sort(__arragg(named_struct('k', {key}, 'v', {val})), "
+                f"{cmp})"
+            )
             return (
                 f"CASE WHEN size({agg}) = 0 THEN NULL "
                 f"ELSE transform({agg}, __s -> __s.v) END"
@@ -3004,15 +3068,20 @@ _DDL_TYPES = {
 }
 
 
-def _parse_column_defs(body: str) -> tuple[list[tuple[str, str]], list[str], list[list[str]]]:
+def _parse_column_defs(
+    body: str,
+) -> tuple[list[tuple[str, str]], list[str], list[list[str]], dict[str, str]]:
     """Parse `a INT PRIMARY KEY, b TEXT UNIQUE, PRIMARY KEY (a, b)` →
-    (cols, key, uniques). PRIMARY KEY and UNIQUE become arbiter key sets
-    (the reference builds ART indexes for both); CHECK / DEFAULT / NOT
-    NULL / FOREIGN are accepted and dropped — the managed layer stores
-    data, it does not enforce them."""
+    (cols, key, uniques, collations). PRIMARY KEY and UNIQUE become
+    arbiter key sets (the reference builds ART indexes for both); a
+    column-level COLLATE lands in the collation registry (comparison
+    semantics, reference bind_comparison_expression.cpp PushCollation);
+    CHECK / DEFAULT / NOT NULL / FOREIGN are accepted and dropped — the
+    managed layer stores data, it does not enforce them."""
     cols: list[tuple[str, str]] = []
     key: list[str] = []
     uniques: list[list[str]] = []
+    collations: dict[str, str] = {}
     for part in _split_args(body):
         p = part.strip()
         if not p:  # trailing comma (the fork's own tests contain these)
@@ -3051,8 +3120,11 @@ def _parse_column_defs(body: str) -> tuple[list[tuple[str, str]], list[str], lis
             key.append(name)
         elif re.search(r"\bUNIQUE\b", rest, re.I):
             uniques.append([name])
+        cm = re.search(r"\bCOLLATE\s+([\w.]+)", rest, re.I)
+        if cm and cm.group(1).lower() not in ("binary", "c", "posix"):
+            collations[name.lower()] = cm.group(1)
         cols.append((name, typ))
-    return cols, key, uniques
+    return cols, key, uniques, collations
 
 
 def _split_off_on_conflict(source: str) -> tuple[str, str | None]:
@@ -3089,6 +3161,343 @@ def _qualify_excluded(
             flags=re.I,
         )
     return out
+# table(lower) → {column(lower) → collation}: column-level collations from
+# CREATE TABLE ... COLLATE (and the test snapshotter, tools/slt.py).
+# Reference: the column TYPE carries the collation and the binder pushes it
+# into every comparison (bind_comparison_expression.cpp PushCollation).
+_COLUMN_COLLATIONS: dict[str, dict[str, str]] = {}
+
+
+def _inject_column_collations(text: str) -> str:
+    """Spark has no per-column collation metadata, so the front door keeps
+    a registry and injects explicit ``COLLATE`` markers at comparison /
+    BETWEEN / ORDER BY positions of collated columns; translate()'s
+    COLLATE folding then turns them into JVM key expressions. Injection is
+    name-based (no full binder): it applies only when a registered table
+    name appears in the statement."""
+    if not _COLUMN_COLLATIONS or re.match(r"\s*(CREATE|ALTER)\b", text, re.I):
+        return text
+    cols: dict[str, str] = {}
+    lowered = text.lower()
+    for tbl, cc in _COLUMN_COLLATIONS.items():
+        if re.search(rf"\b{re.escape(tbl)}\b", lowered):
+            cols.update(cc)
+    if not cols:
+        return text
+    _CMP = r"(=|<>|!=|<=|>=|<|>)"
+    for col, coll in cols.items():
+        c = re.escape(col)
+        # lhs: col OP ...  /  col [NOT] BETWEEN ...
+        spans = _literal_spans(text)
+        pat = re.compile(
+            rf"(?<![\w.'\"])((?:\w+\.)?{c})\s*(?:{_CMP}|((?:NOT\s+)?BETWEEN\b))",
+            re.I,
+        )
+        text = pat.sub(
+            lambda m: m.group(0)
+            if _in_spans(m.start(), spans)
+            else f"{m.group(1)} COLLATE {coll} {m.group(2) or m.group(3)}",
+            text,
+        )
+        # rhs: OP col — only when the lhs operand didn't already collate
+        spans = _literal_spans(text)
+        pat2 = re.compile(
+            rf"{_CMP}\s*((?:\w+\.)?{c})(?![\w.(])(?!\s+COLLATE\b)", re.I
+        )
+
+        def _rhs(m: re.Match) -> str:
+            if _in_spans(m.start(), spans):
+                return m.group(0)
+            if re.search(r"COLLATE\s+[\w.]+\s*$", m.string[: m.start()], re.I):
+                return m.group(0)
+            return f"{m.group(1)} {m.group(2)} COLLATE {coll}"
+
+        text = pat2.sub(_rhs, text)
+        # ORDER BY col [ASC|DESC]
+        spans = _literal_spans(text)
+        pat3 = re.compile(
+            rf"(\bORDER\s+BY\s+)((?:\w+\.)?{c})(?![\w.(])(?!\s+COLLATE\b)", re.I
+        )
+        text = pat3.sub(
+            lambda m: m.group(0)
+            if _in_spans(m.start(), spans)
+            else f"{m.group(1)}{m.group(2)} COLLATE {coll}",
+            text,
+        )
+    return text
+
+
+_ALTER = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?\"?(\w+)\"?\s+(.+?);?\s*$", re.I | re.S
+)
+
+
+def _alter_table(spark: SparkSession, exists_ok: str | None, name: str, act: str):
+    """ALTER TABLE dispatch (reference parser: src/parser/statement/
+    alter_statement.cpp; executor: duckdb_table_entry.cpp). Schema changes
+    land as metadata-only projection stages on the managed table."""
+    if name not in _MANAGED:
+        if exists_ok:
+            return _count_df(spark, 0)
+        raise KeyError(f"ALTER TABLE: unknown table {name}")
+    tbl = _MANAGED[name]
+    cols = tbl.scan().columns
+    low = {c.lower(): c for c in cols}
+    keyset = {c.lower() for k in ([tbl.key() or []] + tbl.keys()) for c in k}
+
+    def passthrough() -> list[tuple[str, str, None]]:
+        return [(c, f"`{c}`", None) for c in cols]
+
+    m = re.match(r"RENAME\s+TO\s+\"?(\w+)\"?\s*$", act, re.I)
+    if m:
+        new = m.group(1)
+        if new in _MANAGED and new != name:
+            raise ValueError(f"ALTER TABLE: table {new} already exists")
+        _MANAGED[new] = _MANAGED.pop(name)
+        if name.lower() in _COLUMN_COLLATIONS:
+            _COLUMN_COLLATIONS[new.lower()] = _COLUMN_COLLATIONS.pop(name.lower())
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        _refresh_view(spark, new)
+        return _count_df(spark, 0)
+
+    m = re.match(
+        r"RENAME\s+(?:COLUMN\s+)?\"?(\w+)\"?\s+TO\s+\"?(\w+)\"?\s*$", act, re.I
+    )
+    if m:
+        old, new = m.group(1), m.group(2)
+        if old.lower() not in low:
+            raise KeyError(f"ALTER TABLE: column {old} does not exist")
+        if new.lower() in low and new.lower() != old.lower():
+            raise ValueError(f"ALTER TABLE: column {new} already exists")
+        src = low[old.lower()]
+        stage = [
+            (new if c == src else c, f"`{c}`", None) for c in cols
+        ]
+        tbl.alter(stage)
+        tbl.remap_constraint_cols({src: new})
+        _refresh_view(spark, name)
+        return _count_df(spark, 0)
+
+    m = re.match(
+        r"ADD\s+(?:COLUMN\s+)?(IF\s+NOT\s+EXISTS\s+)?(.+)$", act, re.I | re.S
+    )
+    if m and not re.match(r"ADD\s+(PRIMARY|UNIQUE|CHECK|FOREIGN)", act, re.I):
+        soft, coldef = m.group(1), m.group(2).strip()
+        dm = re.search(r"\bDEFAULT\s+(.+)$", coldef, re.I | re.S)
+        default = translate(dm.group(1).strip()) if dm else None
+        parsed, _k, _u, _cc = _parse_column_defs(coldef)
+        if len(parsed) != 1:
+            raise ValueError(f"ALTER TABLE ADD: cannot parse {coldef!r}")
+        cname, ctype = parsed[0]
+        if cname.lower() in low:
+            if soft:
+                return _count_df(spark, 0)
+            raise ValueError(f"ALTER TABLE: column {cname} already exists")
+        stage = passthrough() + [(cname, default or "NULL", ctype)]
+        tbl.alter(stage)
+        _refresh_view(spark, name)
+        return _count_df(spark, 0)
+
+    m = re.match(
+        r"DROP\s+(?:COLUMN\s+)?(IF\s+EXISTS\s+)?\"?(\w+)\"?\s*(CASCADE)?\s*$",
+        act,
+        re.I,
+    )
+    if m:
+        soft, cname = m.group(1), m.group(2)
+        if cname.lower() not in low:
+            if soft:
+                return _count_df(spark, 0)
+            raise KeyError(f"ALTER TABLE: column {cname} does not exist")
+        if len(cols) == 1:
+            raise ValueError(
+                "ALTER TABLE: cannot drop the only remaining column"
+            )
+        if cname.lower() in keyset:
+            raise ValueError(
+                f"ALTER TABLE: cannot drop column {cname} — a key/unique "
+                "constraint depends on it"
+            )
+        src = low[cname.lower()]
+        tbl.alter([(c, f"`{c}`", None) for c in cols if c != src])
+        _refresh_view(spark, name)
+        return _count_df(spark, 0)
+
+    m = re.match(
+        r"ALTER\s+(?:COLUMN\s+)?\"?(\w+)\"?\s+(?:SET\s+DATA\s+)?TYPE\s*"
+        r"([^;]+?)(?:\s+USING\s+(.+))?\s*$",
+        act,
+        re.I | re.S,
+    )
+    if m:
+        cname, typetext, using = m.group(1), m.group(2).strip(), m.group(3)
+        if cname.lower() not in low:
+            raise KeyError(f"ALTER TABLE: column {cname} does not exist")
+        src = low[cname.lower()]
+        parsed, _k, _u, _cc = _parse_column_defs(f"{src} {typetext}")
+        _n, ctype = parsed[0]
+        expr = translate(using.strip()) if using else f"`{src}`"
+        stage = [
+            (c, expr if c == src else f"`{c}`", ctype if c == src else None)
+            for c in cols
+        ]
+        tbl.alter(stage)
+        _refresh_view(spark, name)
+        return _count_df(spark, 0)
+
+    # SET/DROP DEFAULT, SET/DROP NOT NULL: accepted, not enforced — the
+    # managed layer stores data; CREATE TABLE makes the same choice
+    if re.match(
+        r"ALTER\s+(?:COLUMN\s+)?\"?\w+\"?\s+(SET|DROP)\s+(DEFAULT|NOT\s+NULL)\b",
+        act,
+        re.I,
+    ):
+        return _count_df(spark, 0)
+    raise ValueError(f"ALTER TABLE: unsupported action {act!r}")
+
+
+_COPY = re.compile(
+    r"^\s*COPY\s+(.+?)\s+(TO|FROM)\s+'([^']+)'\s*(?:\((.*)\))?\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def _parse_copy_options(opts: str | None) -> dict[str, str]:
+    """COPY's `(FORMAT CSV, HEADER, DELIMITER '|')` option list — both the
+    bare-flag and key-value forms (reference src/parser/transform/
+    statement/transform_copy.cpp)."""
+    out: dict[str, str] = {}
+    if not opts:
+        return out
+    for part in _split_args(opts):
+        p = part.strip()
+        if not p:
+            continue
+        m = re.match(r"(\w+)\s*(.*)$", p, re.S)
+        k, v = m.group(1).upper(), m.group(2).strip()
+        if v.startswith("(") and v.endswith(")"):
+            v = v[1:-1]
+        out[k] = v.strip().strip("'") if v else "true"
+    return out
+
+
+def _copy_format(path: str, opts: dict[str, str]) -> str:
+    fmt = opts.get("FORMAT", "").lower()
+    if fmt:
+        return "json" if fmt == "ndjson" else fmt
+    ext = os.path.splitext(path.rstrip("/*"))[1].lower()
+    return {".parquet": "parquet", ".json": "json", ".ndjson": "json",
+            ".jsonl": "json", ".gz": "csv"}.get(ext, "csv")
+
+
+def _copy_statement(spark: SparkSession, target: str, direction: str,
+                    path: str, opts_text: str | None):
+    """COPY ... TO / FROM (reference src/execution/operator/persistent/
+    physical_copy_to_file.cpp, physical_copy_from_file.cpp — here Spark's
+    own distributed writers/readers).
+
+    Scale note: a bare COPY TO writes ONE file (DuckDB parity — a
+    coalesce(1) single-writer). At 100 TB use PARTITION_BY (directory
+    tree, fully parallel writers) — that path never coalesces."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    opts = _parse_copy_options(opts_text)
+    fmt = _copy_format(path, opts)
+    delim = opts.get("DELIMITER") or opts.get("DELIM") or opts.get("SEP") or ","
+    header = opts.get("HEADER", "true").lower() not in ("false", "0")
+
+    if direction.upper() == "TO":
+        m = re.match(r"^\((.+)\)$", target.strip(), re.S)
+        if m:
+            df = sql(spark, m.group(1))
+        else:
+            name = target.strip().strip('"')
+            df = _MANAGED[name].scan() if name in _MANAGED else spark.table(name)
+        n = df.count()
+        part_by = [c.strip().strip('"')
+                   for c in opts.get("PARTITION_BY", "").split(",") if c.strip()]
+        if part_by:
+            writer = df.write.mode("overwrite").partitionBy(*part_by)
+            if fmt == "csv":
+                writer = writer.option("header", header).option("sep", delim)
+            getattr(writer, fmt)(path)
+            return _count_df(spark, n)
+        # single-file DuckDB parity: write a one-part directory, then move
+        # the part onto the exact path
+        tmp = _tempfile.mkdtemp(prefix="copyto_")
+        out_dir = os.path.join(tmp, "out")
+        writer = df.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", header).option("sep", delim)
+            if "QUOTE" in opts:
+                writer = writer.option("quote", opts["QUOTE"])
+            if "NULL" in opts:
+                writer = writer.option("nullValue", opts["NULL"])
+        if fmt == "parquet" and "COMPRESSION" in opts:
+            writer = writer.option("compression", opts["COMPRESSION"].lower())
+        getattr(writer, fmt)(out_dir)
+        exts = {"csv": "*.csv*", "json": "*.json*", "parquet": "*.parquet"}
+        parts = [p for p in _glob.glob(os.path.join(out_dir, exts[fmt]))
+                 if not os.path.basename(p).startswith(("_", "."))]
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        if os.path.isdir(path):
+            _shutil.rmtree(path)
+        if parts:
+            _shutil.move(parts[0], path)
+        else:  # zero-row frame may emit no part; write header-only/empty
+            open(path, "w").close()
+        _shutil.rmtree(tmp, ignore_errors=True)
+        return _count_df(spark, n)
+
+    # COPY table [(cols)] FROM 'path'
+    m = re.match(r'^"?(\w+)"?\s*(?:\(([^()]*)\))?$', target.strip())
+    if not m:
+        raise ValueError(f"COPY FROM: cannot parse target {target!r}")
+    name, collist = m.group(1), m.group(2)
+    if name not in _MANAGED:
+        raise KeyError(f"COPY FROM: {name} is not a managed table")
+    tbl = _MANAGED[name]
+    target_df = tbl.scan().limit(0)
+    if fmt == "csv":
+        reader = spark.read.option("header", header).option("sep", delim)
+        if "QUOTE" in opts:
+            reader = reader.option("quote", opts["QUOTE"])
+        if "NULL" in opts:
+            reader = reader.option("nullValue", opts["NULL"])
+        if collist is None and header:
+            # bind by table schema types, names from header
+            src = reader.option("inferSchema", "true").csv(path)
+        else:
+            src = reader.option("inferSchema", "true").csv(path)
+    elif fmt == "json":
+        src = spark.read.json(path)
+    else:
+        src = spark.read.parquet(path)
+    if collist:
+        cols = [c.strip().strip('"') for c in collist.split(",")]
+        if len(src.columns) != len(cols):
+            raise ValueError(
+                f"COPY FROM: file arity {len(src.columns)} != column list {len(cols)}"
+            )
+        low = {c.lower(): c for c in target_df.columns}
+        named = {low[c.lower()]: src[s] for c, s in zip(cols, src.columns)}
+        src = src.select(
+            *[
+                named[c] if c in named
+                else F.lit(None).cast(dict(target_df.dtypes)[c])
+                for c in target_df.columns
+            ]
+        )
+    n = tbl.insert(src)
+    _refresh_view(spark, name)
+    return _count_df(spark, n)
+
+
 _DROP_TBL = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*(CASCADE\s*)?;?\s*$", re.I)
 _TRUNCATE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", re.I)
 _BEGIN = re.compile(r"^\s*(?:BEGIN|START)(?:\s+TRANSACTION)?\s*;?\s*$", re.I)
@@ -3227,7 +3636,7 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
     m = _CREATE_TBL.match(text)
     if m and not _CTAS.match(text):
         replace, name, body = bool(m.group(1)), m.group(2), m.group(3)
-        cols, key, uniques = _parse_column_defs(body)
+        cols, key, uniques, collations = _parse_column_defs(body)
         if name in _MANAGED:
             if "IF NOT EXISTS" in text.upper():
                 return _count_df(spark, 0)
@@ -3242,6 +3651,10 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
             _MANAGED[name].set_key(key)
         for u in uniques:
             _MANAGED[name].add_unique(u)
+        if collations:
+            _COLUMN_COLLATIONS[name.lower()] = collations
+        else:
+            _COLUMN_COLLATIONS.pop(name.lower(), None)
         _refresh_view(spark, name)
         return _count_df(spark, 0)
     m = _CREATE_INDEX.match(text)
@@ -3401,11 +3814,18 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
             n = tbl.insert(src_df)
         _refresh_view(spark, name)
         return _count_df(spark, n)
+    m = _ALTER.match(text)
+    if m:
+        return _alter_table(spark, m.group(1), m.group(2), m.group(3))
+    m = _COPY.match(text)
+    if m:
+        return _copy_statement(spark, m.group(1), m.group(2), m.group(3), m.group(4))
     m = _DROP_TBL.match(text)
     if m:
         name = m.group(2)
         if name in _MANAGED:
             _MANAGED.pop(name)
+            _COLUMN_COLLATIONS.pop(name.lower(), None)
             spark.catalog.dropTempView(name)
         elif not m.group(1):
             raise KeyError(f"DROP TABLE: unknown table {name}")
@@ -3795,7 +4215,7 @@ def sql(
     cmd = _statement_command(spark, text)
     if cmd is not None:
         return cmd
-    out = translate(text)
+    out = translate(_inject_column_collations(text))
     if re.search(r"\bjson_(structure|type)\s*\(", out):
         from myduckdb_spark.functions.jsonx import register_json_udfs
 

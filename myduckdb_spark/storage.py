@@ -47,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import tempfile
 import uuid
 from dataclasses import dataclass
@@ -123,11 +124,23 @@ class ManagedTable:
         if not files:
             # empty table: scan any known snapshot for schema, keep 0 rows
             if probe:
-                return self.spark.read.parquet(probe).limit(0)
-            raise ValueError("empty table with no schema probe")
-        paths = [f["path"] for f in files]
-        schema = self.spark.read.parquet(probe or paths[0]).schema
-        return self.spark.read.schema(schema).parquet(*paths)
+                df = self.spark.read.parquet(probe).limit(0)
+            else:
+                raise ValueError("empty table with no schema probe")
+        else:
+            paths = [f["path"] for f in files]
+            schema = self.spark.read.parquet(probe or paths[0]).schema
+            df = self.spark.read.schema(schema).parquet(*paths)
+        # pending ALTER stages (metadata-only schema evolution) apply as
+        # projections over the pinned-schema file read
+        for stage in m.get("projections", []):
+            df = df.selectExpr(
+                *[
+                    f"CAST(({e}) AS {t}) AS `{n}`" if t else f"({e}) AS `{n}`"
+                    for n, e, t in stage
+                ]
+            )
+        return df
 
     def count(self) -> int:
         return sum(f["rows"] for f in self._manifest()["files"])
@@ -147,7 +160,68 @@ class ManagedTable:
             m["key"] = cur["key"]
         if cur.get("unique"):
             m["unique"] = cur["unique"]
+        if cur.get("projections"):
+            m["projections"] = cur["projections"]
         _atomic_write_json(self._manifest_path(version), m)
+        _atomic_write_json(self._manifest_path(), m)
+
+    # -- ALTER TABLE (reference src/catalog/catalog_entry/
+    #    duckdb_table_entry.cpp AddColumn/RemoveColumn/RenameColumn/
+    #    ChangeColumnType — in-memory catalog rewrites) --------------------
+
+    def alter(self, stage: list[tuple[str, str, str | None]]) -> None:
+        """Apply a schema change as a METADATA-ONLY projection stage.
+
+        ``stage`` is the table's new column list in order: (name, sql_expr
+        over the current logical columns, spark_type|None). The reference's
+        ALTER rewrites an in-memory catalog entry in O(1); at 100 TB a data
+        rewrite per ADD COLUMN would be absurd, so scan() applies pending
+        stages after the pinned-schema file read. The next data WRITE
+        materializes all pending stages once (files never mix schemas)."""
+        cur = self._manifest()
+        stages = cur.get("projections", [])
+        stages.append([[n, e, t] for n, e, t in stage])
+        cur["projections"] = stages
+        cur["version"] = cur["version"] + 1
+        _atomic_write_json(self._manifest_path(cur["version"]), cur)
+        _atomic_write_json(self._manifest_path(), cur)
+
+    def remap_constraint_cols(self, mapping: dict[str, str]) -> None:
+        """RENAME COLUMN follows the reference in carrying constraints to
+        the new name (duckdb_table_entry.cpp RenameColumn rewrites index
+        column lists)."""
+        cur = self._manifest()
+        changed = False
+        if cur.get("key"):
+            nk = [mapping.get(c, c) for c in cur["key"]]
+            changed = changed or nk != cur["key"]
+            cur["key"] = nk
+        if cur.get("unique"):
+            nu = [[mapping.get(c, c) for c in ks] for ks in cur["unique"]]
+            changed = changed or nu != cur["unique"]
+            cur["unique"] = nu
+        if changed:
+            _atomic_write_json(self._manifest_path(cur["version"]), cur)
+            _atomic_write_json(self._manifest_path(), cur)
+
+    def _materialize_projection(self) -> None:
+        """One-time migration before any data write: fold pending ALTER
+        stages into real files so append/partial-rewrite paths keep the
+        single-physical-schema invariant."""
+        cur = self._manifest()
+        if not cur.get("projections"):
+            return
+        files = self._write_snapshot(self.scan())
+        m = {
+            "version": cur["version"] + 1,
+            "files": files,
+            "schema_probe": files[0]["path"] if files else None,
+        }
+        if cur.get("key"):
+            m["key"] = cur["key"]
+        if cur.get("unique"):
+            m["unique"] = cur["unique"]
+        _atomic_write_json(self._manifest_path(m["version"]), m)
         _atomic_write_json(self._manifest_path(), m)
 
     def insert(self, df: DataFrame) -> int:
@@ -155,6 +229,7 @@ class ManagedTable:
         Input binds by POSITION to the table schema (the reference INSERT
         binder, physical_insert.cpp) and casts to the column types so the
         file set never drifts in schema."""
+        self._materialize_projection()
         cur = self._manifest()
         target = self.scan().limit(0)
         if len(df.columns) != len(target.columns):
@@ -235,6 +310,7 @@ class ManagedTable:
         only), so the rewrite cost is proportional to files containing
         conflicts, never the table size.
         """
+        self._materialize_projection()
         key_cols = list(key_cols or self.key() or [])
         if not key_cols:
             raise ValueError("ON CONFLICT requires conflict-target columns (no table key)")
@@ -372,6 +448,7 @@ class ManagedTable:
         containing matching rows are rewritten. ``alias`` names the scan
         so correlated predicates (DELETE ... USING compiles to EXISTS)
         can reference the outer row by table name."""
+        self._materialize_projection()
         cur = self._manifest()
         touched = self._touched_files(pred, alias)
         if not touched:
@@ -410,6 +487,7 @@ class ManagedTable:
         updated. Expressions are SQL over the row's columns; assigned
         columns are cast back to their original type (reference UPDATE
         binder casts RHS to the column type, physical_update.cpp)."""
+        self._materialize_projection()
         cur = self._manifest()
         touched = self._touched_files(pred)
         if not touched:
@@ -456,6 +534,7 @@ class ManagedTable:
         back by rid and CASE-merge. A full-table rewrite — row-level
         pruning doesn't apply because assignments may read source rows.
         """
+        self._materialize_projection()
         spark = self.spark
         cur = self._manifest()
         target = self.scan()
@@ -463,39 +542,50 @@ class ManagedTable:
         unknown = set(assignments) - set(types)
         if unknown:
             raise ValueError(f"UPDATE of unknown column(s): {sorted(unknown)}")
-        stamped_dir = os.path.join(self.root, "data", f"upd_{uuid.uuid4().hex}")
+        stamp = uuid.uuid4().hex
+        stamped_dir = os.path.join(self.root, "data", f"upd_{stamp}")
+        view = f"__upd_target_{stamp}"  # per-invocation, no global clash
         target.withColumn("__rid", F.monotonically_increasing_id()).write.parquet(
             stamped_dir
         )
-        stamped = spark.read.parquet(stamped_dir)
-        stamped.createOrReplaceTempView("__upd_target")
-        # ONE source row feeds all of a target row's assignments coherently:
-        # aggregate the assignment tuple as a single first(struct(...))
-        assign_struct = ", ".join(f"'{c}', ({e})" for c, e in assignments.items())
-        matched = spark.sql(
-            f"SELECT {alias}.__rid AS __mrid, "
-            f"first(named_struct({assign_struct})) AS __new "
-            f"FROM __upd_target AS {alias}, {from_clause} "
-            + (f"WHERE {pred} " if pred else "")
-            + f"GROUP BY {alias}.__rid"
-        )
-        joined = stamped.join(
-            matched, stamped["__rid"] == matched["__mrid"], "left"
-        )
-        new_df = joined.select(
-            *[
-                F.expr(
-                    f"CAST(CASE WHEN __mrid IS NOT NULL THEN __new.{c} "
-                    f"ELSE {c} END AS {types[c]}) AS {c}"
-                )
-                if c in assignments
-                else F.col(c)
-                for c in target.columns
-            ]
-        )
-        n_updated = matched.count()
-        new = self._write_snapshot(new_df)
-        self._commit(cur["version"] + 1, new)
+        try:
+            stamped = spark.read.parquet(stamped_dir)
+            stamped.createOrReplaceTempView(view)
+            # ONE source row feeds all of a target row's assignments
+            # coherently: aggregate the assignment tuple as a single
+            # first(struct(...))
+            assign_struct = ", ".join(
+                f"'{c}', ({e})" for c, e in assignments.items()
+            )
+            matched = spark.sql(
+                f"SELECT {alias}.__rid AS __mrid, "
+                f"first(named_struct({assign_struct})) AS __new "
+                f"FROM {view} AS {alias}, {from_clause} "
+                + (f"WHERE {pred} " if pred else "")
+                + f"GROUP BY {alias}.__rid"
+            )
+            joined = stamped.join(
+                matched, stamped["__rid"] == matched["__mrid"], "left"
+            )
+            new_df = joined.select(
+                *[
+                    F.expr(
+                        f"CAST(CASE WHEN __mrid IS NOT NULL THEN __new.{c} "
+                        f"ELSE {c} END AS {types[c]}) AS {c}"
+                    )
+                    if c in assignments
+                    else F.col(c)
+                    for c in target.columns
+                ]
+            )
+            n_updated = matched.count()
+            new = self._write_snapshot(new_df)
+            self._commit(cur["version"] + 1, new)
+        finally:
+            # the new snapshot is fully written — the stamped scratch copy
+            # (one full table per UPDATE...FROM) must not accumulate
+            spark.catalog.dropTempView(view)
+            shutil.rmtree(stamped_dir, ignore_errors=True)
         return n_updated
 
 

@@ -185,3 +185,20 @@ def test_estimated_rows_probe_fallback(spark, monkeypatch):
     assert J._estimated_rows(small, probe_threshold=100) == 5.0
     assert J._estimated_rows(big, probe_threshold=100) == float("inf")
     assert J._estimated_rows(small) == float("inf")  # no probe requested
+
+
+def test_asof_no_by_partitioning_is_materialized(spark):
+    """The no-key asof path reads the range-partitioned union in THREE
+    jobs (finals collect, partition count, final output). Range
+    partitioning is sampling-based, so the partitioning must be persisted
+    — all readers see ONE materialized assignment (ADVICE r5)."""
+    left = spark.createDataFrame([(i,) for i in range(0, 1000, 7)], "t int")
+    right = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 1000, 13)], "t int, px double"
+    )
+    out = asof_join(left, right, on="t")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    # and the cached partitioning feeds correct results
+    got = {r["t"]: r["px"] for r in out.collect()}
+    assert got[14] == 13.0 and got[0] == 0.0 and got[7] == 0.0

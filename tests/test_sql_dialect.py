@@ -427,3 +427,94 @@ def test_columns_star_expression_vs_duckdb(spark):
         got = _canon([tuple(r) for r in sql(spark, q).collect()])
         want = _canon(con.execute(q).fetchall())
         assert got == want, q
+
+
+# ---------------------------------------- round-6 ADVICE regressions
+
+
+def test_type_brackets_vs_indexing_columns_named_like_types(spark):
+    """Columns named like type keywords (date, time, text, json...) must
+    still be INDEXABLE: `date[1]` is list indexing, not an ARRAY<date>
+    type (ADVICE r5: _rewrite_array_types hijacked these). Type positions
+    (::, CAST .. AS, DDL column defs) still rewrite."""
+    import duckdb
+
+    from tools.slt import _canon, _snapshot
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE tb_t(date int[], json varchar[], plain int[])")
+    con.sql(
+        "INSERT INTO tb_t VALUES ([1,2,3], ['a','b'], [7]), "
+        "([4,5], ['c'], [8])"
+    )
+    _snapshot(spark, con)
+    for q in (
+        "SELECT date[1] AS x FROM tb_t",          # indexing, 1-based
+        "SELECT date[2] + 10 AS x FROM tb_t",
+        "SELECT tb_t.date[2] AS x FROM tb_t",     # qualified indexing
+        "SELECT json[1] AS x FROM tb_t",
+        "SELECT CAST('[1,2]' AS INT[]) AS x",     # type position: CAST
+        "SELECT '[1,2,3]'::INT[3] AS x",          # type position: ::
+        "SELECT date[1] + plain[1] AS x FROM tb_t",
+    ):
+        got = _canon([tuple(r) for r in sql(spark, q).collect()])
+        want = _canon(con.execute(q).fetchall())
+        assert got == want, q
+    # DDL column-def position still becomes a real array type
+    t = translate("CREATE TABLE z(a INT[3], b VARCHAR[])")
+    assert "ARRAY<INT>" in t.upper().replace(" ", "") or "ARRAY<int>" in t
+    assert "[3]" not in t
+
+
+def test_collate_inside_function_call(spark):
+    """`f(expr COLLATE c)` — the call paren is NOT a grouping paren
+    (ADVICE r5: count(s COLLATE NOCASE) became countlower(s))."""
+    import duckdb
+
+    from tools.slt import _canon, _snapshot
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE cf_t(s varchar)")
+    con.sql("INSERT INTO cf_t VALUES ('Ab'), ('aB'), ('cd'), (NULL)")
+    _snapshot(spark, con)
+    for q in (
+        "SELECT count(s COLLATE NOCASE) AS x FROM cf_t",
+        "SELECT lower(s COLLATE NOCASE) AS x FROM cf_t ORDER BY 1 NULLS LAST",
+        "SELECT count(DISTINCT (s COLLATE NOCASE)) AS x FROM cf_t",
+        "SELECT (s COLLATE NOCASE) = 'ab' AS x FROM cf_t ORDER BY s NULLS LAST",
+    ):
+        got = _canon([tuple(r) for r in sql(spark, q).collect()])
+        want = _canon(con.execute(q).fetchall())
+        assert got == want, q
+
+
+def test_array_agg_order_by_null_keys_and_map_payload(spark):
+    """array_agg(v ORDER BY k DESC): NULL sort keys go LAST in DuckDB for
+    both directions (ADVICE r5: reverse(array_sort) put them first), and
+    a non-comparable payload (MAP) must not break the sort."""
+    import duckdb
+
+    from tools.slt import _canon, _snapshot
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE aa_t(g int, k int, v varchar)")
+    con.sql(
+        "INSERT INTO aa_t VALUES (1, 3, 'a'), (1, NULL, 'b'), (1, 1, 'c'), "
+        "(2, NULL, 'd'), (2, 2, 'e')"
+    )
+    _snapshot(spark, con)
+    for q in (
+        "SELECT g, array_agg(v ORDER BY k DESC) AS x FROM aa_t GROUP BY g",
+        "SELECT g, array_agg(v ORDER BY k) AS x FROM aa_t GROUP BY g",
+        "SELECT g, array_agg(v ORDER BY k ASC) AS x FROM aa_t GROUP BY g",
+    ):
+        got = _canon([tuple(r) for r in sql(spark, q).collect()])
+        want = _canon(con.execute(q).fetchall())
+        assert got == want, q
+    # MAP payload: whole-struct comparison would throw; comparator on k only
+    rows = sql(
+        spark,
+        "SELECT g, array_agg(MAP {'m': v} ORDER BY k DESC) AS x "
+        "FROM aa_t GROUP BY g ORDER BY g",
+    ).collect()
+    assert [r["x"][0]["m"] for r in rows] == ["a", "e"]
