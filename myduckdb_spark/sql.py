@@ -174,6 +174,13 @@ def _rewrite_json_arrows(text: str) -> str:
                 return m.group(0)
             path = m.group(3)
             path = path if path.startswith("$") else f"$.{path}"
+            if m.group(2) == "->":
+                # -> returns JSON (strings stay quoted, json_functions.cpp);
+                # Spark 4's VARIANT extraction round-trips exact JSON
+                return (
+                    f"nullif(to_json(try_variant_get(try_parse_json("
+                    f"{m.group(1)}), '{path}')), 'null')"
+                )
             return f"get_json_object({m.group(1)}, '{path}')"
 
         text = _ARROW.sub(rep, text)
@@ -822,12 +829,18 @@ def _rewrite_array_types(text: str) -> str:
     # guard on the TYPE token's position (the match itself starts at a
     # string literal, which is of course inside a literal span)
     angle = r"ARRAY\s*<[^<>]*(?:<[^<>]*>[^<>]*)*>"
+
+    def _jsonify(lit: str) -> str:
+        # DuckDB's list-cast text allows bare NULL in any case; JSON only
+        # knows lowercase null
+        return re.sub(r"\bNULL\b", "null", lit, flags=re.I)
+
     spans = _literal_spans(out)
     out = re.sub(
         rf"('(?:[^']|'')*')\s*::\s*({angle})",
         lambda m: m.group(0)
         if _in_spans(m.start(2), spans)
-        else f"from_json({m.group(1)}, '{m.group(2)}')",
+        else f"from_json({_jsonify(m.group(1))}, '{m.group(2)}')",
         out,
         flags=re.I,
     )
@@ -836,7 +849,7 @@ def _rewrite_array_types(text: str) -> str:
         rf"\bCAST\s*\(\s*('(?:[^']|'')*')\s+AS\s+({angle})\s*\)",
         lambda m: m.group(0)
         if _in_spans(m.start(2), spans)
-        else f"from_json({m.group(1)}, '{m.group(2)}')",
+        else f"from_json({_jsonify(m.group(1))}, '{m.group(2)}')",
         out,
         flags=re.I,
     )
@@ -1199,6 +1212,51 @@ def _rewrite_int_casts(text: str) -> str:
             if lit == "'-infinity'":
                 v = "'0001-01-01'" if is_date else "'0001-01-01 00:00:00'"
                 return head + f"CAST({v} AS {am.group(2)})" + rest
+            # The reference's string→DATE/TIMESTAMP grammar (date.cpp /
+            # timestamp.cpp, verified live) requires Y-M-D with -, / or .
+            # separators (digit-only strings like '19920903' are NULL —
+            # Spark reads them as a bare year), and a time part must be
+            # complete HH:MM:SS[.f] ('1111-11-11 11:11' is NULL). Guard
+            # TRY_CAST with that grammar and normalize / and . separators
+            # to - for Spark. Plain CAST raises on bad input anyway.
+            if kw == "TRY_CAST":
+                argt = am.group(1).strip()
+                dpat = "^-?[0-9]+-[0-9]{1,2}-[0-9]{1,2}"
+                pat = dpat + "$" if is_date else (
+                    dpat + "([ T][0-9]{1,2}:[0-9]{2}:[0-9]{2}([.][0-9]+)?)?$"
+                )
+                sep_norm = (
+                    "regexp_replace(trim(TRY_CAST(({a}) AS STRING)), "
+                    "'^(-?[0-9]+)([-/])([0-9]{{1,2}})\\\\2([0-9]{{1,2}})', "
+                    "'$1-$3-$4')"
+                )
+                lm2 = re.fullmatch(r"'((?:[^']|'')*)'", argt)
+                if lm2:
+                    norm = re.sub(
+                        r"^(-?[0-9]+)([-/])([0-9]{1,2})\2([0-9]{1,2})",
+                        r"\1-\3-\4",
+                        lm2.group(1).strip(),
+                    )
+                    if not re.fullmatch(pat, norm):
+                        return head + f"CAST(NULL AS {am.group(2)})" + rest
+                    return (
+                        head + f"TRY_CAST('{norm}' AS {am.group(2)})" + rest
+                    )
+                norm = sep_norm.format(a=argt)
+                # three-way: full-grammar strings cast from the normalized
+                # form; date-ish-but-incomplete strings (digits/separators
+                # only: '1111', '1111-11', '... 11:11') are NULL; anything
+                # else (non-string operands like a DATE, tz-suffixed forms)
+                # falls through to Spark's own cast of the ORIGINAL operand
+                return (
+                    head
+                    + f"(CASE WHEN {norm} RLIKE '{pat}' "
+                    f"THEN TRY_CAST({norm} AS {am.group(2)}) "
+                    f"WHEN {norm} RLIKE '^-?[0-9][-/ T.:0-9()BCbc]*$' "
+                    f"THEN NULL "
+                    f"ELSE TRY_CAST(({argt}) AS {am.group(2)}) END)"
+                    + rest
+                )
         # bare DECIMAL/NUMERIC defaults to the reference's DECIMAL(18,3)
         # (decimal.hpp DEFAULT_WIDTH/SCALE); Spark's default is (10,0)
         if am and am.group(2).lower() in ("decimal", "numeric"):
@@ -1902,6 +1960,24 @@ def translate(text: str) -> str:
     out = _rewrite_postfix_int_casts(out)
     out = _rewrite_int_casts(out)
     out = _rewrite_setop_order_alias(out)
+    # ORDER BY ALL: DuckDB's default null order is NULLS LAST for both
+    # directions (order_binder.cpp) unless the session overrides it via
+    # SET default_null_order (the reference's own test harness sets
+    # 'nulls_first'); Spark's ASC default is NULLS FIRST.
+    null_kw = (
+        "NULLS FIRST"
+        if SETTINGS.get("default_null_order", "nulls_last") == "nulls_first"
+        else "NULLS LAST"
+    )
+    spans_oba = _literal_spans(out)
+    out = re.sub(
+        r"(\bORDER\s+BY\s+ALL\b)(\s+(?:ASC|DESC)\b)?(?!\s*NULLS)",
+        lambda m: m.group(0)
+        if _in_spans(m.start(), spans_oba)
+        else f"{m.group(1)}{m.group(2) or ''} {null_kw}",
+        out,
+        flags=re.I,
+    )
     # star modifiers: DuckDB `* EXCLUDE (cols)` == Spark 4 `* EXCEPT (cols)`
     out = re.sub(r"(\*\s*)EXCLUDE\b", r"\1EXCEPT", out)
     out = _rewrite_json_arrows(out)
@@ -1987,6 +2063,11 @@ def translate(text: str) -> str:
 
     out = _rewrite_calls(out, "skewness", _skewness)
     out = _rewrite_calls(out, "kurtosis", _kurtosis)
+    # DuckDB log(x) is BASE-10 (math.cpp: Log10Fun aliases log); Spark's
+    # 1-arg log is natural. 2-arg log(b, x) agrees between engines.
+    out = _rewrite_calls(
+        out, "log", lambda a: f"log10({a[0]})" if len(a) == 1 else None
+    )
     # any_value skips NULLs in the reference (first.cpp FirstFunGetter
     # skip_nulls); Spark's 1-arg form doesn't
     out = _rewrite_calls(
@@ -2656,16 +2737,62 @@ def translate(text: str) -> str:
         inner_expr = out[dm.end():close_dw]
         out = out[: dm.start()] + f"(dayofweek({inner_expr}) - 1)" + out[close_dw + 1 :]
 
+    # second/millisecond/microsecond parts are INTEGERS in the reference
+    # (date_part.cpp: seconds truncate; msec/usec include the seconds) —
+    # Spark's EXTRACT(SECOND ...) is a fractional DECIMAL
+    _SUBSEC = {
+        "second": ("1", ""), "seconds": ("1", ""),
+        "millisecond": ("1000", ""), "milliseconds": ("1000", ""),
+        "microsecond": ("1000000", ""), "microseconds": ("1000000", ""),
+    }
+
+    def _subsec_expr(part: str, x: str) -> str:
+        # __XTRCT sentinel: the emitted text must not re-match the loop
+        mult = _SUBSEC[part][0]
+        inner = f"__XTRCT(SECOND FROM {x})"
+        if mult == "1":
+            return f"CAST(FLOOR({inner}) AS BIGINT)"
+        return f"CAST(FLOOR({inner} * {mult}) AS BIGINT)"
+
+    while True:
+        spans_ss = _literal_spans(out)
+        sm = next(
+            (
+                c
+                for c in re.finditer(
+                    r"\bEXTRACT\s*\(\s*(second|seconds|millisecond|milliseconds|"
+                    r"microsecond|microseconds)\s+FROM\b",
+                    out,
+                    re.I,
+                )
+                if not _in_spans(c.start(), spans_ss)
+            ),
+            None,
+        )
+        if sm is None:
+            break
+        open_ss = out.index("(", sm.start())
+        close_ss = _matching_paren(out, open_ss)
+        inner_expr = out[sm.end():close_ss]
+        out = (
+            out[: sm.start()]
+            + _subsec_expr(sm.group(1).lower(), inner_expr)
+            + out[close_ss + 1 :]
+        )
+
     def _date_part(args: list[str]):
         if len(args) != 2:
             return None
         part = args[0].strip().strip("'\"").lower()
         if part in ("dow", "weekday"):
             return f"(dayofweek({args[1]}) - 1)"
+        if part in _SUBSEC:
+            return _subsec_expr(part, args[1])
         return None
 
     out = _rewrite_calls(out, "date_part", _date_part)
     out = _rewrite_calls(out, "datepart", _date_part)
+    out = re.sub(r"\b__XTRCT\(", "EXTRACT(", out)
     out = _rewrite_calls(out, "list_sort", _list_sort)
 
     def _list_rsort(a: list[str]) -> str | None:
@@ -2678,20 +2805,49 @@ def translate(text: str) -> str:
 
     # json_extract* with a literal JSON-pointer path ('/a/b/0'): numeric
     # segments index arrays (json pointer syntax, json_common.hpp)
-    def _json_pointer(a: list[str]) -> str | None:
-        if len(a) != 2:
-            return None
-        m = re.fullmatch(r"\s*'/((?:[^']|'')*)'\s*", a[1])
+    def _json_pointer(text_form: bool):
+        def fn(a: list[str]) -> str | None:
+            if len(a) != 2:
+                return None
+            m = re.fullmatch(r"\s*'/((?:[^']|'')*)'\s*", a[1])
+            if not m:
+                return None
+            conv = "$" + "".join(
+                f"[{s}]" if s.isdigit() else f".{s}" for s in m.group(1).split("/")
+            )
+            if text_form:
+                return f"get_json_object({a[0]}, '{conv}')"
+            return (
+                f"nullif(to_json(try_variant_get(try_parse_json({a[0]}), "
+                f"'{conv}')), 'null')"
+            )
+
+        return fn
+
+    for jf in ("json_extract_string", "json_extract_path_text"):
+        out = _rewrite_calls(out, jf, _json_pointer(text_form=True))
+    # json_extract / json_extract_path return JSON — quoted strings
+    # (json_functions.cpp); VARIANT extraction preserves that exactly
+    for jf in ("json_extract", "json_extract_path"):
+        out = _rewrite_calls(out, jf, _json_pointer(text_form=False))
+
+    def _json_extract_dollar(a: list[str]) -> str | None:
+        # $-path / bare-key literal forms of the JSON-returning extract
+        m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", a[1]) if len(a) == 2 else None
         if not m:
             return None
-        conv = "$" + "".join(
-            f"[{s}]" if s.isdigit() else f".{s}" for s in m.group(1).split("/")
+        path = m.group(1)
+        path = path if path.startswith("$") else f"$.{path}"
+        # DuckDB quotes odd keys as $."a.b"; Spark's variant path wants
+        # bracket form $['a.b']
+        path = re.sub(r'\."((?:[^"])*)"', lambda q: f"['{q.group(1)}']", path)
+        return (
+            f"nullif(to_json(try_variant_get(try_parse_json({a[0]}), "
+            f"'{path}')), 'null')"
         )
-        return f"get_json_object({a[0]}, '{conv}')"
 
-    for jf in ("json_extract_string", "json_extract_path_text",
-               "json_extract", "json_extract_path"):
-        out = _rewrite_calls(out, jf, _json_pointer)
+    for jf in ("json_extract", "json_extract_path"):
+        out = _rewrite_calls(out, jf, _json_extract_dollar)
     # list_extract/list_element: 1-based, NULL at 0/out-of-bounds
     def _list_extract(args: list[str]):
         if len(args) != 2:
@@ -2810,6 +2966,40 @@ def translate(text: str) -> str:
 
     out = _rewrite_calls(out, "list_aggregate", _list_aggregate)
     out = _rewrite_calls(out, "list_aggr", _list_aggregate)
+
+    # two-parameter lambdas in transform/filter get a 1-BASED index in the
+    # reference (lambda_functions.cpp); Spark's second lambda arg is
+    # 0-based — shift every body reference of the index parameter
+    def _lambda_1based(fn_name: str):
+        def _fix(a: list[str]) -> str | None:
+            if len(a) != 2:
+                return None
+            lm = re.match(
+                r"^\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*(.+)$", a[1], re.S
+            )
+            if not lm:
+                return None
+            v, idx, body = lm.groups()
+            spans_b = _literal_spans(body)
+            body2 = re.sub(
+                rf"\b{re.escape(idx)}\b",
+                lambda m: m.group(0)
+                if _in_spans(m.start(), spans_b)
+                else f"({idx} + 1)",
+                body,
+            )
+            return f"__lam1b_{fn_name}({a[0]}, ({v}, {idx}) -> {body2})"
+
+        return _fix
+
+    for _fn, _alias in (
+        ("transform", "transform"), ("list_transform", "transform"),
+        ("array_transform", "transform"), ("apply", "transform"),
+        ("list_apply", "transform"), ("filter", "filter"),
+        ("list_filter", "filter"), ("array_filter", "filter"),
+    ):
+        out = _rewrite_calls(out, _fn, _lambda_1based(_alias))
+    out = re.sub(r"\b__lam1b_(transform|filter)\s*\(", r"\1(", out)
     # sign(): TINYINT result, NaN → 0 (reference numeric.cpp SignFun);
     # Spark returns DOUBLE and propagates NaN. __sig sentinel avoids the
     # fixpoint re-match.
@@ -3161,6 +3351,18 @@ def _qualify_excluded(
             flags=re.I,
         )
     return out
+# Session settings the dialect layer honors (reference: config settings,
+# src/main/config.cpp). Updated by the SET front door and the corpus
+# runner. Only settings that change QUERY SEMANTICS live here.
+SETTINGS: dict[str, str] = {"default_null_order": "nulls_last"}
+
+_SET_SETTING = re.compile(
+    r"^\s*SET\s+(?:GLOBAL\s+|SESSION\s+)?(default_null_order|default_order)"
+    r"\s*=\s*'?([\w]+)'?\s*;?\s*$",
+    re.I,
+)
+
+
 # table(lower) → {column(lower) → collation}: column-level collations from
 # CREATE TABLE ... COLLATE (and the test snapshotter, tools/slt.py).
 # Reference: the column TYPE carries the collation and the binder pushes it
@@ -3184,6 +3386,24 @@ def _inject_column_collations(text: str) -> str:
             cols.update(cc)
     if not cols:
         return text
+    # SELECT DISTINCT col FROM ... — a collated DISTINCT dedupes on the
+    # collation key and returns ONE representative (the reference returns
+    # the first scanned; min_by over a scan-order stamp mirrors that on
+    # the single-partition mirrored views, and is "some representative"
+    # at scale — the same contract DuckDB's parallel scan gives).
+    dm = re.match(
+        r"\s*SELECT\s+DISTINCT\s+((?:\w+\.)?(\w+))\s+FROM\s+(.+?)\s*;?\s*$",
+        text,
+        re.I | re.S,
+    )
+    if dm and dm.group(2).lower() in cols:
+        ref, bare, rest = dm.group(1), dm.group(2), dm.group(3)
+        coll = cols[bare.lower()]
+        return (
+            f"SELECT min_by({bare}, __rid) AS {bare} FROM "
+            f"(SELECT {ref} AS {bare}, monotonically_increasing_id() AS __rid "
+            f"FROM {rest}) GROUP BY {bare} COLLATE {coll}"
+        )
     _CMP = r"(=|<>|!=|<=|>=|<|>)"
     for col, coll in cols.items():
         c = re.escape(col)
@@ -3814,6 +4034,10 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
             n = tbl.insert(src_df)
         _refresh_view(spark, name)
         return _count_df(spark, n)
+    m = _SET_SETTING.match(text)
+    if m:
+        SETTINGS[m.group(1).lower()] = m.group(2).lower()
+        return _count_df(spark, 0)
     m = _ALTER.match(text)
     if m:
         return _alter_table(spark, m.group(1), m.group(2), m.group(3))

@@ -16,7 +16,11 @@ from myduckdb_spark.sql import sql, translate
 
 def test_json_arrow_simple():
     assert translate("SELECT j->>'k' FROM t") == "SELECT get_json_object(j, '$.k') FROM t"
-    assert translate("SELECT j->'k' FROM t") == "SELECT get_json_object(j, '$.k') FROM t"
+    # -> returns JSON (strings stay quoted) — VARIANT-based extraction
+    assert translate("SELECT j->'k' FROM t") == (
+        "SELECT nullif(to_json(try_variant_get(try_parse_json(j), '$.k')), "
+        "'null') FROM t"
+    )
 
 
 def test_json_arrow_jsonpath_passthrough():

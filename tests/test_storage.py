@@ -453,3 +453,141 @@ def test_front_door_array_column_defs(spark):
     want = con.sql("SELECT * FROM t_arr ORDER BY k").fetchall()
     assert [(k, list(v) if v is not None else None) for k, v in got] == want
     run_sql(spark, "DROP TABLE t_arr")
+
+
+def test_update_from_scratch_dir_cleaned_and_view_scoped(spark):
+    """UPDATE ... FROM stamps a full table copy to data/upd_<uuid> — it
+    must be deleted after commit (ADVICE r5: unbounded disk leak), and
+    the stamped temp view must be per-invocation, not a fixed global."""
+    import glob
+    import os
+
+    from myduckdb_spark.sql import _MANAGED
+
+    con = duckdb.connect()
+    stmts = [
+        "CREATE OR REPLACE TABLE t_uf(i INTEGER, v VARCHAR)",
+        "INSERT INTO t_uf VALUES (1,'a'), (2,'b'), (3,'c')",
+        "UPDATE t_uf SET v = s.nv FROM (VALUES (1,'A'), (3,'C')) s(si, nv) "
+        "WHERE t_uf.i = s.si",
+        "UPDATE t_uf SET v = s.nv FROM (VALUES (2,'B')) s(si, nv) "
+        "WHERE t_uf.i = s.si",
+    ]
+    _dual(spark, con, stmts)
+    _compare(spark, con, "t_uf", "i")
+    root = _MANAGED["t_uf"].root
+    leaks = glob.glob(os.path.join(root, "data", "upd_*"))
+    assert leaks == [], f"stamped UPDATE...FROM scratch dirs leaked: {leaks}"
+    # no fixed-name global temp view left behind either
+    names = [t.name for t in spark.catalog.listTables() if t.isTemporary]
+    assert not any(n.startswith("__upd_target") for n in names)
+    run_sql(spark, "DROP TABLE t_uf")
+
+
+def test_alter_table_add_drop_rename_type(spark):
+    """ALTER TABLE ADD/DROP/RENAME COLUMN, ALTER TYPE [USING], RENAME TO
+    (reference test/sql/alter/*; executor duckdb_table_entry.cpp). Schema
+    changes are metadata-only projection stages; the first write after an
+    ALTER materializes them once."""
+    con = duckdb.connect()
+    _dual(spark, con, [
+        "CREATE OR REPLACE TABLE t_alt(i INTEGER, j INTEGER)",
+        "INSERT INTO t_alt VALUES (1, 1), (2, 2)",
+        "ALTER TABLE t_alt ADD COLUMN k INTEGER",
+    ])
+    _compare(spark, con, "t_alt", "i")
+    _dual(spark, con, [
+        "ALTER TABLE t_alt ADD COLUMN l VARCHAR DEFAULT 'dflt'",
+        "ALTER TABLE t_alt RENAME COLUMN j TO jj",
+    ])
+    _compare(spark, con, "t_alt", "i")
+    # write-after-alter materializes the pending stages, then appends
+    _dual(spark, con, [
+        "INSERT INTO t_alt VALUES (3, 3, 33, 'x')",
+        "ALTER TABLE t_alt DROP COLUMN k",
+        "UPDATE t_alt SET l = l || '!' WHERE i = 2",
+        "ALTER TABLE t_alt ALTER COLUMN i TYPE VARCHAR",
+    ])
+    _compare(spark, con, "t_alt", "i")
+    _dual(spark, con, [
+        "ALTER TABLE t_alt ALTER jj SET DATA TYPE VARCHAR USING 'v' || jj",
+        "DELETE FROM t_alt WHERE i = '1'",
+    ])
+    _compare(spark, con, "t_alt", "i")
+    _dual(spark, con, ["ALTER TABLE t_alt RENAME TO t_alt2"])
+    _compare(spark, con, "t_alt2", "i")
+    # errors match the reference's shape
+    with pytest.raises(Exception):
+        run_sql(spark, "ALTER TABLE t_alt2 ADD COLUMN jj INTEGER")
+    with pytest.raises(Exception):
+        run_sql(spark, "ALTER TABLE t_alt2 DROP COLUMN nope")
+    with pytest.raises(Exception):
+        run_sql(spark, "ALTER TABLE missing_tbl ADD COLUMN x INTEGER")
+    run_sql(spark, "ALTER TABLE IF EXISTS missing_tbl ADD COLUMN x INTEGER")
+    run_sql(spark, "ALTER TABLE t_alt2 ADD COLUMN IF NOT EXISTS jj INTEGER")
+    run_sql(spark, "DROP TABLE t_alt2")
+
+
+def test_alter_rename_col_carries_key(spark):
+    """RENAME COLUMN keeps PRIMARY KEY arbiter usable under the new name
+    (reference RenameColumn rewrites dependent index column lists)."""
+    con = duckdb.connect()
+    _dual(spark, con, [
+        "CREATE OR REPLACE TABLE t_ak(id INTEGER PRIMARY KEY, v VARCHAR)",
+        "INSERT INTO t_ak VALUES (1, 'a'), (2, 'b')",
+        "ALTER TABLE t_ak RENAME COLUMN id TO pk",
+        "INSERT INTO t_ak VALUES (1, 'A') ON CONFLICT (pk) DO UPDATE SET v = excluded.v",
+    ])
+    _compare(spark, con, "t_ak", "pk")
+    # dropping a keyed column is refused
+    with pytest.raises(Exception):
+        run_sql(spark, "ALTER TABLE t_ak DROP COLUMN pk")
+    run_sql(spark, "DROP TABLE t_ak")
+
+
+def test_front_door_copy_to_from_roundtrip(spark, tmp_path):
+    """COPY ... TO / COPY ... FROM (reference physical_copy_to_file.cpp /
+    physical_copy_from_file.cpp; test/sql/copy/*): single-file CSV /
+    PARQUET round-trips through the managed front door, subquery COPY,
+    and the PARTITION_BY directory-tree scale path."""
+    con = duckdb.connect()
+    run_sql(spark, "CREATE OR REPLACE TABLE t_cp(i INTEGER, s VARCHAR)")
+    run_sql(spark, "INSERT INTO t_cp VALUES (1,'a'), (2,'b,c'), (3,NULL)")
+    csv = str(tmp_path / "t.csv")
+    n = run_sql(spark, f"COPY t_cp TO '{csv}' (HEADER, DELIMITER ',')").collect()
+    assert n[0]["Count"] == 3 and os.path.isfile(csv)
+    # DuckDB itself can read our single-file output
+    got = con.execute(f"SELECT * FROM read_csv_auto('{csv}') ORDER BY i").fetchall()
+    assert got == [(1, "a"), (2, "b,c"), (3, None)]
+    # round-trip back in
+    run_sql(spark, "CREATE OR REPLACE TABLE t_cp2(i INTEGER, s VARCHAR)")
+    n2 = run_sql(spark, f"COPY t_cp2 FROM '{csv}' (HEADER)").collect()
+    assert n2[0]["Count"] == 3
+    got2 = [tuple(r) for r in spark.table("t_cp2").orderBy("i").collect()]
+    assert got2 == [(1, "a"), (2, "b,c"), (3, None)]
+    # parquet + subquery form
+    pq = str(tmp_path / "t.parquet")
+    run_sql(spark, f"COPY (SELECT i * 10 AS i10 FROM t_cp) TO '{pq}' (FORMAT PARQUET)")
+    assert con.execute(f"SELECT sum(i10) FROM read_parquet('{pq}')").fetchone()[0] == 60
+    # PARTITION_BY writes a directory tree (the scale path, no coalesce)
+    pdir = str(tmp_path / "part_out")
+    run_sql(spark, f"COPY t_cp TO '{pdir}' (FORMAT PARQUET, PARTITION_BY (i))")
+    assert os.path.isdir(pdir) and any("i=" in d for d in os.listdir(pdir))
+    for t in ("t_cp", "t_cp2"):
+        run_sql(spark, f"DROP TABLE {t}")
+
+
+def test_front_door_copy_column_list(spark, tmp_path):
+    """COPY t(cols) FROM: unlisted columns fill NULL (reference
+    transform_copy.cpp column binding)."""
+    run_sql(spark, "CREATE OR REPLACE TABLE t_cl(a INTEGER, b VARCHAR, c DOUBLE)")
+    run_sql(spark, "INSERT INTO t_cl VALUES (1,'x',1.5)")
+    csv = str(tmp_path / "cl.csv")
+    run_sql(spark, "CREATE OR REPLACE TABLE t_src(a INTEGER, c DOUBLE)")
+    run_sql(spark, "INSERT INTO t_src VALUES (7, 7.5)")
+    run_sql(spark, f"COPY t_src TO '{csv}' (HEADER)")
+    run_sql(spark, f"COPY t_cl (a, c) FROM '{csv}' (HEADER)")
+    got = [tuple(r) for r in spark.table("t_cl").orderBy("a").collect()]
+    assert got == [(1, "x", 1.5), (7, None, 7.5)]
+    for t in ("t_cl", "t_src"):
+        run_sql(spark, f"DROP TABLE {t}")

@@ -243,16 +243,36 @@ def _snapshot(spark, con) -> None:
         # pass the Arrow table straight through (Spark 4 accepts it):
         # round-tripping via pandas would turn INT-with-NULL into float64
         spark.createDataFrame(tbl).createOrReplaceTempView(t)
+    # carry column-level collations (s VARCHAR COLLATE NOCASE) into the
+    # front door's registry — the mirrored Spark view loses the metadata
+    from myduckdb_spark.sql import _COLUMN_COLLATIONS, _parse_column_defs
+
+    _COLUMN_COLLATIONS.clear()
+    for t, ddl in con.execute(
+        "SELECT table_name, sql FROM duckdb_tables()"
+    ).fetchall():
+        if not ddl or "COLLATE" not in ddl.upper():
+            continue
+        body = ddl[ddl.index("(") + 1 : ddl.rindex(")")]
+        try:
+            _c, _k, _u, colls = _parse_column_defs(body)
+        except Exception:
+            continue
+        if colls:
+            _COLUMN_COLLATIONS[t.lower()] = colls
 
 
-def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int | None = None):
+def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int | None = None,
+             skip_substrings: tuple[str, ...] = ()):
     """Run one .test file; returns RunResult (unpacks as (queries, statements)).
 
     Raises AssertionError on any engine-vs-DuckDB VALUE mismatch. With
     ``strict=False`` (default), statements or queries the harness can't
     execute (broken fork builders, unsupported dialect, missing extensions)
     are recorded in skipped_* rather than failing — a mismatch is a bug, a
-    skip is a coverage note.
+    skip is a coverage note. ``skip_substrings`` marks DOCUMENTED engine
+    gaps (e.g. BC-era date rendering): queries containing one are recorded
+    as skipped, never compared — the corpus floor still counts the rest.
     """
     import duckdb
 
@@ -261,12 +281,18 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
     con = con if con is not None else duckdb.connect()
     res = RunResult()
     dirty = True
+    from myduckdb_spark.sql import SETTINGS, _SET_SETTING
+
+    SETTINGS["default_null_order"] = "nulls_last"  # fresh-connection default
     for rec in parse(path):
         if not rec.sql.strip():
             continue
         if rec.kind in ("statement_ok", "statement_maybe"):
             if re.match(r"\s*PRAGMA", rec.sql, re.I):
                 continue  # engine pragmas (enable_verification) are no-ops here
+            sm = _SET_SETTING.match(rec.sql)
+            if sm:  # semantic session settings apply to BOTH engines
+                SETTINGS[sm.group(1).lower()] = sm.group(2).lower()
             try:
                 con.execute(rec.sql)
                 res.statements += 1
@@ -295,6 +321,9 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
             # plan/metadata output isn't value-comparable across engines
             if re.match(r"\s*(EXPLAIN|DESCRIBE|SHOW|PRAGMA)\b", rec.sql, re.I):
                 res.skipped_queries.append((rec.sql, "plan/metadata query"))
+                continue
+            if any(sub in rec.sql for sub in skip_substrings):
+                res.skipped_queries.append((rec.sql, "documented engine gap"))
                 continue
             # a few fork files mislabel DDL/DML as `query` blocks — apply
             # them as state, never feed them to the Spark catalog
@@ -461,6 +490,9 @@ def run_file_dual(
     res.mismatches = []
     res.resyncs = 0
     reset_dml_state(spark)
+    from myduckdb_spark.sql import SETTINGS
+
+    SETTINGS["default_null_order"] = "nulls_last"  # fresh-connection default
 
     def duck_try(sql: str):
         try:
