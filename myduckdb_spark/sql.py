@@ -3151,6 +3151,13 @@ def reset_dml_state(spark: SparkSession) -> None:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+    for name in list(_VIEWS):
+        _VIEWS.pop(name)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+    _COLUMN_COLLATIONS.clear()
     _SEQUENCES = None
     _TXN = None
     _PREPARED.clear()
@@ -3217,8 +3224,27 @@ def _count_df(spark: SparkSession, n: int) -> DataFrame:
     return spark.createDataFrame([(n,)], "Count bigint")
 
 
+# name → (duckdb-dialect SELECT text, optional column aliases). Views
+# re-resolve against CURRENT table state (reference: a view stores its
+# parse tree and binds at query time, view_catalog_entry.cpp) — realized
+# by re-registering every view's lazy plan after any DML refresh.
+_VIEWS: dict[str, tuple[str, list[str] | None]] = {}
+
+
+def _rebind_views(spark: SparkSession) -> None:
+    for v, (sel, cols) in _VIEWS.items():
+        try:
+            df = sql(spark, sel)
+            if cols:
+                df = df.toDF(*cols)
+            df.createOrReplaceTempView(v)
+        except Exception:
+            pass  # a dropped dependency: the view errors on next use
+
+
 def _refresh_view(spark: SparkSession, name: str) -> None:
     _MANAGED[name].scan().createOrReplaceTempView(name)
+    _rebind_views(spark)
 
 
 _CTAS = re.compile(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+AS\s+(.+?);?\s*$", re.I | re.S)
@@ -3446,6 +3472,15 @@ def _inject_column_collations(text: str) -> str:
         )
     return text
 
+
+_CREATE_VIEW = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?\"?(\w+)\"?\s*(?:\(([^()]*)\))?\s+AS\s+(.+?);?\s*$",
+    re.I | re.S,
+)
+_DROP_VIEW = re.compile(
+    r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?\"?(\w+)\"?\s*;?\s*$", re.I
+)
 
 _ALTER = re.compile(
     r"^\s*ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?\"?(\w+)\"?\s+(.+?);?\s*$", re.I | re.S
@@ -4037,6 +4072,32 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
     m = _SET_SETTING.match(text)
     if m:
         SETTINGS[m.group(1).lower()] = m.group(2).lower()
+        return _count_df(spark, 0)
+    m = _CREATE_VIEW.match(text)
+    if m:
+        replace, name, collist, sel = m.groups()
+        if name in _VIEWS and not replace:
+            raise ValueError(f"CREATE VIEW: view {name} already exists")
+        cols = (
+            [c.strip().strip('"') for c in collist.split(",")] if collist else None
+        )
+        df = sql(spark, sel)
+        if cols:
+            df = df.toDF(*cols)
+        df.createOrReplaceTempView(name)
+        _VIEWS[name] = (sel, cols)
+        return _count_df(spark, 0)
+    m = _DROP_VIEW.match(text)
+    if m:
+        name = m.group(2)
+        if name in _VIEWS:
+            _VIEWS.pop(name)
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        elif not m.group(1):
+            raise KeyError(f"DROP VIEW: view {name} does not exist")
         return _count_df(spark, 0)
     m = _ALTER.match(text)
     if m:

@@ -591,3 +591,36 @@ def test_front_door_copy_column_list(spark, tmp_path):
     assert got == [(1, "x", 1.5), (7, None, 7.5)]
     for t in ("t_cl", "t_src"):
         run_sql(spark, f"DROP TABLE {t}")
+
+
+def test_front_door_create_view(spark):
+    """CREATE VIEW stores the definition and re-resolves against CURRENT
+    table state after DML (reference view_catalog_entry.cpp binds the
+    stored parse tree at query time)."""
+    con = duckdb.connect()
+    _dual(spark, con, [
+        "CREATE OR REPLACE TABLE t_v(i INTEGER, v VARCHAR)",
+        "INSERT INTO t_v VALUES (1,'a'), (2,'b'), (3,'c')",
+        "CREATE VIEW v_big AS SELECT i, upper(v) AS uv FROM t_v WHERE i > 1",
+    ])
+    _compare(spark, con, "v_big", "i")
+    # view reflects subsequent DML on the base table
+    _dual(spark, con, [
+        "INSERT INTO t_v VALUES (4,'d')",
+        "UPDATE t_v SET v = 'z' WHERE i = 2",
+        "DELETE FROM t_v WHERE i = 3",
+    ])
+    _compare(spark, con, "v_big", "i")
+    # column-alias list form + view-on-view
+    _dual(spark, con, [
+        "CREATE VIEW v_named (k, s) AS SELECT i, uv FROM v_big",
+    ])
+    _compare(spark, con, "v_named", "k")
+    with pytest.raises(Exception):
+        run_sql(spark, "CREATE VIEW v_big AS SELECT 1")
+    run_sql(spark, "CREATE OR REPLACE VIEW v_big AS SELECT 9 AS i")
+    with pytest.raises(Exception):
+        run_sql(spark, "DROP VIEW nope_view")
+    run_sql(spark, "DROP VIEW IF EXISTS nope_view")
+    for s in ("DROP VIEW v_named", "DROP VIEW v_big", "DROP TABLE t_v"):
+        run_sql(spark, s)
