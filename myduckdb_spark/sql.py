@@ -1957,6 +1957,27 @@ def translate(text: str) -> str:
     out = _rewrite_in_subquery(out)
     out = _rewrite_any_all(out)
     out = _rewrite_power_operator(out)
+
+    # typeof(): DuckDB type NAMES (catalog type ids, type.cpp ToString)
+    # differ from Spark's — map the scalar names, upper-case the rest.
+    # Runs BEFORE the cast/list rewrites so their INTERNAL typeof()
+    # dispatch emissions are never re-mapped; __tof renames at the end.
+    def _typeof_names(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        t = f"__tof({a[0]})"
+        m = (
+            "map('int','INTEGER','bigint','BIGINT','smallint','SMALLINT',"
+            "'tinyint','TINYINT','string','VARCHAR','double','DOUBLE',"
+            "'float','FLOAT','boolean','BOOLEAN','date','DATE',"
+            # both Spark timestamp kinds map to TIMESTAMP: the engine's
+            # convention is naive-UTC (TIMESTAMPTZ is a packed BIGINT)
+            "'timestamp_ntz','TIMESTAMP','timestamp','TIMESTAMP',"
+            "'binary','BLOB','void','\"NULL\"')"
+        )
+        return f"coalesce(element_at({m}, {t}), upper({t}))"
+
+    out = _rewrite_calls(out, "typeof", _typeof_names)
     out = _rewrite_postfix_int_casts(out)
     out = _rewrite_int_casts(out)
     out = _rewrite_setop_order_alias(out)
@@ -2341,8 +2362,13 @@ def translate(text: str) -> str:
         out = re.sub(rf"\b{sentinel}\s*\(", f"{real}(", out)
 
     # string_agg with a NULL separator returns NULL (DuckDB binds the
-    # separator eagerly; verified live)
+    # separator eagerly; verified live); the 1-arg form defaults to ','
+    # (string_agg.cpp) while Spark's listagg default is ''
     def _string_agg_null_sep(a: list[str]) -> str | None:
+        if len(a) == 1 and not re.match(r"\s*DISTINCT\b", a[0], re.I):
+            if re.search(r"\bORDER\s+BY\b", a[0], re.I):
+                return None  # ordered form handled elsewhere
+            return f"__stragg({a[0]}, ',')"
         if len(a) != 2:
             return None
         if a[1].strip().upper() != "NULL":
@@ -2350,6 +2376,7 @@ def translate(text: str) -> str:
         return "CAST(NULL AS STRING)"
 
     out = _rewrite_calls(out, "string_agg", _string_agg_null_sep)
+    out = re.sub(r"\b__stragg\s*\(", "string_agg(", out)
 
     # printf/format: any NULL argument makes the result NULL (DuckDB
     # fmt semantics; Spark renders nulls as the string 'null')
@@ -2508,18 +2535,41 @@ def translate(text: str) -> str:
         if len(a) == 2
         else None,
     )
-    # list_zip: DuckDB struct fields are list_1, list_2 (list_zip.cpp)
-    out = _rewrite_calls(
-        out,
-        "list_zip",
-        lambda a: (
-            f"transform({a[0]}, __x -> named_struct('list_1', __x))" if len(a) == 1
-            else f"zip_with({a[0]}, {a[1]}, (__x, __y) -> "
-            f"named_struct('list_1', __x, 'list_2', __y))"
-            if len(a) == 2
-            else None
-        ),
-    )
+    # list_zip: DuckDB pads to the LONGEST list (truncate flag → shortest)
+    # and yields UNNAMED structs (list_zip.cpp; the Python client renders
+    # them as tuples). Fields here are named list_N — the canon renders
+    # that convention positionally to match.
+    def _list_zip(a: list[str]) -> str | None:
+        args = list(a)
+        truncate = False
+        if args and args[-1].strip().lower() in ("true", "false"):
+            truncate = args.pop().strip().lower() == "true"
+        if not 1 <= len(args) <= 4:
+            return None
+
+        def zip_expr(xs: list[str], base: int) -> str:
+            if len(xs) == 1:
+                return (
+                    f"transform({xs[0]}, __x{base} -> "
+                    f"named_struct('list_{base}', __x{base}))"
+                )
+            inner = zip_expr(xs[1:], base + 1)
+            fields = [f"'list_{base}', __x{base}"] + [
+                f"'list_{i}', __s{base}.list_{i}"
+                for i in range(base + 1, base + len(xs))
+            ]
+            return (
+                f"zip_with({xs[0]}, {inner}, (__x{base}, __s{base}) -> "
+                f"named_struct({', '.join(fields)}))"
+            )
+
+        expr = zip_expr(args, 1)
+        if truncate and len(args) > 1:
+            least = ", ".join(f"size({x})" for x in args)
+            expr = f"slice({expr}, 1, least({least}))"
+        return expr
+
+    out = _rewrite_calls(out, "list_zip", _list_zip)
     # list_histogram: element -> count map, NULLs dropped
     out = _rewrite_calls(
         out,
@@ -3061,6 +3111,7 @@ def translate(text: str) -> str:
             out = pat_a.sub(
                 lambda mm: mm.group(0) if _in_spans(mm.start(), spans_a) else view, out
             )
+    out = re.sub(r"\b__tof\s*\(", "typeof(", out)
     return out
 
 
@@ -4371,19 +4422,75 @@ def _expand_columns_star(spark: SparkSession, text: str) -> str:
             matched = [c for c in cols if pat.search(c)]
         else:
             return text  # lambda/EXCLUDE forms — out of scope
-        # a direct wrapping call maps over every column: fn(COLUMNS(x))
-        wrap = re.search(r"([A-Za-z_]\w*)\s*\($", text[: m.start()])
-        if wrap and wrap.group(1).upper() not in _UNARY_KEYWORDS | {"COLUMNS"}:
-            wrap_open = text.rindex("(", 0, m.start() + 1)
-            wrap_close = _matching_paren(text, wrap_open)
-            if wrap_close == -1 or text[close + 1 : wrap_close].strip():
-                return text  # extra args after COLUMNS() — unsupported
-            fn = wrap.group(1)
-            repl = ", ".join(f'{fn}(`{c}`) AS `{fn}({c})`' for c in matched)
-            text = text[: wrap.start(1)] + repl + text[wrap_close + 1 :]
-        else:
-            repl = ", ".join(f'`{c}`' for c in matched)
+        # COLUMNS(...) inside ANY select-item expression replicates the
+        # WHOLE item once per matched column (star_expression.cpp expands
+        # before binding) — `COLUMNS(*) + 1` → `i + 1, j + 1`,
+        # `min(COLUMNS(*))` → `min(i), min(j)`. Find the enclosing item's
+        # boundaries: nearest same-depth ',' / SELECT before, ',' / FROM
+        # after.
+        depth = _depth_profile(text)
+        spans2 = _literal_spans(text)
+        # enclosing SELECT = last one before the call whose depth equals
+        # the minimum depth on the path back from the call (i.e. no paren
+        # closes between it and the COLUMNS token)
+        sm2 = None
+        for c2 in re.finditer(r"\bSELECT\b(\s+DISTINCT\b)?", text[:m.start()], re.I):
+            if _in_spans(c2.start(), spans2):
+                continue
+            if depth[c2.start()] == min(depth[c2.start() : m.start() + 1]):
+                sm2 = c2
+        if sm2 is None:
+            # FROM-first form (`FROM t ORDER BY COLUMNS(..)`) — bare
+            # per-column expansion of just the call
+            repl = ", ".join(f"`{c}`" for c in matched)
             text = text[: m.start()] + repl + text[close + 1 :]
+            continue
+        d0 = depth[sm2.start()]  # depth of the select LIST's items
+        # is the call in the SELECT list, or in a later clause (ORDER BY
+        # COLUMNS('re') — expands to bare per-column sort keys)?
+        clause_kw = None
+        for c3 in re.finditer(
+            r"\b(FROM|WHERE|GROUP\s+BY|HAVING|QUALIFY|WINDOW|ORDER\s+BY)\b",
+            text[sm2.end() : m.start()],
+            re.I,
+        ):
+            pos3 = sm2.end() + c3.start()
+            if not _in_spans(pos3, spans2) and depth[pos3] == d0:
+                clause_kw = c3
+        in_select_list = clause_kw is None
+        start = sm2.end() if in_select_list else sm2.end() + clause_kw.end()
+        for p in range(m.start() - 1, start - 1, -1):
+            if not _in_spans(p, spans2) and text[p] == "," and depth[p] == d0:
+                start = p + 1
+                break
+        end = len(text)
+        stop_kw = (
+            r"\bFROM\b"
+            if in_select_list
+            else r"\b(LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|FROM)\b"
+        )
+        p = close + 1
+        while p < len(text):
+            if not _in_spans(p, spans2) and depth[p] == d0:
+                if text[p] == ",":
+                    end = p
+                    break
+                if re.match(stop_kw, text[p:], re.I):
+                    end = p
+                    break
+            p += 1
+        item = text[start:end]
+        rel_s, rel_e = m.start() - start, close + 1 - start
+        if _COLUMNS_STAR.search(item[:rel_s]) or _COLUMNS_STAR.search(item[rel_e:]):
+            return text  # two COLUMNS() in one item (zip form) — unsupported
+        pieces = []
+        for c in matched:
+            body = (item[:rel_s] + f"`{c}`" + item[rel_e:]).strip()
+            if in_select_list:
+                alias = re.sub(r"[`'\"\s]+", "", body) or c
+                body = f"{body} AS `{alias}`"
+            pieces.append(body)
+        text = text[:start] + " " + ", ".join(pieces) + " " + text[end:]
 
 
 _WITH_RECURSIVE = re.compile(

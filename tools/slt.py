@@ -189,6 +189,11 @@ def _canon_val(v) -> str:
         return f"{v:.6f}"
     if hasattr(v, "asDict"):  # pyspark Row (struct value)
         v = v.asDict()
+        # DuckDB's UNNAMED structs (list_zip output) surface as tuples in
+        # its Python client; the engine names those fields list_N — render
+        # them positionally so both canon forms agree
+        if v and all(re.fullmatch(r"list_\d+", k) for k in v):
+            return _canon_val(list(v.values()))
     if isinstance(v, dict):
         # duckdb's Python client surfaces MAP as {'key': [...],
         # 'value': [...]}; Spark surfaces it as a plain dict — normalize.
