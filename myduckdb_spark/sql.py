@@ -1264,11 +1264,16 @@ def _rewrite_int_casts(text: str) -> str:
         if am and am.group(2).lower() in ("varchar", "text", "bpchar"):
             # __rr_all = Spark-native regexp_replace sentinel (renamed at
             # the end of translate; the DuckDB-dialect regexp_replace
-            # rewrite must not reinterpret this generated call)
+            # rewrite must not reinterpret this generated call).
+            # Float specials render as nan/inf/-inf in the reference
+            # (float→string cast, fmt grammar) vs Spark's NaN/Infinity —
+            # exact-match CASE so ordinary strings pass through.
+            s = f"{kw}({am.group(1)} AS STRING)"
+            base = f"__rr_all({s}, " + r"'^\\+(?=\\d{5,6}-\\d{2}-\\d{2})', '')"
             return (
                 head
-                + f"__rr_all({kw}({am.group(1)} AS STRING), "
-                + r"'^\\+(?=\\d{5,6}-\\d{2}-\\d{2})', '')"
+                + f"(CASE {s} WHEN 'NaN' THEN 'nan' WHEN 'Infinity' THEN 'inf' "
+                f"WHEN '-Infinity' THEN '-inf' ELSE {base} END)"
                 + rest
             )
         if (
@@ -1315,6 +1320,65 @@ def _rewrite_postfix_int_casts(text: str) -> str:
             start = _operand_start(text, pm.start(), spans)
         expr = text[start : m.start()].strip()
         text = text[:start] + f"CAST({expr} AS {m.group(1)})" + text[m.end():]
+
+
+_BLOB_T = r"(?:BLOB|BYTEA|VARBINARY)"
+_BLOB_POSTFIX = re.compile(rf"'((?:[^']|'')*)'\s*::\s*{_BLOB_T}\b", re.I)
+_BLOB_CAST = re.compile(
+    rf"\b(?:TRY_)?CAST\s*\(\s*'((?:[^']|'')*)'\s+AS\s+{_BLOB_T}\s*\)", re.I
+)
+
+
+def _blob_hex(lit: str) -> str:
+    """Decode the reference's blob-literal grammar (``\\xHH`` escapes,
+    everything else literal UTF-8 bytes; blob.cpp) to a hex string."""
+    s = lit.replace("''", "'")
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        # the literal arrives AFTER _escape_literal_backslashes, so every
+        # original backslash is doubled — '\xHH' reads as '\\xHH' here
+        m = re.match(r"\\\\x([0-9a-fA-F]{2})", s[i:])
+        if m:
+            out.append(int(m.group(1), 16))
+            i += 5
+        elif s[i : i + 2] == "\\\\":
+            out.append(0x5C)
+            i += 2
+        else:
+            out.extend(s[i].encode("utf-8"))
+            i += 1
+    return out.hex().upper()
+
+
+def _rewrite_blob_literals(text: str) -> str:
+    """``'...'::BLOB`` / ``CAST('...' AS BYTEA)`` with a string-literal
+    operand → ``unhex('<hex>')`` so ``\\x`` escapes decode (Spark's
+    BINARY cast keeps them as raw characters). Non-literal operands fall
+    through to the generic BLOB→BINARY type rename."""
+    for pat in (_BLOB_POSTFIX, _BLOB_CAST):
+        while True:
+            spans = _literal_spans(text)
+            m = next(
+                (
+                    c
+                    for c in pat.finditer(text)
+                    # the literal itself IS a span — require the match to
+                    # start exactly at a span boundary (or at CAST, which
+                    # is outside every span)
+                    if not _in_spans(c.start(), spans)
+                    or any(s == c.start() for s, _e in spans)
+                ),
+                None,
+            )
+            if m is None:
+                break
+            text = (
+                text[: m.start()]
+                + f"unhex('{_blob_hex(m.group(1))}')"
+                + text[m.end():]
+            )
+    return text
 
 
 _POWER_OP = re.compile(r"\*\*|\^(?!@)")  # ^@ is DuckDB's starts_with operator
@@ -1978,6 +2042,47 @@ def translate(text: str) -> str:
         return f"coalesce(element_at({m}, {t}), upper({t}))"
 
     out = _rewrite_calls(out, "typeof", _typeof_names)
+
+    # ceil/ceiling/floor: the reference returns DOUBLE for every
+    # non-DECIMAL argument (FLOAT for FLOAT) and passes NaN/±inf through
+    # (function/scalar/math — ceil/floor templates); Spark's return
+    # BIGINT and ANSI-overflow on huge/±inf doubles. Emit a pure-double
+    # form (no BIGINT round-trip, so |x| >= 2^63 survives). Bare numeric
+    # literals stay on Spark's DECIMAL path — both engines type those
+    # DECIMAL and agree.
+    def _ceil_floor(which: str):
+        def rw(a: list[str]) -> str | None:
+            if len(a) != 1:
+                return None
+            x = a[0]
+            if re.fullmatch(r"\s*[+-]?\d+(\.\d+)?\s*", x):
+                return None
+            # explicitly DECIMAL-typed args keep Spark's DECIMAL ceil —
+            # the reference returns DECIMAL(p,0) there, not DOUBLE
+            if re.search(
+                r"(::\s*|\bAS\s+)(DECIMAL|NUMERIC)(\s*\(\s*\d+\s*(,\s*\d+\s*)?\))?\s*\)*\s*$",
+                x,
+                re.I,
+            ):
+                return None
+            d = f"CAST(({x}) AS DOUBLE)"
+            t = f"({d} - ({d} % 1.0))"  # truncation toward zero
+            if which == "ceil":
+                adj = f"CASE WHEN {t} = {d} OR {d} < 0 THEN {t} ELSE {t} + 1 END"
+            else:
+                adj = f"CASE WHEN {t} = {d} OR {d} > 0 THEN {t} ELSE {t} - 1 END"
+            return (
+                f"(CASE WHEN isnan({d}) OR abs({d}) = CAST('inf' AS DOUBLE) "
+                f"THEN {d} ELSE {adj} END)"
+            )
+
+        return rw
+
+    out = _rewrite_calls(out, "ceil", _ceil_floor("ceil"))
+    out = _rewrite_calls(out, "ceiling", _ceil_floor("ceil"))
+    out = _rewrite_calls(out, "floor", _ceil_floor("floor"))
+
+    out = _rewrite_blob_literals(out)
     out = _rewrite_postfix_int_casts(out)
     out = _rewrite_int_casts(out)
     out = _rewrite_setop_order_alias(out)
@@ -3091,7 +3196,8 @@ def translate(text: str) -> str:
     for duck_t, spark_t in (
         ("int1", "tinyint"), ("int2", "smallint"), ("int4", "int"),
         ("int8", "bigint"), ("float4", "float"), ("float8", "double"),
-        ("logical", "boolean"), ("bytea", "binary"),
+        ("logical", "boolean"), ("bytea", "binary"), ("blob", "binary"),
+        ("varbinary", "binary"),
     ):
         spans_t = _literal_spans(out)
         pat_t = re.compile(rf"\b{duck_t}\b(?!\s*\()", re.I)
