@@ -162,3 +162,19 @@ def register_string_metrics(spark: SparkSession) -> None:
     create_scalar_function(spark, "jaro_winkler_similarity", _jw, "double")
     create_scalar_function(spark, "jaro_similarity", _j, "double")
     create_scalar_function(spark, "damerau_levenshtein", _dl, "int")
+
+
+def register_numeric_udfs(spark: SparkSession) -> None:
+    """IEEE-754 step functions with no Spark builtin (reference
+    function/scalar/math: nextafter) — vectorized over numpy."""
+    import numpy as np
+
+    def _nextafter(a, b):
+        import pandas as pd
+
+        return pd.Series(
+            np.nextafter(a.astype("float64"), b.astype("float64")),
+            index=a.index,
+        ).where(~(a.isna() | b.isna()))
+
+    create_scalar_function(spark, "nextafter", _nextafter, "double")

@@ -1381,6 +1381,65 @@ def _rewrite_blob_literals(text: str) -> str:
     return text
 
 
+_DYN_INTERVAL = re.compile(r"\bINTERVAL\s*\(", re.I)
+# make_interval(years, months, weeks, days, hours, mins, secs) slot per
+# unit; milli/micro go through the fractional seconds slot
+_INTERVAL_SLOTS = {
+    "year": (0, 1), "years": (0, 1), "decade": (0, 10), "decades": (0, 10),
+    "century": (0, 100), "centuries": (0, 100),
+    "millennium": (0, 1000), "millennia": (0, 1000),
+    "month": (1, 1), "months": (1, 1), "quarter": (1, 3), "quarters": (1, 3),
+    "week": (2, 1), "weeks": (2, 1), "day": (3, 1), "days": (3, 1),
+    "hour": (4, 1), "hours": (4, 1), "minute": (5, 1), "minutes": (5, 1),
+    "second": (6, 1), "seconds": (6, 1),
+}
+_INTERVAL_FRAC = {
+    "millisecond": 1000, "milliseconds": 1000,
+    "microsecond": 1000000, "microseconds": 1000000,
+}
+
+
+def _rewrite_dynamic_interval(text: str) -> str:
+    """``INTERVAL (expr) unit`` — the reference evaluates expr at runtime
+    and truncates it to an integer count (interval.cpp); Spark's INTERVAL
+    literal grammar only takes constants. → ``make_interval`` with the
+    count in the matching slot."""
+    while True:
+        spans = _literal_spans(text)
+        m = next(
+            (
+                c
+                for c in _DYN_INTERVAL.finditer(text)
+                if not _in_spans(c.start(), spans)
+            ),
+            None,
+        )
+        if m is None:
+            return text
+        close = _matching_paren(text, m.end() - 1)
+        if close < 0:
+            return text
+        um = re.match(r"\s*([A-Za-z]+)", text[close + 1 :])
+        if um is None:
+            return text
+        unit = um.group(1).lower()
+        expr = text[m.end() : close]
+        n = f"CAST(CAST(({expr}) AS DOUBLE) - (CAST(({expr}) AS DOUBLE) % 1.0) AS BIGINT)"
+        if unit in _INTERVAL_SLOTS:
+            slot, mult = _INTERVAL_SLOTS[unit]
+            args = ["0"] * 7
+            args[slot] = f"{n} * {mult}" if mult != 1 else n
+            rep = f"make_interval({', '.join(args)})"
+        elif unit in _INTERVAL_FRAC:
+            rep = (
+                f"make_interval(0, 0, 0, 0, 0, 0, "
+                f"CAST({n} AS DECIMAL(18,0)) / {_INTERVAL_FRAC[unit]})"
+            )
+        else:
+            return text
+        text = text[: m.start()] + rep + text[close + 1 + um.end() :]
+
+
 _POWER_OP = re.compile(r"\*\*|\^(?!@)")  # ^@ is DuckDB's starts_with operator
 _UNARY_KEYWORDS = {
     "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND", "OR", "NOT", "BY",
@@ -2083,6 +2142,7 @@ def translate(text: str) -> str:
     out = _rewrite_calls(out, "floor", _ceil_floor("floor"))
 
     out = _rewrite_blob_literals(out)
+    out = _rewrite_dynamic_interval(out)
     out = _rewrite_postfix_int_casts(out)
     out = _rewrite_int_casts(out)
     out = _rewrite_setop_order_alias(out)
@@ -2943,6 +3003,22 @@ def translate(text: str) -> str:
             return f"(dayofweek({args[1]}) - 1)"
         if part in _SUBSEC:
             return _subsec_expr(part, args[1])
+        # list-of-parts form DATE_PART(['year','month'], x) → STRUCT of
+        # the parts (date_part.cpp struct variant); the bracket-list pass
+        # has already turned the literal into array('year', ...)
+        lm = re.fullmatch(
+            r"\s*array\s*\((\s*'[a-z]+'\s*(?:,\s*'[a-z]+'\s*)*)\)\s*",
+            args[0],
+            re.I,
+        )
+        if lm:
+            fields = []
+            for nm in re.findall(r"'([a-z]+)'", lm.group(1), re.I):
+                e = _date_part([f"'{nm}'", args[1]]) or (
+                    f"date_part('{nm}', {args[1]})"
+                )
+                fields.append(f"'{nm}', {e}")
+            return f"named_struct({', '.join(fields)})"
         return None
 
     out = _rewrite_calls(out, "date_part", _date_part)
@@ -3092,12 +3168,59 @@ def translate(text: str) -> str:
         else None,
     )
 
-    # list_aggregate(l, 'name'): literal-name dispatch onto HOF folds
+    # list_aggregate(l, 'name'[, params]): literal-name dispatch onto HOF
+    # folds (reference list_aggregates.cpp; param-taking names verified
+    # live: quantile = disc at ceil(p*n), median interpolates, mad =
+    # median absolute deviation, mode breaks ties on the smaller value,
+    # string_agg default separator ',')
     def _list_aggregate(args: list[str]):
-        if len(args) != 2:
+        if len(args) < 2:
             return None
         l, name = args[0], args[1].strip().strip("'\"").lower()
+        params = args[2:]
         nn = f"filter({l}, __x -> __x IS NOT NULL)"
+        srt = f"array_sort({nn})"
+        n = f"size({nn})"
+
+        def q_disc(p: str) -> str:
+            # index = max(1, ceil(p * n)) into the non-null sorted list
+            return (
+                f"try_element_at({srt}, greatest(CAST(ceil(({p}) * {n}) "
+                f"AS INT), 1))"
+            )
+
+        med = (
+            f"CASE WHEN {n} = 0 THEN NULL ELSE "
+            f"(CAST(element_at({srt}, CAST(({n} + 1) / 2 AS INT)) AS DOUBLE)"
+            f" + CAST(element_at({srt}, CAST(({n} + 2) / 2 AS INT)) AS DOUBLE)"
+            f") / 2.0 END"
+        )
+        if name in ("quantile", "quantile_disc") and len(params) == 1:
+            p = params[0]
+            if re.match(r"\s*(array\s*\(|\[)", p, re.I):
+                return f"transform({p}, __qp -> {q_disc('__qp')})"
+            return q_disc(p)
+        if name == "string_agg" and len(params) <= 1:
+            sep = params[0] if params else "','"
+            return (
+                f"CASE WHEN size({nn}) = 0 THEN NULL ELSE "
+                f"array_join(transform({nn}, __x -> CAST(__x AS STRING)), {sep}) END"
+            )
+        if params:
+            return None
+        # mad = median(|x - median|), always DOUBLE
+        dev = f"transform({nn}, __x -> abs(CAST(__x AS DOUBLE) - ({med})))"
+        dsrt = f"array_sort({dev})"
+        mad = (
+            f"CASE WHEN {n} = 0 THEN NULL ELSE "
+            f"(element_at({dsrt}, CAST(({n} + 1) / 2 AS INT))"
+            f" + element_at({dsrt}, CAST(({n} + 2) / 2 AS INT))) / 2.0 END"
+        )
+        mode = (
+            f"try_element_at(array_sort(transform(array_distinct({nn}), "
+            f"__v -> named_struct('c', -size(filter({nn}, __y -> __y = __v)), "
+            f"'v', __v))), 1).v"
+        )
         return {
             "count": f"size({nn})",
             "sum": _list_sum_sql(l),
@@ -3117,10 +3240,174 @@ def translate(text: str) -> str:
             "max": f"array_max({l})",
             "first": f"try_element_at({l}, 1)",
             "last": f"try_element_at({l}, -1)",
+            "any_value": f"try_element_at({nn}, 1)",
+            "median": med,
+            "quantile": q_disc("0.5"),
+            "quantile_disc": q_disc("0.5"),
+            "mad": mad,
+            "mode": mode,
+            "product": (
+                f"CASE WHEN size({nn}) = 0 THEN NULL ELSE "
+                f"aggregate({nn}, CAST(1 AS DOUBLE), (__a, __x) -> __a * __x) END"
+            ),
+            "string_agg": (
+                f"CASE WHEN size({nn}) = 0 THEN NULL ELSE "
+                f"array_join(transform({nn}, __x -> CAST(__x AS STRING)), ',') END"
+            ),
+            "bool_and": f"CASE WHEN {n} = 0 THEN NULL ELSE forall({nn}, __x -> __x) END",
+            "bool_or": f"CASE WHEN {n} = 0 THEN NULL ELSE exists({nn}, __x -> __x) END",
         }.get(name)
 
     out = _rewrite_calls(out, "list_aggregate", _list_aggregate)
     out = _rewrite_calls(out, "list_aggr", _list_aggregate)
+    # every aggregate name above also has a list_<name>(l, params...)
+    # rewrite alias (function/list/list_aggregates.cpp registration loop)
+    for _agg in (
+        "median", "mad", "mode", "product", "string_agg", "bool_and",
+        "bool_or", "quantile", "quantile_disc", "first", "last",
+    ):
+        out = _rewrite_calls(
+            out,
+            f"list_{_agg}",
+            lambda a, _agg=_agg: _list_aggregate([a[0], f"'{_agg}'", *a[1:]]),
+        )
+
+    # prefix/suffix (reference string functions) → Spark predicates
+    out = _rewrite_calls(
+        out, "prefix",
+        lambda a: f"startswith({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+    out = _rewrite_calls(
+        out, "suffix",
+        lambda a: f"endswith({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+    # array_value = ARRAY constructor (fixed-size array type; Spark has
+    # only variable lists — same values)
+    out = _rewrite_calls(out, "array_value", lambda a: f"array({', '.join(a)})")
+    # list_where(l, mask): keep elements whose mask is true
+    out = _rewrite_calls(
+        out,
+        "list_where",
+        lambda a: (
+            f"transform(filter(zip_with({a[0]}, {a[1]}, "
+            f"(__lv, __lm) -> named_struct('v', __lv, 'm', __lm)), "
+            f"__s -> __s.m), __s -> __s.v)"
+        )
+        if len(a) == 2
+        else None,
+    )
+    # list_reduce/reduce: DuckDB's 2-arg form seeds the fold with the
+    # first element (list_reduce.cpp); the optional 3rd arg is the
+    # initial value. Spark's reduce(arr, init, merge) needs both.
+    def _list_reduce(a: list[str]) -> str | None:
+        if len(a) == 2:
+            return (
+                f"reduce(slice({a[0]}, 2, size({a[0]}) - 1), "
+                f"element_at({a[0]}, 1), {a[1]})"
+            )
+        if len(a) == 3:
+            return f"reduce({a[0]}, {a[2]}, {a[1]})"
+        return None
+
+    out = _rewrite_calls(out, "list_reduce", _list_reduce)
+    # bare `reduce` alias: only the 2-arg DuckDB form (the 3-arg form is
+    # Spark's own signature — and our emission above — leave it alone)
+    out = _rewrite_calls(
+        out, "reduce", lambda a: _list_reduce(a) if len(a) == 2 else None
+    )
+    # regexp_extract_all: DuckDB's default group is 0 (whole match);
+    # Spark's is 1 and errors when the pattern has no groups
+    out = _rewrite_calls(
+        out,
+        "regexp_extract_all",
+        lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)" if len(a) == 2 else None,
+    )
+    # 1-arg numeric trunc (math.cpp): truncate toward zero, DOUBLE
+    # result, NaN/±inf pass through; Spark's trunc is the 2-arg date
+    # function. DECIMAL-typed args keep Spark's semantics via CAST.
+    def _trunc1(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        x = a[0]
+        if re.fullmatch(r"\s*[+-]?\d+(\.\d+)?\s*", x) or re.search(
+            r"(::\s*|\bAS\s+)(DECIMAL|NUMERIC)(\s*\(\s*\d+\s*(,\s*\d+\s*)?\))?\s*\)*\s*$",
+            x,
+            re.I,
+        ):
+            # DECIMAL stays DECIMAL(p,0): strip the fraction first so the
+            # final cast can't round half-up
+            return f"CAST(({x}) - (({x}) % 1) AS DECIMAL(38,0))"
+        d = f"CAST(({x}) AS DOUBLE)"
+        return (
+            f"(CASE WHEN isnan({d}) OR abs({d}) = CAST('inf' AS DOUBLE) "
+            f"THEN {d} ELSE {d} - ({d} % 1.0) END)"
+        )
+
+    out = _rewrite_calls(out, "trunc", _trunc1)
+    # parse_path family (reference parse_path.cpp; default separator
+    # splits on both / and \; a leading separator is its own component)
+    _SEPC = r"[/\\\\\\\\]"  # regex class for / or \ in the emitted literal
+
+    def _path_components(s: str) -> str:
+        f = f"filter(split({s}, '{_SEPC}'), __pc -> __pc <> '')"
+        return (
+            f"CASE WHEN {s} RLIKE '^{_SEPC}' "
+            f"THEN concat(array(substring({s}, 1, 1)), {f}) ELSE {f} END"
+        )
+
+    def _parse_path(a: list[str]) -> str | None:
+        return _path_components(a[0]) if len(a) >= 1 else None
+
+    def _parse_filename(a: list[str]) -> str | None:
+        if not a:
+            return None
+        fname = f"regexp_extract({a[0]}, '({_SEPC.replace('[', '[^')}*)$', 1)"
+        if len(a) >= 2 and a[1].strip().lower() == "true":
+            return f"regexp_replace({fname}, '\\\\.[^.]*$', '')"
+        return fname
+
+    def _parse_dirpath(a: list[str]) -> str | None:
+        if not a:
+            return None
+        s = a[0]
+        return (
+            f"CASE WHEN {s} RLIKE '{_SEPC}' "
+            f"THEN regexp_replace({s}, '{_SEPC}{_SEPC.replace('[', '[^')}*$', '') "
+            f"ELSE '' END"
+        )
+
+    def _parse_dirname(a: list[str]) -> str | None:
+        if not a:
+            return None
+        comps = _path_components(a[0])
+        return (
+            f"CASE WHEN size({comps}) > 1 THEN element_at({comps}, 1) "
+            f"ELSE '' END"
+        )
+
+    out = _rewrite_calls(out, "parse_path", _parse_path)
+    out = _rewrite_calls(out, "parse_filename", _parse_filename)
+    out = _rewrite_calls(out, "parse_dirpath", _parse_dirpath)
+    out = _rewrite_calls(out, "parse_dirname", _parse_dirname)
+    # bar(x, min, max[, width=80]) — unicode bar with eighth-block
+    # remainder (function/scalar/string/bar.cpp), clamped to [0, width]
+    def _bar(a: list[str]) -> str | None:
+        if len(a) not in (3, 4):
+            return None
+        w = a[3] if len(a) == 4 else "80"
+        u = (
+            f"least(greatest((CAST({a[0]} AS DOUBLE) - CAST({a[1]} AS DOUBLE))"
+            f" / (CAST({a[2]} AS DOUBLE) - CAST({a[1]} AS DOUBLE)), CAST(0 AS DOUBLE)), "
+            f"CAST(1 AS DOUBLE)) * ({w})"
+        )
+        full = f"CAST({u} - ({u} % 1.0) AS INT)"
+        rem8 = f"CAST((({u}) - ({u} - ({u} % 1.0))) * 8 AS INT)"
+        return (
+            f"concat(repeat('█', {full}), "
+            f"element_at(array('', '▏', '▎', '▍', '▌', '▋', '▊', '▉'), {rem8} + 1))"
+        )
+
+    out = _rewrite_calls(out, "bar", _bar)
 
     # two-parameter lambdas in transform/filter get a 1-BASED index in the
     # reference (lambda_functions.cpp); Spark's second lambda arg is
@@ -4671,6 +4958,93 @@ def _split_statements(text: str) -> list[str]:
     return parts or [text]
 
 
+_CLAUSE_AFTER_WHERE = re.compile(
+    r"\b(GROUP\s+BY|HAVING|QUALIFY|WINDOW|ORDER\s+BY|LIMIT|OFFSET|UNION|"
+    r"INTERSECT|EXCEPT)\b",
+    re.I,
+)
+
+
+def _inline_select_aliases(text: str) -> str:
+    """Substitute top-level SELECT-list aliases referenced in WHERE /
+    HAVING with their expressions (the reference's lateral alias binding;
+    only used as an error-driven retry so working queries never change)."""
+    depth = _depth_profile(text)
+    spans = _literal_spans(text)
+    sm = re.search(r"\bSELECT\b(\s+DISTINCT\b)?", text, re.I)
+    if sm is None or depth[sm.start()] != 0:
+        return text
+    fm = next(
+        (
+            c
+            for c in re.finditer(r"\bFROM\b", text, re.I)
+            if c.start() > sm.end()
+            and depth[c.start()] == 0
+            and not _in_spans(c.start(), spans)
+        ),
+        None,
+    )
+    if fm is None:
+        return text
+    # select items: depth-0 comma split
+    items, start = [], sm.end()
+    for p in range(sm.end(), fm.start()):
+        if text[p] == "," and depth[p] == 0 and not _in_spans(p, spans):
+            items.append(text[start:p])
+            start = p + 1
+    items.append(text[start : fm.start()])
+    aliases: dict[str, str] = {}
+    for it in items:
+        am = re.fullmatch(r"(?s)\s*(.+?)\s+AS\s+([A-Za-z_]\w*)\s*", it, re.I)
+        if am:
+            aliases[am.group(2).lower()] = am.group(1)
+    if not aliases:
+        return text
+    for kw in ("WHERE", "HAVING"):
+        cm = next(
+            (
+                c
+                for c in re.finditer(rf"\b{kw}\b", text, re.I)
+                if c.start() > fm.end()
+                and depth[c.start()] == 0
+                and not _in_spans(c.start(), spans)
+            ),
+            None,
+        )
+        if cm is None:
+            continue
+        em = next(
+            (
+                c
+                for c in _CLAUSE_AFTER_WHERE.finditer(text, cm.end())
+                if depth[c.start()] == 0 and not _in_spans(c.start(), spans)
+            ),
+            None,
+        )
+        end = em.start() if em else len(text)
+        clause = text[cm.end() : end]
+        cspans = _literal_spans(clause)
+        for al, ex in aliases.items():
+
+            def _sub(mm):
+                if _in_spans(mm.start(), cspans):
+                    return mm.group(0)
+                before = clause[: mm.start()].rstrip()
+                if before.endswith("."):
+                    return mm.group(0)  # qualified name, not the alias
+                return f"({ex})"
+
+            clause = re.sub(
+                rf"\b{re.escape(al)}\b(?!\s*\()", _sub, clause, flags=re.I
+            )
+            cspans = _literal_spans(clause)
+        text = text[: cm.end()] + clause + text[end:]
+        # positions shifted — recompute for the next clause keyword
+        depth = _depth_profile(text)
+        spans = _literal_spans(text)
+    return text
+
+
 def sql(
     spark: SparkSession,
     text: str,
@@ -4718,8 +5092,31 @@ def sql(
         from myduckdb_spark.functions.jsonx import register_json_udfs
 
         register_json_udfs(spark)
+    if re.search(
+        r"\b(jaro_winkler_similarity|jaro_similarity|damerau_levenshtein)\s*\(",
+        out,
+        re.I,
+    ):
+        from myduckdb_spark.functions.udf import register_string_metrics
+
+        register_string_metrics(spark)
+    if re.search(r"\bnextafter\s*\(", out, re.I):
+        from myduckdb_spark.functions.udf import register_numeric_udfs
+
+        register_numeric_udfs(spark)
     if args is None:
-        return spark.sql(out)
+        try:
+            return spark.sql(out)
+        except Exception as e:
+            # the reference binds SELECT-list aliases in WHERE/HAVING
+            # (binder/select_binder.cpp lateral alias binding); Spark
+            # doesn't — inline the aliased expression and retry once
+            if "UNRESOLVED_COLUMN" not in str(e):
+                raise
+            retry = _inline_select_aliases(out)
+            if retry == out:
+                raise
+            return spark.sql(retry)
     spans = _literal_spans(out)
     dollars = [m for m in re.finditer(r"\$([A-Za-z_]\w*|\d+)", out) if not _in_spans(m.start(), spans)]
     if dollars:

@@ -182,10 +182,7 @@ def _canon_val(v) -> str:
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, Decimal):
-        # scale-0 decimals are integers (HUGEINT comes back as int from
-        # duckdb but DECIMAL(38,0) from Spark); scaled decimals render
-        # like floats so DECIMAL-vs-DOUBLE engine pairs agree
-        if v == v.to_integral_value() and v.as_tuple().exponent >= 0:
+        if v == v.to_integral_value():
             return str(int(v))
         return f"{float(v):.6f}"
     if isinstance(v, float):
