@@ -55,6 +55,20 @@ class RunResult:
         return iter((self.queries, self.statements))
 
 
+REF_DATA = "/root/reference/data"
+
+
+def localize_paths(sql: str, test_dir: str) -> str:
+    """Substitute sqllogictest path conventions: ``__TEST_DIR__`` → a
+    scratch dir (per engine in the dual runner so COPY TO outputs don't
+    cross-contaminate), and the reference repo's relative ``data/``
+    fixture paths → their absolute location."""
+    out = sql.replace("__TEST_DIR__", test_dir)
+    out = out.replace("'./data/", f"'{REF_DATA}/")
+    out = out.replace("'data/", f"'{REF_DATA}/")
+    return out
+
+
 _IGNORED_DIRECTIVES = (
     "require",
     "require-env",
@@ -289,7 +303,11 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
     from myduckdb_spark.sql import SETTINGS, _SET_SETTING
 
     SETTINGS["default_null_order"] = "nulls_last"  # fresh-connection default
+    import tempfile
+
+    test_dir = tempfile.mkdtemp(prefix="slt_")
     for rec in parse(path):
+        rec.sql = localize_paths(rec.sql, test_dir)
         if not rec.sql.strip():
             continue
         if rec.kind in ("statement_ok", "statement_maybe"):
@@ -398,6 +416,9 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
                 f"mismatch for {rec.sql!r}:\n spark={got[:5]}\n duck={want[:5]}"
             )
             res.queries += 1
+    import shutil
+
+    shutil.rmtree(test_dir, ignore_errors=True)
     return res
 
 
@@ -499,16 +520,25 @@ def run_file_dual(
 
     SETTINGS["default_null_order"] = "nulls_last"  # fresh-connection default
 
+    import os as _os
+    import tempfile
+
+    _td = tempfile.mkdtemp(prefix="sltd_")
+    _duck_dir = _os.path.join(_td, "duck")
+    _spark_dir = _os.path.join(_td, "spark")
+    _os.makedirs(_duck_dir, exist_ok=True)
+    _os.makedirs(_spark_dir, exist_ok=True)
+
     def duck_try(sql: str):
         try:
-            cur = con.execute(sql)
+            cur = con.execute(localize_paths(sql, _duck_dir))
             return cur, None
         except Exception as e:
             return None, e
 
     def engine_try(sql: str):
         try:
-            df = engine_sql(spark, sql)
+            df = engine_sql(spark, localize_paths(sql, _spark_dir))
             rows = df.collect() if df is not None else []
             return (df, rows), None
         except Exception as e:
@@ -585,7 +615,7 @@ def run_file_dual(
                     resync(sql, f"duckdb rejected, engine applied: {derr}")
                 continue
             try:
-                cur = con.execute(sql)
+                cur = con.execute(localize_paths(sql, _duck_dir))
                 if cur.description is None:
                     res.statements += 1
                     continue
@@ -618,4 +648,7 @@ def run_file_dual(
                     f"mismatch for {sql!r}:\n spark={got[:5]}\n duck={want[:5]}"
                 )
             res.queries += 1
+    import shutil
+
+    shutil.rmtree(_td, ignore_errors=True)
     return res

@@ -60,7 +60,13 @@ def sweep_file(spark, path: str, max_queries: int = 60) -> dict:
     except Exception as e:
         out["parse_error"] = str(e)
         return out
+    import tempfile
+
+    from tools.slt import localize_paths
+
+    test_dir = tempfile.mkdtemp(prefix="sltsw_")
     for rec in recs:
+        rec.sql = localize_paths(rec.sql, test_dir)
         if not rec.sql.strip():
             continue
         if rec.kind in ("statement_ok", "statement_maybe"):
