@@ -4059,7 +4059,8 @@ def _alter_table(spark: SparkSession, exists_ok: str | None, name: str, act: str
 
 
 _COPY = re.compile(
-    r"^\s*COPY\s+(.+?)\s+(TO|FROM)\s+'([^']+)'\s*(?:\((.*)\))?\s*;?\s*$",
+    r"^\s*COPY\s+(.+?)\s+(TO|FROM)\s+'([^']+)'\s*"
+    r"(?:WITH\s*)?(?:\((.*)\)|([A-Za-z].*?))?\s*;?\s*$",
     re.I | re.S,
 )
 
@@ -4069,6 +4070,7 @@ def _parse_copy_options(opts: str | None) -> dict[str, str]:
     bare-flag and key-value forms (reference src/parser/transform/
     statement/transform_copy.cpp)."""
     out: dict[str, str] = {}
+    quoted: set[str] = set()
     if not opts:
         return out
     for part in _split_args(opts):
@@ -4076,10 +4078,27 @@ def _parse_copy_options(opts: str | None) -> dict[str, str]:
         if not p:
             continue
         m = re.match(r"(\w+)\s*(.*)$", p, re.S)
+        if m is None:
+            continue
         k, v = m.group(1).upper(), m.group(2).strip()
         if v.startswith("(") and v.endswith(")"):
-            v = v[1:-1]
+            v = v[1:-1].strip()
+        if v.startswith("'"):
+            quoted.add(k)
         out[k] = v.strip().strip("'") if v else "true"
+    # error parity (transform_copy.cpp option typing): string-typed
+    # options must be quoted strings; HEADER must be boolean-ish;
+    # only UTF-8 encodings exist
+    for k in ("ESCAPE", "QUOTE", "ENCODING", "NULL", "NULLSTR",
+              "DELIMITER", "DELIM", "SEP", "SEPARATOR"):
+        if k in out and k not in quoted:
+            raise ValueError(f"COPY option {k} requires a string argument")
+    if "HEADER" in out and out["HEADER"].lower() not in (
+        "true", "false", "0", "1",
+    ):
+        raise ValueError("COPY HEADER must be a boolean")
+    if "ENCODING" in out and out["ENCODING"].lower().replace("-", "") != "utf8":
+        raise ValueError(f"COPY ENCODING {out['ENCODING']!r} not supported")
     return out
 
 
@@ -4107,16 +4126,25 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
 
     opts = _parse_copy_options(opts_text)
     fmt = _copy_format(path, opts)
-    delim = opts.get("DELIMITER") or opts.get("DELIM") or opts.get("SEP") or ","
+    delim = (
+        opts.get("DELIMITER") or opts.get("DELIM") or opts.get("SEP")
+        or opts.get("SEPARATOR")
+    )
     header = opts.get("HEADER", "true").lower() not in ("false", "0")
 
     if direction.upper() == "TO":
+        delim = delim or ","
         m = re.match(r"^\((.+)\)$", target.strip(), re.S)
         if m:
             df = sql(spark, m.group(1))
         else:
-            name = target.strip().strip('"')
+            tm = re.match(r'^"?(\w+)"?\s*(?:\(([^()]*)\))?$', target.strip())
+            name = tm.group(1) if tm else target.strip().strip('"')
             df = _MANAGED[name].scan() if name in _MANAGED else spark.table(name)
+            if tm and tm.group(2):  # COPY t (a, c) TO — project the list
+                df = df.select(
+                    *[c.strip().strip('"') for c in tm.group(2).split(",")]
+                )
         n = df.count()
         part_by = [c.strip().strip('"')
                    for c in opts.get("PARTITION_BY", "").split(",") if c.strip()]
@@ -4132,7 +4160,14 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
         out_dir = os.path.join(tmp, "out")
         writer = df.coalesce(1).write.mode("overwrite")
         if fmt == "csv":
-            writer = writer.option("header", header).option("sep", delim)
+            writer = (
+                writer.option("header", header)
+                .option("sep", delim)
+                # the reference writes cell bytes verbatim — Spark's CSV
+                # writer trims leading whitespace by default
+                .option("ignoreLeadingWhiteSpace", "false")
+                .option("ignoreTrailingWhiteSpace", "false")
+            )
             if "QUOTE" in opts:
                 writer = writer.option("quote", opts["QUOTE"])
             if "NULL" in opts:
@@ -4163,16 +4198,27 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
     tbl = _MANAGED[name]
     target_df = tbl.scan().limit(0)
     if fmt == "csv":
-        reader = spark.read.option("header", header).option("sep", delim)
+        # DuckDB's COPY FROM auto-detects dialect and header when not
+        # given explicitly (csv_scanner sniffer runs by default) — use
+        # our sniffer for the unspecified knobs
+        if delim is None or "HEADER" not in opts:
+            from myduckdb_spark.io import sniff_csv
+
+            sniffed = sniff_csv(spark, path)
+            delim = delim or sniffed["sep"]
+            if "HEADER" not in opts:
+                header = sniffed["header"]
+        reader = (
+            spark.read.option("header", header)
+            .option("sep", delim)
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+        )
         if "QUOTE" in opts:
             reader = reader.option("quote", opts["QUOTE"])
         if "NULL" in opts:
             reader = reader.option("nullValue", opts["NULL"])
-        if collist is None and header:
-            # bind by table schema types, names from header
-            src = reader.option("inferSchema", "true").csv(path)
-        else:
-            src = reader.option("inferSchema", "true").csv(path)
+        src = reader.option("inferSchema", "true").csv(path)
     elif fmt == "json":
         src = spark.read.json(path)
     else:
@@ -4548,7 +4594,25 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         return _alter_table(spark, m.group(1), m.group(2), m.group(3))
     m = _COPY.match(text)
     if m:
-        return _copy_statement(spark, m.group(1), m.group(2), m.group(3), m.group(4))
+        opts_text = m.group(4)
+        if opts_text is None and m.group(5):
+            # PG-style bare options: DELIMITER '|' CSV HEADER NULL 'x' —
+            # normalize into the parenthesized key-value form (a quoted
+            # or numeric token is the preceding keyword's value)
+            toks = re.findall(r"'(?:[^']|'')*'|\S+", m.group(5))
+            parts, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and (
+                    toks[i + 1].startswith("'")
+                    or toks[i + 1].replace(".", "").isdigit()
+                ):
+                    parts.append(f"{toks[i]} {toks[i + 1]}")
+                    i += 2
+                else:
+                    parts.append(toks[i])
+                    i += 1
+            opts_text = ", ".join(parts)
+        return _copy_statement(spark, m.group(1), m.group(2), m.group(3), opts_text)
     m = _DROP_TBL.match(text)
     if m:
         name = m.group(2)
@@ -4958,6 +5022,115 @@ def _split_statements(text: str) -> list[str]:
     return parts or [text]
 
 
+_FILE_FROM = re.compile(
+    r"\b(FROM|JOIN)\s+'([^']+\.(?:csv|tsv|csv\.gz|parquet|json|ndjson|jsonl))'",
+    re.I,
+)
+_READ_FN_FROM = re.compile(
+    r"\b(FROM|JOIN)\s+(read_csv_auto|read_csv|read_json_auto|read_json|"
+    r"read_ndjson_auto|read_ndjson|read_parquet|parquet_scan)\s*\(",
+    re.I,
+)
+
+
+def _bind_file_scans(spark: SparkSession, text: str) -> str:
+    """``FROM 'file.csv'`` / ``FROM read_csv(...)`` — the reference's
+    filename-as-table binding (replacement scans). Registers a temp view
+    over the file via the io readers (dialect sniffer included) and
+    substitutes the view name. Unknown read_csv kwargs leave the text
+    unchanged (the engine error records the gap, never a wrong result)."""
+    from myduckdb_spark import io as _io
+
+    def bind(path: str, fmt_hint: str | None, opts: dict) -> str | None:
+        import hashlib
+
+        view = "__scan_" + hashlib.md5(
+            f"{path}|{fmt_hint}|{sorted(opts.items())}".encode()
+        ).hexdigest()[:12]
+        try:
+            ext = os.path.splitext(path.rstrip("/*").removesuffix(".gz"))[1].lower()
+            fmt = fmt_hint or {
+                ".parquet": "parquet", ".json": "json", ".ndjson": "json",
+                ".jsonl": "json",
+            }.get(ext, "csv")
+            if fmt == "parquet":
+                df = _io.read_parquet(spark, path)
+            elif fmt == "json":
+                df = _io.read_json(spark, path)
+            else:
+                df = _io.read_csv(spark, path, **opts)
+            df.createOrReplaceTempView(view)
+        except Exception:
+            return None
+        return view
+
+    while True:
+        spans = _literal_spans(text)
+        fm = next(
+            (c for c in _FILE_FROM.finditer(text) if not _in_spans(c.start(), spans)),
+            None,
+        )
+        if fm is None:
+            break
+        view = bind(fm.group(2), None, {})
+        if view is None:
+            break
+        text = text[: fm.start()] + f"{fm.group(1)} {view}" + text[fm.end():]
+    while True:
+        spans = _literal_spans(text)
+        rm = next(
+            (
+                c
+                for c in _READ_FN_FROM.finditer(text)
+                if not _in_spans(c.start(), spans)
+            ),
+            None,
+        )
+        if rm is None:
+            break
+        close = _matching_paren(text, rm.end() - 1)
+        if close < 0:
+            break
+        args = [a.strip() for a in _split_args(text[rm.end() : close])]
+        pm = re.fullmatch(r"'([^']+)'", args[0]) if args else None
+        if pm is None:
+            break
+        fn = rm.group(2).lower()
+        fmt_hint = (
+            "parquet" if "parquet" in fn else "json" if "json" in fn else "csv"
+        )
+        opts: dict = {}
+        supported = True
+        for kw in args[1:]:
+            km = re.fullmatch(r"(\w+)\s*(?::?=)\s*(.+)", kw, re.S)
+            if km is None:
+                supported = False
+                break
+            k, v = km.group(1).lower(), km.group(2).strip().strip("'")
+            if k in ("delim", "sep", "delimiter"):
+                opts["sep"] = v
+            elif k == "header":
+                opts["header"] = v.lower() in ("true", "1")
+            elif k == "quote":
+                opts["quote"] = v
+            elif k == "escape":
+                opts["escape"] = v
+            elif k in ("skip", "skip_rows"):
+                opts["skip_rows"] = int(v)
+            elif k == "auto_detect":
+                pass
+            else:
+                supported = False
+                break
+        if not supported:
+            break
+        view = bind(pm.group(1), fmt_hint, opts)
+        if view is None:
+            break
+        text = text[: rm.start()] + f"{rm.group(1)} {view}" + text[close + 1 :]
+    return text
+
+
 _CLAUSE_AFTER_WHERE = re.compile(
     r"\b(GROUP\s+BY|HAVING|QUALIFY|WINDOW|ORDER\s+BY|LIMIT|OFFSET|UNION|"
     r"INTERSECT|EXCEPT)\b",
@@ -5087,6 +5260,7 @@ def sql(
     cmd = _statement_command(spark, text)
     if cmd is not None:
         return cmd
+    text = _bind_file_scans(spark, text)
     out = translate(_inject_column_collations(text))
     if re.search(r"\bjson_(structure|type)\s*\(", out):
         from myduckdb_spark.functions.jsonx import register_json_udfs
