@@ -183,14 +183,213 @@ def read_csv(
     return reader.csv(path)
 
 
+# DuckDB's read_json auto-detects DATE / TIMESTAMP string columns by
+# checking every sampled value against a fixed candidate-format list; the
+# LAST candidate still consistent with all values wins (reference
+# extension/json/json_scan.cpp:102-105 format templates;
+# include/json_scan.hpp DateFormatMap::GetFormat returns .back()).
+# Formats here are the Spark DateTimeFormatter spellings of those
+# templates; the bool marks two-digit-year formats (%y), whose Java
+# parse (2000-2099) must be shifted to DuckDB's POSIX pivot (69-99 ->
+# 1900s; strftime_format.cpp:968-972).
+_JSON_DATE_CANDIDATES = [
+    ("MM-dd-yyyy", False), ("MM-dd-yy", True), ("dd-MM-yyyy", False),
+    ("dd-MM-yy", True), ("yyyy-MM-dd", False), ("yy-MM-dd", True),
+]
+_JSON_TS_CANDIDATES = [
+    ("yyyy-MM-dd HH:mm:ss.SSSSSS", False),
+    ("MM-dd-yyyy hh:mm:ss a", False), ("MM-dd-yy hh:mm:ss a", True),
+    ("dd-MM-yyyy HH:mm:ss", False), ("dd-MM-yy HH:mm:ss", True),
+    ("yyyy-MM-dd HH:mm:ss", False), ("yy-MM-dd HH:mm:ss", True),
+    ("yyyy-MM-dd'T'HH:mm:ss'Z'", False),
+]
+_JSON_DETECT_SAMPLE = 20480  # DuckDB json auto-detect sample_size default
+
+
+def _temporal_cast_sql(col: str, fmt: str, two_digit: bool, as_date: bool) -> str:
+    b = f"`{col}`"
+    f_lit = fmt.replace("'", "''")
+    ts = f"try_to_timestamp({b}, '{f_lit}')"
+    if two_digit:
+        ts = (
+            f"CASE WHEN year({ts}) >= 2069 THEN {ts} - INTERVAL 100 YEARS "
+            f"ELSE {ts} END"
+        )
+    return (f"CAST(({ts}) AS DATE) AS {b}" if as_date else f"({ts}) AS {b}")
+
+
+def _detect_temporal_columns(df: DataFrame) -> DataFrame:
+    """Refine all-parseable string columns to DATE/TIMESTAMP on a bounded
+    sample (one driver-side agg over <= _JSON_DETECT_SAMPLE rows — never a
+    full extra scan of a large input)."""
+    from pyspark.sql import functions as F
+
+    strcols = [c for c, t in df.dtypes if t == "string"
+               and c != "_corrupt_record"]
+    if not strcols or [c for c, _ in df.dtypes] == ["_corrupt_record"]:
+        # unparseable input (corrupt-record-only frames can't even be
+        # queried — Spark QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+        return df
+    cands = _JSON_DATE_CANDIDATES + _JSON_TS_CANDIDATES
+    sample = df.limit(_JSON_DETECT_SAMPLE)
+    aggs = []
+    for i, c in enumerate(strcols):
+        qc = F.col(f"`{c}`")
+        aggs.append(F.count(qc).alias(f"n_{i}"))
+        for j, (fmt, _) in enumerate(cands):
+            aggs.append(
+                F.count(F.try_to_timestamp(qc, F.lit(fmt))).alias(f"c_{i}_{j}")
+            )
+    row = sample.agg(*aggs).first()
+    n_date = len(_JSON_DATE_CANDIDATES)
+    casts: dict[str, str] = {}
+    for i, c in enumerate(strcols):
+        n = row[f"n_{i}"]
+        if not n:
+            continue
+        date_js = [j for j in range(n_date) if row[f"c_{i}_{j}"] == n]
+        ts_js = [j for j in range(n_date, len(cands)) if row[f"c_{i}_{j}"] == n]
+        if date_js:
+            fmt, two = _JSON_DATE_CANDIDATES[date_js[-1]]
+            casts[c] = _temporal_cast_sql(c, fmt, two, as_date=True)
+        elif ts_js:
+            fmt, two = cands[ts_js[-1]]
+            casts[c] = _temporal_cast_sql(c, fmt, two, as_date=False)
+    if not casts:
+        return df
+    return df.selectExpr(
+        *[casts.get(c, f"`{c}`") for c in df.columns]
+    )
+
+
+def _local_json_files(path: str, limit: int = 4) -> list[str]:
+    """Resolve a local path/glob to data files, descending one level into
+    Spark-written directories (part files; _SUCCESS/.crc skipped)."""
+    import glob as _glob
+    import os as _os
+
+    p = path[len("file://"):] if path.startswith("file://") else path
+    out: list[str] = []
+    for m in sorted(_glob.glob(p)) or [p]:
+        if _os.path.isdir(m):
+            out.extend(
+                _os.path.join(m, f) for f in sorted(_os.listdir(m))
+                if not f.startswith((".", "_"))
+            )
+        else:
+            out.append(m)
+        if len(out) >= limit:
+            break
+    return out[:limit]
+
+
+def _sniff_json_format(path: str) -> bool:
+    """True when the file is a top-level JSON *array* (DuckDB read_json
+    format='auto' array detection, extension/json/json_scan.cpp). Spark
+    needs multiLine=true for those. Local-FS sniff of the first file's
+    first non-whitespace byte; silently false for non-local/glob-miss."""
+    try:
+        files = _local_json_files(path, limit=1)
+        if not files:
+            return False
+        with open(files[0], "rb") as fh:
+            head = fh.read(8192).lstrip()
+        return head.startswith(b"[")
+    except OSError:
+        return False
+
+
+def _empty_object_paths(path: str, multiline: bool) -> list[tuple[str, ...]]:
+    """Field paths whose value is an always-empty JSON object. Spark's
+    inference silently DROPS such fields (empty structs are pruned);
+    DuckDB types them MAP(VARCHAR, JSON) (json_structure.cpp empty-object
+    rule). Bounded local-FS sample; [] on any parse trouble."""
+    import json as _json
+
+    try:
+        docs = []
+        for m in _local_json_files(path):
+            with open(m, "rb") as fh:
+                raw = fh.read(1 << 20)
+            if multiline:
+                docs.extend(x for x in _json.loads(raw) if isinstance(x, dict))
+            else:
+                for line in raw.splitlines()[:2048]:
+                    line = line.strip()
+                    if line:
+                        d = _json.loads(line)
+                        if isinstance(d, dict):
+                            docs.append(d)
+    except (OSError, ValueError):
+        return []
+
+    empties: dict[tuple[str, ...], bool] = {}
+
+    def walk(obj, prefix):
+        for k, v in obj.items():
+            kp = prefix + (k,)
+            if isinstance(v, dict):
+                if v:
+                    empties[kp] = False
+                    walk(v, kp)
+                elif kp not in empties:
+                    empties[kp] = True
+    for d in docs:
+        walk(d, ())
+    return [kp for kp, only_empty in empties.items() if only_empty]
+
+
+def _schema_with_variants(schema, paths: list[tuple[str, ...]]):
+    """Insert VariantType fields at the given (dropped) paths. VARIANT is
+    our carrier for DuckDB's JSON logical type (typeof renders it JSON —
+    functions/typenames.py); the JSON reader parses any value into it and
+    leaves it NULL where the field is absent."""
+    from pyspark.sql import types as T
+
+    def rebuild(st: T.StructType, prefix: tuple) -> T.StructType:
+        names = {f.name for f in st.fields}
+        fields = []
+        for f in st.fields:
+            sub = [p for p in paths if p[:len(prefix)] == prefix
+                   and len(p) > len(prefix) + 1 and p[len(prefix)] == f.name]
+            dt = f.dataType
+            if isinstance(dt, T.StructType) and sub:
+                dt = rebuild(dt, prefix + (f.name,))
+            fields.append(T.StructField(f.name, dt, f.nullable))
+        for p in sorted(paths):
+            if p[:len(prefix)] == prefix and len(p) == len(prefix) + 1 \
+                    and p[len(prefix)] not in names:
+                fields.append(T.StructField(p[len(prefix)], T.VariantType(), True))
+        return T.StructType(fields)
+
+    return rebuild(schema, ())
+
+
 def read_json(spark: SparkSession, path: str, schema: str | None = None, **options) -> DataFrame:
-    """NDJSON/JSON scan with structure inference (read_json parity)."""
+    """NDJSON/JSON scan with structure inference (read_json parity):
+    array-format (multiLine) sniffing, DuckDB temporal auto-detection,
+    and empty-object fields recovered as MAP(VARCHAR, JSON)."""
+    detect = options.pop("detect_temporal", True)
+    multiline = options.pop("multiLine", None)
+    if multiline is None and isinstance(path, str):
+        multiline = _sniff_json_format(path)
     reader = spark.read
+    if multiline:
+        reader = reader.option("multiLine", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.json(path)
+        return reader.json(path)
+    df = reader.json(path)
+    if detect:
+        empties = _empty_object_paths(path, bool(multiline))
+        if empties:
+            df = reader.schema(
+                _schema_with_variants(df.schema, empties)
+            ).json(path)
+        df = _detect_temporal_columns(df)
+    return df
 
 
 def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:

@@ -2096,9 +2096,15 @@ def translate(text: str) -> str:
             # both Spark timestamp kinds map to TIMESTAMP: the engine's
             # convention is naive-UTC (TIMESTAMPTZ is a packed BIGINT)
             "'timestamp_ntz','TIMESTAMP','timestamp','TIMESTAMP',"
-            "'binary','BLOB','void','\"NULL\"')"
+            "'binary','BLOB','void','\"NULL\"','variant','JSON')"
         )
-        return f"coalesce(element_at({m}, {t}), upper({t}))"
+        # compound names (struct/map/array/decimal) need the recursive
+        # DuckDB rendering (STRUCT(k1 VARCHAR, ...), VARCHAR[], ...) —
+        # routed through the __duck_typename helper (functions/typenames.py)
+        return (
+            f"CASE WHEN {t} LIKE '%<%' THEN __duck_typename({t}) "
+            f"ELSE coalesce(element_at({m}, {t}), upper({t})) END"
+        )
 
     out = _rewrite_calls(out, "typeof", _typeof_names)
 
@@ -2325,6 +2331,23 @@ def translate(text: str) -> str:
         # '$' = whole-document type; an actual NULL path returns NULL
         lambda a: f"json_type({a[0]}, '$')" if len(a) == 1 else None,
     )
+
+    # json_structure/json_type are string-input pandas UDFs; a JSON-typed
+    # (VARIANT) column must be serialized back to JSON text first
+    def _json_in_cast(a: list[str]) -> str | None:
+        if not a:
+            return None
+        head = a[0].strip()
+        if re.fullmatch(r"'(?:[^']|'')*'", head):  # literal: already text
+            return None
+        return None if head.upper().startswith("CAST(") else (
+            f"__jx0(CAST({a[0]} AS STRING)"
+            + ("".join(f", {x}" for x in a[1:])) + ")"
+        )
+
+    for _jfn in ("json_structure", "json_type"):
+        out = _rewrite_calls(out, _jfn, _json_in_cast)
+        out = out.replace("__jx0(", f"{_jfn}(")
     # regr_avgx/avgy always return DOUBLE in the reference (regr_avg.cpp);
     # Spark preserves DECIMAL inputs. Equivalent both-non-null average.
     out = _rewrite_calls(
@@ -4158,6 +4181,34 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
         # the part onto the exact path
         tmp = _tempfile.mkdtemp(prefix="copyto_")
         out_dir = os.path.join(tmp, "out")
+        if fmt == "csv" and opts.get("QUOTE") == "":
+            # quote '' disables quoting entirely (reference
+            # write_csv.cpp raw-cell path). Spark's CSV writer can't:
+            # an empty quote option becomes NUL and cells containing
+            # the delimiter still get wrapped. Render lines directly.
+            from pyspark.sql import functions as _F
+
+            nullv = opts.get("NULL", opts.get("NULLSTR", ""))
+            cells = [
+                _F.coalesce(_F.col(f"`{c}`").cast("string"), _F.lit(nullv))
+                for c in df.columns
+            ]
+            txt = df.coalesce(1).select(
+                _F.concat_ws(delim, *cells).alias("value")
+            )
+            txt.write.mode("overwrite").text(out_dir)
+            parts = [p for p in _glob.glob(os.path.join(out_dir, "part-*"))
+                     if not os.path.basename(p).startswith(("_", "."))]
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            if os.path.isdir(path):
+                _shutil.rmtree(path)
+            body = open(parts[0]).read() if parts else ""
+            with open(path, "w") as fh:
+                if header:
+                    fh.write(delim.join(df.columns) + "\n")
+                fh.write(body)
+            _shutil.rmtree(tmp, ignore_errors=True)
+            return _count_df(spark, n)
         writer = df.coalesce(1).write.mode("overwrite")
         if fmt == "csv":
             writer = (
@@ -4375,6 +4426,7 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         if name in _MANAGED and not replace:
             raise ValueError(f"table {name} already exists")
         root = tempfile.mkdtemp(prefix=f"mdbs_tbl_{name}_")
+        select = _bind_file_scans(spark, select)
         _MANAGED[name] = storage.ManagedTable.create(spark, root, spark.sql(translate(select)))
         _refresh_view(spark, name)
         return _count_df(spark, _MANAGED[name].count())
@@ -4446,7 +4498,7 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                 "(reserved for the ON CONFLICT incoming row)"
             )
         tbl = _MANAGED[name]
-        src_df = spark.sql(translate(source))
+        src_df = spark.sql(translate(_bind_file_scans(spark, source)))
         if collist is not None:
             names = [c.strip().strip('"') for c in collist.split(",")]
             if len(names) != len(src_df.columns):
@@ -5278,6 +5330,10 @@ def sql(
         from myduckdb_spark.functions.udf import register_numeric_udfs
 
         register_numeric_udfs(spark)
+    if "__duck_typename" in out:
+        from myduckdb_spark.functions.typenames import register_typename_udf
+
+        register_typename_udf(spark)
     if args is None:
         try:
             return spark.sql(out)

@@ -76,7 +76,15 @@ def _part_files(snapshot_dir: str) -> list[dict]:
         if not name.endswith(".parquet") or name.startswith("_"):
             continue
         p = os.path.join(snapshot_dir, name)
-        out.append({"path": p, "rows": pq.ParquetFile(p).metadata.num_rows})
+        try:
+            rows = pq.ParquetFile(p).metadata.num_rows
+        except OSError:
+            # footer logical types newer than this pyarrow (e.g. Spark's
+            # VARIANT) — count through Spark instead (still footer-only)
+            from pyspark.sql import SparkSession
+
+            rows = SparkSession.getActiveSession().read.parquet(p).count()
+        out.append({"path": p, "rows": rows})
     return out
 
 

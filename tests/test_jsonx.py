@@ -92,11 +92,12 @@ def test_translate_json_transform():
     assert "from_json(j, 'STRUCT<`a`: INT>')" in out
     out = translate("SELECT from_json(j, 'a INT') FROM t")
     assert "from_json(j, 'a INT')" in out
-    # 1-arg json_type gains the whole-document path; json_typeof aliases
+    # 1-arg json_type gains the whole-document path; json_typeof aliases;
+    # the input is serialized to STRING (VARIANT columns carry JSON)
     out = translate("SELECT json_type(j) FROM t")
-    assert "json_type(j, '$')" in out
+    assert "json_type(CAST(j AS STRING), '$')" in out
     out = translate("SELECT json_typeof(j, '$.a') FROM t")
-    assert "json_type(j, '$.a')" in out
+    assert "json_type(CAST(j AS STRING), '$.a')" in out
 
 
 def test_sql_end_to_end(spark, duck):

@@ -224,11 +224,87 @@ def _canon_val(v) -> str:
         )
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_canon_val(x) for x in v) + "]"
+    if type(v).__name__ == "VariantVal":  # Spark VARIANT ≡ DuckDB JSON text
+        return v.toJson()
     return str(v)
 
 
 def _canon(rows) -> list[str]:
     return sorted("|".join(_canon_val(v) for v in r) for r in rows)
+
+
+def _split_type_args(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "(<[":
+            depth += 1
+        elif ch in ")>]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _variantize_expr(col: str, ducktype: str, nested: bool = False) -> str:
+    """SQL expr restoring DuckDB JSON-typed subcolumns NESTED IN STRUCTS
+    as Spark VARIANT after an Arrow snapshot (Arrow ships JSON as utf8;
+    the engine's JSON carrier is VARIANT —
+    myduckdb_spark/functions/typenames.py). Top-level JSON columns stay
+    text: VARIANT normalizes (sorts) object keys, and json_* functions
+    over a bare JSON column are key-order-sensitive (DuckDB preserves
+    insertion order); only the struct-nested case needs the typed carrier
+    (typeof renders the struct shape)."""
+    t = ducktype.strip()
+    up = t.upper()
+    if up == "JSON":
+        return f"parse_json({col})" if nested else col
+    if t.endswith("[]"):
+        inner = _variantize_expr("x", t[:-2], nested)
+        return col if inner == "x" else f"transform({col}, x -> {inner})"
+    if up.startswith("STRUCT(") and t.endswith(")"):
+        parts, changed = [], False
+        for f in _split_type_args(t[7:-1]):
+            m = re.match(r'\s*(?:"([^"]+)"|(\w+))\s+(.*)$', f)
+            if not m:
+                return col
+            name = m.group(1) or m.group(2)
+            sub = _variantize_expr(f"{col}.`{name}`", m.group(3), nested=True)
+            changed = changed or sub != f"{col}.`{name}`"
+            parts.append(f"'{name}', {sub}")
+        if not changed:
+            return col
+        ns = "named_struct(" + ", ".join(parts) + ")"
+        return f"CASE WHEN {col} IS NULL THEN NULL ELSE {ns} END"
+    if up.startswith("MAP(") and t.endswith(")"):
+        kv = _split_type_args(t[4:-1])
+        if len(kv) == 2:
+            ve = _variantize_expr("v", kv[1], nested)
+            if ve != "v":
+                return f"transform_values({col}, (k, v) -> {ve})"
+    return col
+
+
+def _restore_json_types(df, con, table: str):
+    """Re-project a snapshotted Spark frame so DuckDB JSON columns become
+    VARIANT (typeof parity: VARIANT renders as JSON)."""
+    try:
+        desc = con.execute(f'DESCRIBE "{table}"').fetchall()
+    except Exception:
+        return df
+    exprs, changed = [], False
+    names = set(df.columns)
+    for row in desc:
+        name, dtype = row[0], row[1]
+        if name not in names:
+            return df
+        e = _variantize_expr(f"`{name}`", dtype or "")
+        changed = changed or e != f"`{name}`"
+        exprs.append(f"{e} AS `{name}`")
+    if not changed or len(exprs) != len(df.columns):
+        return df
+    return df.selectExpr(*exprs)
 
 
 def _snapshot(spark, con) -> None:
@@ -261,7 +337,8 @@ def _snapshot(spark, con) -> None:
             )
         # pass the Arrow table straight through (Spark 4 accepts it):
         # round-tripping via pandas would turn INT-with-NULL into float64
-        spark.createDataFrame(tbl).createOrReplaceTempView(t)
+        df = _restore_json_types(spark.createDataFrame(tbl), con, t)
+        df.createOrReplaceTempView(t)
     # carry column-level collations (s VARCHAR COLLATE NOCASE) into the
     # front door's registry — the mirrored Spark view loses the metadata
     from myduckdb_spark.sql import _COLUMN_COLLATIONS, _parse_column_defs
@@ -475,7 +552,9 @@ def _resync_from_duck(spark, con) -> None:
                     ]
                 )
             )
-        spark.createDataFrame(tbl).createOrReplaceTempView(f"__sync_{t}")
+        _restore_json_types(
+            spark.createDataFrame(tbl), con, t
+        ).createOrReplaceTempView(f"__sync_{t}")
         engine_sql(spark, f'CREATE OR REPLACE TABLE {t} AS SELECT * FROM __sync_{t}')
     # carry the arbiter constraints across the resync so later ON
     # CONFLICT / constraint-check statements keep their semantics
