@@ -179,8 +179,65 @@ def read_csv(
             .filter(lambda t: t[1] >= skip_rows)
             .map(lambda t: t[0][0])
         )
-        return reader.csv(txt)
-    return reader.csv(path)
+        return _csv_refine(reader.csv(txt))
+    df = reader.csv(path)
+    return _csv_refine(df) if schema is None and auto_detect else df
+
+
+def _csv_refine(df: DataFrame) -> DataFrame:
+    """Align Spark's CSV inference with the reference sniffer's type
+    lattice (type_detection.cpp: SQLNULL→BOOLEAN→BIGINT→DOUBLE→TIME→DATE→
+    TIMESTAMP→VARCHAR): integers are always BIGINT (never INT/SMALLINT),
+    bare times stay times (not today-anchored timestamps), and slash/dot
+    date formats are detected."""
+    from pyspark.sql import functions as F
+
+    df = _fix_time_columns(df)
+    df = _detect_temporal_columns(
+        df, _CSV_DATE_CANDIDATES, _CSV_TS_CANDIDATES
+    )
+    ints = {c for c, t in df.dtypes if t in ("int", "smallint", "tinyint")}
+    if ints:
+        df = df.select(
+            *[F.col(f"`{c}`").cast("bigint").alias(c) if c in ints
+              else F.col(f"`{c}`") for c in df.columns]
+        )
+    return df
+
+
+def _fix_time_columns(df: DataFrame) -> DataFrame:
+    """DuckDB's CSV sniffer types bare ``HH:MM:SS`` cells as TIME; Spark's
+    inference promotes them to TIMESTAMP *anchored at the read date*
+    (nondeterministic output!). Detect timestamp columns whose sampled
+    rendering is time-only-at-today and demote to the canonical time text
+    (the engine's scan-level TIME surface — the DDL TIME type is the
+    separate µs-BIGINT convention, sql.py TYPE map)."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    tscols = [c for c, t in df.dtypes if t.startswith("timestamp")]
+    if not tscols:
+        return df
+    today = date.today().isoformat()
+    sample = df.select(
+        *[F.col(f"`{c}`").cast("string").alias(f"c_{i}")
+          for i, c in enumerate(tscols)]
+    ).limit(1024).collect()
+    demote = set()
+    for i, c in enumerate(tscols):
+        vals = [r[f"c_{i}"] for r in sample if r[f"c_{i}"] is not None]
+        if vals and all(v.startswith(today + " ") for v in vals):
+            demote.add(c)
+    if not demote:
+        return df
+    return df.select(
+        *[
+            F.date_format(F.col(f"`{c}`"), "HH:mm:ss").alias(c)
+            if c in demote else F.col(f"`{c}`")
+            for c in df.columns
+        ]
+    )
 
 
 # DuckDB's read_json auto-detects DATE / TIMESTAMP string columns by
@@ -218,19 +275,39 @@ def _temporal_cast_sql(col: str, fmt: str, two_digit: bool, as_date: bool) -> st
     return (f"CAST(({ts}) AS DATE) AS {b}" if as_date else f"({ts}) AS {b}")
 
 
-def _detect_temporal_columns(df: DataFrame) -> DataFrame:
+# The CSV sniffer tries the same templates under '-', '/' and '.'
+# separators (reference csv_scanner/sniffer/type_detection.cpp format
+# candidates; the dialect's separator is substituted into the template).
+_CSV_DATE_CANDIDATES = [
+    (fmt.replace("-", sep), two)
+    for sep in ("-", "/", ".")
+    for fmt, two in _JSON_DATE_CANDIDATES
+]
+_CSV_TS_CANDIDATES = [
+    (fmt.replace("-", sep, 2) if sep != "-" else fmt, two)
+    for sep in ("-", "/", ".")
+    for fmt, two in _JSON_TS_CANDIDATES
+    if not (sep != "-" and fmt.startswith("yyyy-MM-dd'T'"))
+]
+
+
+def _detect_temporal_columns(
+    df: DataFrame, date_cands=None, ts_cands=None
+) -> DataFrame:
     """Refine all-parseable string columns to DATE/TIMESTAMP on a bounded
     sample (one driver-side agg over <= _JSON_DETECT_SAMPLE rows — never a
     full extra scan of a large input)."""
     from pyspark.sql import functions as F
 
+    date_cands = date_cands or _JSON_DATE_CANDIDATES
+    ts_cands = ts_cands or _JSON_TS_CANDIDATES
     strcols = [c for c, t in df.dtypes if t == "string"
                and c != "_corrupt_record"]
     if not strcols or [c for c, _ in df.dtypes] == ["_corrupt_record"]:
         # unparseable input (corrupt-record-only frames can't even be
         # queried — Spark QUERY_ONLY_CORRUPT_RECORD_COLUMN)
         return df
-    cands = _JSON_DATE_CANDIDATES + _JSON_TS_CANDIDATES
+    cands = date_cands + ts_cands
     sample = df.limit(_JSON_DETECT_SAMPLE)
     aggs = []
     for i, c in enumerate(strcols):
@@ -241,7 +318,7 @@ def _detect_temporal_columns(df: DataFrame) -> DataFrame:
                 F.count(F.try_to_timestamp(qc, F.lit(fmt))).alias(f"c_{i}_{j}")
             )
     row = sample.agg(*aggs).first()
-    n_date = len(_JSON_DATE_CANDIDATES)
+    n_date = len(date_cands)
     casts: dict[str, str] = {}
     for i, c in enumerate(strcols):
         n = row[f"n_{i}"]
@@ -250,7 +327,7 @@ def _detect_temporal_columns(df: DataFrame) -> DataFrame:
         date_js = [j for j in range(n_date) if row[f"c_{i}_{j}"] == n]
         ts_js = [j for j in range(n_date, len(cands)) if row[f"c_{i}_{j}"] == n]
         if date_js:
-            fmt, two = _JSON_DATE_CANDIDATES[date_js[-1]]
+            fmt, two = date_cands[date_js[-1]]
             casts[c] = _temporal_cast_sql(c, fmt, two, as_date=True)
         elif ts_js:
             fmt, two = cands[ts_js[-1]]
