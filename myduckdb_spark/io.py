@@ -38,7 +38,10 @@ _QUOTES = ['"', "'"]
 _MAX_SKIP = 8
 
 
-def _try_parse(lines: list[str], sep: str, quote: str, escape: str) -> list[list[str]] | None:
+def _try_parse(
+    lines: list[str], sep: str, quote: str, escape: str,
+    skipinit: bool = False,
+) -> list[list[str]] | None:
     """Parse the sample strictly under one dialect candidate; None on a
     parse error (the reference sniffer discards candidates the same way —
     dialect_detection.cpp state machine errors)."""
@@ -50,6 +53,7 @@ def _try_parse(lines: list[str], sep: str, quote: str, escape: str) -> list[list
                 quotechar=quote,
                 doublequote=(escape == quote),
                 escapechar=None if escape == quote else escape,
+                skipinitialspace=skipinit,
                 strict=True,
             )
         )
@@ -58,7 +62,10 @@ def _try_parse(lines: list[str], sep: str, quote: str, escape: str) -> list[list
     return [r for r in rows if r]
 
 
-def sniff_csv(spark: SparkSession, path: str, sample_lines: int = 64) -> dict:
+def sniff_csv(
+    spark: SparkSession, path: str, sample_lines: int = 64,
+    force_sep: str | None = None,
+) -> dict:
     """Detect delimiter / quote / escape / skip-rows / header from a small
     sample, mirroring the reference's sniffer matrix
     (``sniffer/dialect_detection.cpp`` candidate search over delimiter ×
@@ -72,34 +79,48 @@ def sniff_csv(spark: SparkSession, path: str, sample_lines: int = 64) -> dict:
     """
     lines = [r[0] for r in spark.read.text(path).limit(sample_lines).collect()]
     if not lines:
-        return {"sep": ",", "header": False, "quote": '"', "escape": '"', "skip_rows": 0}
-    best = None  # (score tuple, sep, quote, escape, skip, rows)
+        return {"sep": ",", "header": False, "quote": '"', "escape": '"',
+                "skip_rows": 0, "skipinit": False}
+    best = None  # (score tuple, sep, quote, escape, skipinit, skip, rows)
     max_skip = min(_MAX_SKIP, max(0, len(lines) - 2))
-    for sep in _DELIMS:
+    delims = [force_sep] if force_sep else _DELIMS
+    for sep in delims:
         for quote in _QUOTES:
             for escape in (quote, "\\"):
-                for skip in range(0, max_skip + 1):
-                    rows = _try_parse(lines[skip:], sep, quote, escape)
-                    if not rows:
-                        continue
-                    counts = {len(r) for r in rows}
-                    if len(counts) != 1:
-                        continue
-                    cols = counts.pop()
-                    score = (
-                        cols > 1,          # a real table beats 1 column
-                        -skip,             # explain as much of the file as possible
-                        cols,
-                        quote == '"',      # defaults win ties
-                        escape == quote,
-                        -_DELIMS.index(sep),
-                    )
-                    if best is None or score > best[0]:
-                        best = (score, sep, quote, escape, skip, rows)
-                    break  # smallest skip for this dialect found
+                for skipinit in (False, True):
+                    for skip in range(0, max_skip + 1):
+                        rows = _try_parse(lines[skip:], sep, quote, escape, skipinit)
+                        if not rows:
+                            continue
+                        counts = {len(r) for r in rows}
+                        if len(counts) != 1:
+                            continue
+                        cols = counts.pop()
+                        # a parse that leaves a cell STARTING with a quote
+                        # char didn't consume the quoting (space-before-
+                        # quote files, wrong-quote candidates) — prefer
+                        # parses with no unconsumed opening quotes
+                        clean = not any(
+                            cell.lstrip()[:1] in _QUOTES
+                            for r in rows[:16] for cell in r
+                        )
+                        score = (
+                            cols > 1,      # a real table beats 1 column
+                            -skip,         # explain as much of the file as possible
+                            cols,
+                            clean,
+                            quote == '"',  # defaults win ties
+                            escape == quote,
+                            not skipinit,  # plain parse beats space-strip
+                            -delims.index(sep),
+                        )
+                        if best is None or score > best[0]:
+                            best = (score, sep, quote, escape, skipinit, skip, rows)
+                        break  # smallest skip for this dialect found
     if best is None:
-        return {"sep": ",", "header": False, "quote": '"', "escape": '"', "skip_rows": 0}
-    _, best_sep, best_quote, best_escape, skip_rows, parsed = best
+        return {"sep": ",", "header": False, "quote": '"', "escape": '"',
+                "skip_rows": 0, "skipinit": False}
+    _, best_sep, best_quote, best_escape, skipinit, skip_rows, parsed = best
     lines = lines[skip_rows:]
     first = parsed[0] if parsed else []
 
@@ -134,6 +155,7 @@ def sniff_csv(spark: SparkSession, path: str, sample_lines: int = 64) -> dict:
         "quote": best_quote,
         "escape": best_escape,
         "skip_rows": skip_rows,
+        "skipinit": skipinit,
     }
 
 
@@ -155,12 +177,16 @@ def read_csv(
     reader = spark.read
     skip_rows = int(options.pop("skip_rows", options.pop("skip", 0)))
     if auto_detect and ("sep" not in options or "header" not in options):
-        sniffed = sniff_csv(spark, path)
+        # a caller-supplied sep constrains the dialect search (header/
+        # quote detection must see the file through THAT delimiter)
+        sniffed = sniff_csv(spark, path, force_sep=options.get("sep"))
         options.setdefault("sep", sniffed["sep"])
         options.setdefault("header", sniffed["header"])
         options.setdefault("quote", sniffed["quote"])
         # Spark expresses quote-doubling as escape == quote
         options.setdefault("escape", sniffed["escape"])
+        if sniffed["skipinit"]:
+            options.setdefault("ignoreLeadingWhiteSpace", "true")
         skip_rows = skip_rows or sniffed["skip_rows"]
     for k, v in options.items():
         reader = reader.option(k, v)

@@ -4255,7 +4255,7 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
         if delim is None or "HEADER" not in opts:
             from myduckdb_spark.io import sniff_csv
 
-            sniffed = sniff_csv(spark, path)
+            sniffed = sniff_csv(spark, path, force_sep=delim)
             delim = delim or sniffed["sep"]
             if "HEADER" not in opts:
                 header = sniffed["header"]
