@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import csv as _csv
 import io as _io
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -80,7 +81,8 @@ def sniff_csv(
     lines = [r[0] for r in spark.read.text(path).limit(sample_lines).collect()]
     if not lines:
         return {"sep": ",", "header": False, "quote": '"', "escape": '"',
-                "skip_rows": 0, "skipinit": False}
+                "skip_rows": 0, "skipinit": False, "keep_varchar": [],
+                "multiline": False}
     best = None  # (score tuple, sep, quote, escape, skipinit, skip, rows)
     max_skip = min(_MAX_SKIP, max(0, len(lines) - 2))
     delims = [force_sep] if force_sep else _DELIMS
@@ -119,7 +121,8 @@ def sniff_csv(
                         break  # smallest skip for this dialect found
     if best is None:
         return {"sep": ",", "header": False, "quote": '"', "escape": '"',
-                "skip_rows": 0, "skipinit": False}
+                "skip_rows": 0, "skipinit": False, "keep_varchar": [],
+                "multiline": False}
     _, best_sep, best_quote, best_escape, skipinit, skip_rows, parsed = best
     lines = lines[skip_rows:]
     first = parsed[0] if parsed else []
@@ -142,13 +145,32 @@ def sniff_csv(
         # treat a first row of distinct, non-empty cells that never repeats
         # verbatim in the data as a header (column names are unique and
         # don't recur as data).
+        # a single-row file has no data to distinguish from a header —
+        # the reference keeps it as data (header needs evidence)
         header = (
-            len(set(first)) == len(first)
+            bool(later_rows)
+            and len(set(first)) == len(first)
             and all(c.strip() for c in first)
             and first not in later_rows
         )
     else:
         header = False
+    # numeric-LOOKING cells the reference's sniffer refuses to type as
+    # numbers: leading '+' and leading zeros (type_detection.cpp digit
+    # path) — those columns must stay VARCHAR even though Spark's
+    # inference would parse them
+    ncols = max((len(r) for r in parsed), default=0)
+    keep_varchar = []
+    for i in range(ncols):
+        cells = [r[i] for r in parsed[(1 if header else 0):] if len(r) > i]
+        vals = [c.strip() for c in cells if c.strip()]
+        if vals and any(
+            re.match(r"^\+\d", v) or re.match(r"^-?0\d", v) for v in vals
+        ) and all(_numeric(v) for v in vals):
+            keep_varchar.append(i)
+    # an odd quote count in a sampled line = a quoted cell spanning lines;
+    # Spark needs multiLine for those files
+    multiline = any(ln.count(best_quote) % 2 == 1 for ln in lines)
     return {
         "sep": best_sep,
         "header": header,
@@ -156,6 +178,8 @@ def sniff_csv(
         "escape": best_escape,
         "skip_rows": skip_rows,
         "skipinit": skipinit,
+        "keep_varchar": keep_varchar,
+        "multiline": multiline,
     }
 
 
@@ -176,6 +200,7 @@ def read_csv(
     """
     reader = spark.read
     skip_rows = int(options.pop("skip_rows", options.pop("skip", 0)))
+    keep_varchar: list[int] = []
     if auto_detect and ("sep" not in options or "header" not in options):
         # a caller-supplied sep constrains the dialect search (header/
         # quote detection must see the file through THAT delimiter)
@@ -187,6 +212,9 @@ def read_csv(
         options.setdefault("escape", sniffed["escape"])
         if sniffed["skipinit"]:
             options.setdefault("ignoreLeadingWhiteSpace", "true")
+        if sniffed["multiline"]:
+            options.setdefault("multiLine", "true")
+        keep_varchar = sniffed["keep_varchar"]
         skip_rows = skip_rows or sniffed["skip_rows"]
     for k, v in options.items():
         reader = reader.option(k, v)
@@ -207,7 +235,27 @@ def read_csv(
         )
         return _csv_refine(reader.csv(txt))
     df = reader.csv(path)
-    return _csv_refine(df) if schema is None and auto_detect else df
+    if schema is not None or not auto_detect:
+        return df
+    if keep_varchar:
+        # sniffer saw '+'-prefixed / zero-padded numerics: those columns
+        # must stay VARCHAR verbatim — re-read with the inferred schema
+        # demoted at those positions (a cast-back would lose the padding)
+        from pyspark.sql import types as T
+
+        fields = list(df.schema.fields)
+        changed = False
+        for i in keep_varchar:
+            if i < len(fields) and not isinstance(
+                fields[i].dataType, T.StringType
+            ):
+                fields[i] = T.StructField(
+                    fields[i].name, T.StringType(), True
+                )
+                changed = True
+        if changed:
+            df = reader.schema(T.StructType(fields)).csv(path)
+    return _csv_refine(df)
 
 
 def _csv_refine(df: DataFrame) -> DataFrame:
