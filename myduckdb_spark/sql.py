@@ -4154,8 +4154,22 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
         or opts.get("SEPARATOR")
     )
     header = opts.get("HEADER", "true").lower() not in ("false", "0")
+    # option-validation parity (reference csv copy bind errors)
+    if fmt == "csv" and delim is not None and len(delim) > 1:
+        raise ValueError(
+            "The delimiter option cannot exceed a size of 1 byte."
+        )
+    _nulltext = opts.get("NULL", opts.get("NULLSTR"))
+    if fmt == "csv" and _nulltext and (delim or ",") in _nulltext:
+        raise ValueError(
+            "DELIMITER must not appear in the NULL specification "
+            "and vice versa"
+        )
 
     if direction.upper() == "TO":
+        if "FORCE_NOT_NULL" in opts or "FORCE_NULL" in opts:
+            bad = "force_not_null" if "FORCE_NOT_NULL" in opts else "force_null"
+            raise ValueError(f'Unrecognized option CSV writer "{bad}"')
         delim = delim or ","
         m = re.match(r"^\((.+)\)$", target.strip(), re.S)
         if m:
@@ -4267,9 +4281,82 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
         )
         if "QUOTE" in opts:
             reader = reader.option("quote", opts["QUOTE"])
-        if "NULL" in opts:
-            reader = reader.option("nullValue", opts["NULL"])
-        src = reader.option("inferSchema", "true").csv(path)
+        tgt_types = [t for _c, t in target_df.dtypes]
+        # FORCE_NOT_NULL (cols): would-be-NULL cells become '' instead
+        # (live-DuckDB behavior; positional match to the table)
+        tgt_names = [c.lower() for c, _t in target_df.dtypes]
+        fraw = opts.get("FORCE_NOT_NULL")
+        if fraw == "true":  # bare flag — needs a column list
+            raise ValueError(
+                '"force_not_null" expects a column list or * as parameter'
+            )
+        if fraw == "*":
+            forced = set(tgt_names)
+        else:
+            forced = {
+                c.strip().strip('"').lower()
+                for c in (fraw or "").split(",") if c.strip()
+            }
+            for c in forced:
+                if c not in tgt_names:
+                    raise ValueError(
+                        f'"force_not_null" expected to find {c}, '
+                        "but it was not found in the table"
+                    )
+        nullstr = opts.get("NULL", opts.get("NULLSTR", ""))
+        if nullstr:
+            # DuckDB semantics for a NON-empty null string (copy_csv.cpp):
+            # only cells equal to it become NULL; EMPTY cells are empty
+            # strings for VARCHAR targets. Spark's reader unconditionally
+            # nulls unquoted-empty cells, so parse with an unmatchable
+            # sentinel and apply both rules as projections.
+            reader = reader.option("nullValue", "\u0007__never_null__")
+            src = reader.option("inferSchema", "true").csv(path)
+            projected = []
+            for i, (c, t) in enumerate(src.dtypes):
+                col = F.col(f"`{c}`")
+                if t == "string":
+                    tgt = tgt_types[i] if i < len(tgt_types) else "string"
+                    col = F.when(col == nullstr, F.lit(None)).otherwise(
+                        # only VARCHAR targets can hold '' - empty cells
+                        # in typed columns stay NULL, like the reference
+                        F.coalesce(col, F.lit("")) if tgt == "string"
+                        else F.when(col == "", F.lit(None)).otherwise(col)
+                    )
+                    if i < len(tgt_names) and tgt_names[i] in forced:
+                        col = F.coalesce(col, F.lit(""))
+                projected.append(col.alias(c))
+            src = src.select(*projected)
+        else:
+            if "NULL" in opts:
+                reader = reader.option("nullValue", opts["NULL"])
+            src = reader.option("inferSchema", "true").csv(path)
+            if forced:
+                projected = []
+                for i, (c, t) in enumerate(src.dtypes):
+                    col = F.col(f"`{c}`")
+                    if t == "string" and i < len(tgt_names) \
+                            and tgt_names[i] in forced:
+                        col = F.coalesce(col, F.lit(""))
+                    projected.append(col.alias(c))
+                src = src.select(*projected)
+                # a forced NON-VARCHAR column with actual NULLs cannot
+                # convert '' (reference: "Error when converting column")
+                typed_forced = [
+                    c for i, (c, t) in enumerate(src.dtypes)
+                    if t != "string" and i < len(tgt_names)
+                    and tgt_names[i] in forced
+                ]
+                if typed_forced:
+                    nulls = src.select(
+                        *[F.count(F.when(F.col(f"`{c}`").isNull(), 1))
+                          .alias(c) for c in typed_forced]
+                    ).first()
+                    for c in typed_forced:
+                        if nulls[c]:
+                            raise ValueError(
+                                f'Error when converting column "{c}"'
+                            )
     elif fmt == "json":
         src = spark.read.json(path)
     else:
