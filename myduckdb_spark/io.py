@@ -145,13 +145,32 @@ def sniff_csv(
         # treat a first row of distinct, non-empty cells that never repeats
         # verbatim in the data as a header (column names are unique and
         # don't recur as data).
-        # a single-row file has no data to distinguish from a header —
-        # the reference keeps it as data (header needs evidence)
+        # single-row file: header iff the row is pure VARCHAR (an
+        # all-text line IS the header for a zero-row table; a typed
+        # single line — date/time/bool — is data. header_detection.cpp
+        # types the first row against the data columns, and with no
+        # data rows VARCHAR-only wins)
+        def _typed(cell: str) -> bool:
+            c = cell.strip()
+            if c.lower() in ("true", "false"):
+                return True
+            from datetime import datetime as _dt
+
+            for f in ("%Y-%m-%d", "%m-%d-%Y", "%d-%m-%Y", "%Y/%m/%d",
+                      "%m/%d/%Y", "%d/%m/%Y", "%H:%M:%S",
+                      "%Y-%m-%d %H:%M:%S"):
+                try:
+                    _dt.strptime(c, f)
+                    return True
+                except ValueError:
+                    pass
+            return False
+
         header = (
-            bool(later_rows)
-            and len(set(first)) == len(first)
+            len(set(first)) == len(first)
             and all(c.strip() for c in first)
             and first not in later_rows
+            and (bool(later_rows) or not any(_typed(c) for c in first))
         )
     else:
         header = False

@@ -26,6 +26,12 @@ def main() -> None:
     from tools.slt import run_file_dual
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    done: set[str] = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--done="):  # resume: skip files already triaged
+            for ln in open(a[len("--done="):]):
+                if ln.strip():
+                    done.update(json.loads(ln).keys())
     spark = get_spark()
     for sub in args:
         base = os.path.join(REF, sub)
@@ -41,6 +47,8 @@ def main() -> None:
         )
         for path in files:
             rel = os.path.relpath(path, REF)
+            if rel in done:
+                continue
 
             def _timeout(signum, frame):
                 raise TimeoutError("per-file sweep timeout")
