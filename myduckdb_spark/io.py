@@ -65,7 +65,7 @@ def _try_parse(
 
 def sniff_csv(
     spark: SparkSession, path: str, sample_lines: int = 64,
-    force_sep: str | None = None,
+    force_sep: str | None = None, force_quote: str | None = None,
 ) -> dict:
     """Detect delimiter / quote / escape / skip-rows / header from a small
     sample, mirroring the reference's sniffer matrix
@@ -86,8 +86,9 @@ def sniff_csv(
     best = None  # (score tuple, sep, quote, escape, skipinit, skip, rows)
     max_skip = min(_MAX_SKIP, max(0, len(lines) - 2))
     delims = [force_sep] if force_sep else _DELIMS
+    quotes = [force_quote] if force_quote else _QUOTES
     for sep in delims:
-        for quote in _QUOTES:
+        for quote in quotes:
             for escape in (quote, "\\"):
                 for skipinit in (False, True):
                     for skip in range(0, max_skip + 1):
@@ -223,7 +224,11 @@ def read_csv(
     if auto_detect and ("sep" not in options or "header" not in options):
         # a caller-supplied sep constrains the dialect search (header/
         # quote detection must see the file through THAT delimiter)
-        sniffed = sniff_csv(spark, path, force_sep=options.get("sep"))
+        sniffed = sniff_csv(
+            spark, path,
+            force_sep=options.get("sep"),
+            force_quote=options.get("quote"),
+        )
         options.setdefault("sep", sniffed["sep"])
         options.setdefault("header", sniffed["header"])
         options.setdefault("quote", sniffed["quote"])

@@ -4235,6 +4235,11 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
             )
             if "QUOTE" in opts:
                 writer = writer.option("quote", opts["QUOTE"])
+            # DuckDB escapes quotes by doubling unless ESCAPE is given;
+            # Spark's writer defaults to backslash-escaping
+            writer = writer.option(
+                "escape", opts.get("ESCAPE", opts.get("QUOTE", '"'))
+            )
             if "NULL" in opts:
                 writer = writer.option("nullValue", opts["NULL"])
         if fmt == "parquet" and "COMPRESSION" in opts:
@@ -4281,6 +4286,12 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
         )
         if "QUOTE" in opts:
             reader = reader.option("quote", opts["QUOTE"])
+        # DuckDB's default escape is quote-doubling; Spark's is backslash
+        # (a doubled quote mid-cell otherwise aborts unquoting —
+        # univocity STOP_AT_DELIMITER keeps the raw quoted text)
+        reader = reader.option(
+            "escape", opts.get("ESCAPE", opts.get("QUOTE", '"'))
+        )
         tgt_types = [t for _c, t in target_df.dtypes]
         # FORCE_NOT_NULL (cols): would-be-NULL cells become '' instead
         # (live-DuckDB behavior; positional match to the table)
@@ -5245,7 +5256,12 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
             if km is None:
                 supported = False
                 break
-            k, v = km.group(1).lower(), km.group(2).strip().strip("'")
+            k, raw = km.group(1).lower(), km.group(2).strip()
+            if raw.startswith("'") and raw.endswith("'") and len(raw) >= 2:
+                # SQL string literal: strip ONE quote pair, unescape ''
+                v = raw[1:-1].replace("''", "'")
+            else:
+                v = raw
             if k in ("delim", "sep", "delimiter"):
                 opts["sep"] = v
             elif k == "header":

