@@ -198,7 +198,8 @@ def _strf_to_java(fmt: str) -> str:
     table = {
         "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
         "%S": "ss", "%y": "yy", "%j": "DDD", "%b": "MMM", "%B": "MMMM",
-        "%a": "EEE", "%A": "EEEE", "%%": "%",
+        "%a": "EEE", "%A": "EEEE", "%I": "hh", "%p": "a", "%f": "SSSSSS",
+        "%g": "SSS", "%%": "%",
     }
     out = fmt
     for k, v in table.items():

@@ -66,6 +66,7 @@ def _try_parse(
 def sniff_csv(
     spark: SparkSession, path: str, sample_lines: int = 64,
     force_sep: str | None = None, force_quote: str | None = None,
+    force_header: bool | None = None,
 ) -> dict:
     """Detect delimiter / quote / escape / skip-rows / header from a small
     sample, mirroring the reference's sniffer matrix
@@ -78,7 +79,19 @@ def sniff_csv(
     "quote", "escape", "skip_rows"}`` (escape == quote means doubling,
     DuckDB's default).
     """
-    lines = [r[0] for r in spark.read.text(path).limit(sample_lines).collect()]
+    # sniff ONE file: a multi-file glob interleaves lines from several
+    # files into the sample, which breaks header/skip detection (the
+    # reference sniffer also operates on the first file)
+    sniff_path = path
+    try:
+        first = _local_json_files(path, limit=1)
+        if first:
+            sniff_path = first[0]
+    except OSError:
+        pass
+    lines = [
+        r[0] for r in spark.read.text(sniff_path).limit(sample_lines).collect()
+    ]
     if not lines:
         return {"sep": ",", "header": False, "quote": '"', "escape": '"',
                 "skip_rows": 0, "skipinit": False, "keep_varchar": [],
@@ -175,6 +188,8 @@ def sniff_csv(
         )
     else:
         header = False
+    if force_header is not None:
+        header = force_header
     # numeric-LOOKING cells the reference's sniffer refuses to type as
     # numbers: leading '+' and leading zeros (type_detection.cpp digit
     # path) — those columns must stay VARCHAR even though Spark's
@@ -187,6 +202,16 @@ def sniff_csv(
         if vals and any(
             re.match(r"^\+\d", v) or re.match(r"^-?0\d", v) for v in vals
         ) and all(_numeric(v) for v in vals):
+            keep_varchar.append(i)
+            continue
+        # partial time-ish cells ('12:0', '05:40'): Spark's inference
+        # happily parses them as timestamps, the reference keeps them
+        # VARCHAR (its sniffer TIME template is strictly %H:%M:%S)
+        if vals and any(
+            re.match(r"^\d{1,2}:\d{1,2}(:\d{1,2}(\.\d+)?)?$", v)
+            and not re.match(r"^\d{1,2}:\d{2}:\d{2}(\.\d+)?$", v)
+            for v in vals
+        ):
             keep_varchar.append(i)
     # an odd quote count in a sampled line = a quoted cell spanning lines;
     # Spark needs multiLine for those files
@@ -218,16 +243,21 @@ def read_csv(
     the fast path for production pipelines, exactly like giving the
     reference explicit ``columns=``.
     """
+    path = _force_compression(path, options.pop("compression", None))
     reader = spark.read
     skip_rows = int(options.pop("skip_rows", options.pop("skip", 0)))
     keep_varchar: list[int] = []
     if auto_detect and ("sep" not in options or "header" not in options):
         # a caller-supplied sep constrains the dialect search (header/
         # quote detection must see the file through THAT delimiter)
+        fh = options.get("header")
+        if isinstance(fh, str):
+            fh = fh.lower() in ("true", "1")
         sniffed = sniff_csv(
             spark, path,
             force_sep=options.get("sep"),
             force_quote=options.get("quote"),
+            force_header=fh if "header" in options else None,
         )
         options.setdefault("sep", sniffed["sep"])
         options.setdefault("header", sniffed["header"])
@@ -280,6 +310,30 @@ def read_csv(
         if changed:
             df = reader.schema(T.StructType(fields)).csv(path)
     return _csv_refine(df)
+
+
+_COMP_EXT = {"gzip": ".gz", "zstd": ".zst", "bz2": ".bz2", "xz": ".xz"}
+
+
+def _force_compression(path: str, comp: str | None) -> str:
+    """An explicit COMPRESSION codec on a file whose extension doesn't
+    advertise it (reference read_csv compression flag): Spark picks the
+    codec from the extension, so read through a correctly-suffixed
+    symlink — zero-copy, works for any size."""
+    comp = (comp or "").lower().strip("'\"")
+    ext = _COMP_EXT.get(comp)
+    if not ext or path.endswith(ext) or "*" in path or "?" in path:
+        return path
+    import os as _os
+    import tempfile as _tempfile
+
+    p = path[len("file://"):] if path.startswith("file://") else path
+    if not _os.path.isfile(p):
+        return path
+    d = _tempfile.mkdtemp(prefix="csvcomp_")
+    link = _os.path.join(d, _os.path.basename(p) + ext)
+    _os.symlink(_os.path.abspath(p), link)
+    return link
 
 
 def _csv_refine(df: DataFrame) -> DataFrame:

@@ -63,6 +63,9 @@ def get_spark(
         # DuckDB map_concat / map() keeps the LAST value for duplicate
         # keys (map_concat.cpp); Spark errors by default
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # DuckDB double-quotes are ALWAYS identifiers (never string
+        # literals) — matches ANSI; needed for "names with spaces()"
+        .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     )
     if driver_memory is None:
         driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")

@@ -4134,6 +4134,29 @@ def _copy_format(path: str, opts: dict[str, str]) -> str:
             ".jsonl": "json", ".gz": "csv"}.get(ext, "csv")
 
 
+
+
+def _apply_copy_schema(reader, target_df, collist, as_string=()):
+    """COPY FROM parses with the TARGET TABLE's column types (reference
+    copy_from binds the file to the table schema — no re-inference, so
+    e.g. zero-padded VARCHAR columns stay verbatim). Inference only when
+    an explicit column list reorders the file. Columns in ``as_string``
+    are demoted to STRING for driver-side re-parse (weekday timestamp
+    formats Spark's parser rejects)."""
+    if collist is None:
+        from pyspark.sql import types as T
+
+        if as_string:
+            fields = [
+                T.StructField(f.name, T.StringType(), True)
+                if f.name in as_string else f
+                for f in target_df.schema.fields
+            ]
+            return reader.schema(T.StructType(fields))
+        return reader.schema(target_df.schema)
+    return reader.option("inferSchema", "true")
+
+
 def _copy_statement(spark: SparkSession, target: str, direction: str,
                     path: str, opts_text: str | None):
     """COPY ... TO / FROM (reference src/execution/operator/persistent/
@@ -4186,10 +4209,75 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
         part_by = [c.strip().strip('"')
                    for c in opts.get("PARTITION_BY", "").split(",") if c.strip()]
         if part_by:
-            writer = df.write.mode("overwrite").partitionBy(*part_by)
+            # Hive-partitioned write, DuckDB-parity layout
+            # (physical_copy_to_file.cpp hive path): the partition columns
+            # are ALSO written into the data files, files are named
+            # data_{i} (or FILENAME_PATTERN with {uuid}/{i}), and repeat
+            # writes APPEND new uniquely-named files only under
+            # OVERWRITE_OR_IGNORE/APPEND — a bare rerun on a non-empty
+            # target errors. Implementation: Spark partitionBy on CLONED
+            # key columns (so the originals stay in the files), then
+            # metadata-only dir/file renames into the final layout —
+            # fully parallel writers, one rename per output file.
+            import uuid as _uuid
+
+            truthy = ("true", "1")
+            append = (
+                opts.get("OVERWRITE_OR_IGNORE", "").lower() in truthy
+                or opts.get("APPEND", "").lower() in truthy
+            )
+            overwrite = opts.get("OVERWRITE", "").lower() in truthy
+            if (
+                not append and not overwrite
+                and os.path.isdir(path) and os.listdir(path)
+            ):
+                raise ValueError(
+                    f"Directory {path} is not empty! Enable "
+                    "OVERWRITE_OR_IGNORE option to force writing"
+                )
+            if overwrite and os.path.isdir(path):
+                _shutil.rmtree(path)
+            hp = {c: f"__hp_{c}" for c in part_by}
+            out = df
+            for c, h in hp.items():
+                out = out.withColumn(h, F.col(f"`{c}`"))
+            tmpd = _tempfile.mkdtemp(prefix="copypart_")
+            wdir = os.path.join(tmpd, "w")
+            writer = out.write.mode("overwrite").partitionBy(*hp.values())
             if fmt == "csv":
                 writer = writer.option("header", header).option("sep", delim)
-            getattr(writer, fmt)(path)
+            getattr(writer, fmt)(wdir)
+            pattern = opts.get("FILENAME_PATTERN", "data_{i}")
+            if "{uuid}" not in pattern and "{i}" not in pattern:
+                pattern += "_{i}"
+            ext = "." + ("parquet" if fmt == "parquet" else fmt)
+            for root, _dirs, fs in os.walk(wdir):
+                datafiles = sorted(
+                    f for f in fs
+                    if not f.startswith((".", "_")) and not f.endswith(".crc")
+                )
+                if not datafiles:
+                    continue
+                rel = os.path.relpath(root, wdir)
+                segs = []
+                for seg in (rel.split(os.sep) if rel != "." else []):
+                    k, _, v = seg.partition("=")
+                    segs.append(f"{k.removeprefix('__hp_')}={v}")
+                dest = os.path.join(path, *segs)
+                os.makedirs(dest, exist_ok=True)
+                idx = sum(1 for f in os.listdir(dest) if f.endswith(ext))
+                for f in datafiles:
+                    name = pattern.replace("{uuid}", str(_uuid.uuid4()))
+                    name = name.replace("{i}", str(idx)) + ext
+                    while os.path.exists(os.path.join(dest, name)):
+                        idx += 1
+                        name = pattern.replace(
+                            "{uuid}", str(_uuid.uuid4())
+                        ).replace("{i}", str(idx)) + ext
+                    _shutil.move(os.path.join(root, f),
+                                 os.path.join(dest, name))
+                    idx += 1
+            _shutil.rmtree(tmpd, ignore_errors=True)
             return _count_df(spark, n)
         # single-file DuckDB parity: write a one-part directory, then move
         # the part onto the exact path
@@ -4240,6 +4328,17 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
             writer = writer.option(
                 "escape", opts.get("ESCAPE", opts.get("QUOTE", '"'))
             )
+            from myduckdb_spark.functions.registry import _strf_to_java
+
+            if "%" in opts.get("DATEFORMAT", ""):
+                writer = writer.option(
+                    "dateFormat", _strf_to_java(opts["DATEFORMAT"])
+                )
+            if "%" in opts.get("TIMESTAMPFORMAT", ""):
+                jf = _strf_to_java(opts["TIMESTAMPFORMAT"])
+                writer = writer.option("timestampFormat", jf).option(
+                    "timestampNTZFormat", jf
+                )
             if "NULL" in opts:
                 writer = writer.option("nullValue", opts["NULL"])
         if fmt == "parquet" and "COMPRESSION" in opts:
@@ -4267,6 +4366,10 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
         raise KeyError(f"COPY FROM: {name} is not a managed table")
     tbl = _MANAGED[name]
     target_df = tbl.scan().limit(0)
+    if "COMPRESSION" in opts:
+        from myduckdb_spark.io import _force_compression
+
+        path = _force_compression(path, opts["COMPRESSION"])
     if fmt == "csv":
         # DuckDB's COPY FROM auto-detects dialect and header when not
         # given explicitly (csv_scanner sniffer runs by default) — use
@@ -4292,6 +4395,17 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
         reader = reader.option(
             "escape", opts.get("ESCAPE", opts.get("QUOTE", '"'))
         )
+        from myduckdb_spark.functions.registry import _strf_to_java
+
+        if "%" in opts.get("DATEFORMAT", ""):
+            reader = reader.option(
+                "dateFormat", _strf_to_java(opts["DATEFORMAT"])
+            )
+        if "%" in opts.get("TIMESTAMPFORMAT", ""):
+            jf = _strf_to_java(opts["TIMESTAMPFORMAT"])
+            reader = reader.option("timestampFormat", jf).option(
+                "timestampNTZFormat", jf
+            )
         tgt_types = [t for _c, t in target_df.dtypes]
         # FORCE_NOT_NULL (cols): would-be-NULL cells become '' instead
         # (live-DuckDB behavior; positional match to the table)
@@ -4314,6 +4428,15 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
                         f'"force_not_null" expected to find {c}, '
                         "but it was not found in the table"
                     )
+        # Spark's post-3.0 datetime parser rejects weekday patterns
+        # (EEE) when PARSING — read those columns as text, strip the
+        # (redundant) leading weekday token, parse the remainder
+        _wd_fmt = opts.get("TIMESTAMPFORMAT", "")
+        _wd_cols: tuple = ()
+        if re.match(r"%a\s|%A\s", _wd_fmt):
+            _wd_cols = tuple(
+                c for c, t in target_df.dtypes if t.startswith("timestamp")
+            )
         nullstr = opts.get("NULL", opts.get("NULLSTR", ""))
         if nullstr:
             # DuckDB semantics for a NON-empty null string (copy_csv.cpp):
@@ -4322,7 +4445,7 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
             # nulls unquoted-empty cells, so parse with an unmatchable
             # sentinel and apply both rules as projections.
             reader = reader.option("nullValue", "\u0007__never_null__")
-            src = reader.option("inferSchema", "true").csv(path)
+            src = _apply_copy_schema(reader, target_df, collist, _wd_cols).csv(path)
             projected = []
             for i, (c, t) in enumerate(src.dtypes):
                 col = F.col(f"`{c}`")
@@ -4341,7 +4464,7 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
         else:
             if "NULL" in opts:
                 reader = reader.option("nullValue", opts["NULL"])
-            src = reader.option("inferSchema", "true").csv(path)
+            src = _apply_copy_schema(reader, target_df, collist, _wd_cols).csv(path)
             if forced:
                 projected = []
                 for i, (c, t) in enumerate(src.dtypes):
@@ -4368,6 +4491,21 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
                             raise ValueError(
                                 f'Error when converting column "{c}"'
                             )
+        if _wd_cols:
+            from myduckdb_spark.functions.registry import _strf_to_java
+
+            rest = _strf_to_java(
+                re.sub(r"^%[aA]\s+", "", _wd_fmt)
+            )
+            src = src.select(
+                *[
+                    F.to_timestamp(
+                        F.regexp_replace(F.col(f"`{c}`"), r"^[A-Za-z]+\s+", ""),
+                        rest,
+                    ).alias(c) if c in _wd_cols else F.col(f"`{c}`")
+                    for c in src.columns
+                ]
+            )
     elif fmt == "json":
         src = spark.read.json(path)
     else:
@@ -5204,7 +5342,14 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
                 ".jsonl": "json",
             }.get(ext, "csv")
             if fmt == "parquet":
-                df = _io.read_parquet(spark, path)
+                # hive-layout dirs: the engine's partitioned COPY writes
+                # the partition columns INTO the files (DuckDB layout),
+                # so suppress Spark's dir-name partition inference — it
+                # would collide with the in-file column
+                df = (
+                    spark.read.option("recursiveFileLookup", "true")
+                    .parquet(path)
+                )
             elif fmt == "json":
                 df = _io.read_json(spark, path)
             else:
@@ -5272,6 +5417,8 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
                 opts["escape"] = v
             elif k in ("skip", "skip_rows"):
                 opts["skip_rows"] = int(v)
+            elif k == "compression":
+                opts["compression"] = v
             elif k == "auto_detect":
                 pass
             else:
