@@ -95,17 +95,28 @@ def sniff_csv(
     if not lines:
         return {"sep": ",", "header": False, "quote": '"', "escape": '"',
                 "skip_rows": 0, "skipinit": False, "keep_varchar": [],
-                "multiline": False}
-    best = None  # (score tuple, sep, quote, escape, skipinit, skip, rows)
+                "multiline": False, "comment": None}
+    best = None  # (score tuple, sep, quote, escape, skipinit, comment, skip, rows)
     max_skip = min(_MAX_SKIP, max(0, len(lines) - 2))
     delims = [force_sep] if force_sep else _DELIMS
     quotes = [force_quote] if force_quote else _QUOTES
+    # live DuckDB does NOT auto-detect comment lines (verified against
+    # data/csv/comments/simple.csv — they come back as data); comments
+    # only apply via the explicit comment= option, so the sniffer search
+    # keeps a single no-comment candidate
+    comments = [None]
     for sep in delims:
         for quote in quotes:
             for escape in (quote, "\\"):
                 for skipinit in (False, True):
+                  for comment in comments:
+                    sample = (
+                        lines if comment is None else
+                        [ln for ln in lines
+                         if not ln.lstrip().startswith(comment)]
+                    )
                     for skip in range(0, max_skip + 1):
-                        rows = _try_parse(lines[skip:], sep, quote, escape, skipinit)
+                        rows = _try_parse(sample[skip:], sep, quote, escape, skipinit)
                         if not rows:
                             continue
                         counts = {len(r) for r in rows}
@@ -125,19 +136,22 @@ def sniff_csv(
                             -skip,         # explain as much of the file as possible
                             cols,
                             clean,
+                            comment is None,  # plain beats comment-strip
                             quote == '"',  # defaults win ties
                             escape == quote,
                             not skipinit,  # plain parse beats space-strip
                             -delims.index(sep),
                         )
                         if best is None or score > best[0]:
-                            best = (score, sep, quote, escape, skipinit, skip, rows)
+                            best = (score, sep, quote, escape, skipinit,
+                                    comment, skip, rows)
                         break  # smallest skip for this dialect found
     if best is None:
         return {"sep": ",", "header": False, "quote": '"', "escape": '"',
                 "skip_rows": 0, "skipinit": False, "keep_varchar": [],
-                "multiline": False}
-    _, best_sep, best_quote, best_escape, skipinit, skip_rows, parsed = best
+                "multiline": False, "comment": None}
+    (_, best_sep, best_quote, best_escape, skipinit, best_comment,
+     skip_rows, parsed) = best
     lines = lines[skip_rows:]
     first = parsed[0] if parsed else []
 
@@ -225,6 +239,7 @@ def sniff_csv(
         "skipinit": skipinit,
         "keep_varchar": keep_varchar,
         "multiline": multiline,
+        "comment": best_comment,
     }
 
 
@@ -244,6 +259,14 @@ def read_csv(
     reference explicit ``columns=``.
     """
     path = _force_compression(path, options.pop("compression", None))
+    if isinstance(path, str) and "**" in path:
+        import glob as _glob
+
+        p = path[len("file://"):] if path.startswith("file://") else path
+        hits = sorted(f for f in _glob.glob(p, recursive=True)
+                      if not f.rsplit("/", 1)[-1].startswith((".", "_")))
+        if hits:
+            path = hits
     reader = spark.read
     skip_rows = int(options.pop("skip_rows", options.pop("skip", 0)))
     keep_varchar: list[int] = []
@@ -268,6 +291,8 @@ def read_csv(
             options.setdefault("ignoreLeadingWhiteSpace", "true")
         if sniffed["multiline"]:
             options.setdefault("multiLine", "true")
+        if sniffed["comment"]:
+            options.setdefault("comment", sniffed["comment"])
         keep_varchar = sniffed["keep_varchar"]
         skip_rows = skip_rows or sniffed["skip_rows"]
     for k, v in options.items():

@@ -5419,6 +5419,8 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
                 opts["skip_rows"] = int(v)
             elif k == "compression":
                 opts["compression"] = v
+            elif k == "comment":
+                opts["comment"] = v
             elif k == "auto_detect":
                 pass
             else:
