@@ -3753,7 +3753,8 @@ _DDL_TYPES = {
 
 def _parse_column_defs(
     body: str,
-) -> tuple[list[tuple[str, str]], list[str], list[list[str]], dict[str, str]]:
+) -> tuple[list[tuple[str, str]], list[str], list[list[str]],
+           dict[str, str], dict[str, str]]:
     """Parse `a INT PRIMARY KEY, b TEXT UNIQUE, PRIMARY KEY (a, b)` →
     (cols, key, uniques, collations). PRIMARY KEY and UNIQUE become
     arbiter key sets (the reference builds ART indexes for both); a
@@ -3765,6 +3766,7 @@ def _parse_column_defs(
     key: list[str] = []
     uniques: list[list[str]] = []
     collations: dict[str, str] = {}
+    defaults: dict[str, str] = {}
     for part in _split_args(body):
         p = part.strip()
         if not p:  # trailing comma (the fork's own tests contain these)
@@ -3806,8 +3808,14 @@ def _parse_column_defs(
         cm = re.search(r"\bCOLLATE\s+([\w.]+)", rest, re.I)
         if cm and cm.group(1).lower() not in ("binary", "c", "posix"):
             collations[name.lower()] = cm.group(1)
+        dm = re.search(
+            r"\bDEFAULT\s*(\(.*\)|'(?:[^']|'')*'|[\w.+-]+(?:\s*\([^()]*\))?)",
+            rest, re.I | re.S,
+        )
+        if dm:
+            defaults[name.lower()] = dm.group(1).strip()
         cols.append((name, typ))
-    return cols, key, uniques, collations
+    return cols, key, uniques, collations, defaults
 
 
 def _split_off_on_conflict(source: str) -> tuple[str, str | None]:
@@ -4010,7 +4018,7 @@ def _alter_table(spark: SparkSession, exists_ok: str | None, name: str, act: str
         soft, coldef = m.group(1), m.group(2).strip()
         dm = re.search(r"\bDEFAULT\s+(.+)$", coldef, re.I | re.S)
         default = translate(dm.group(1).strip()) if dm else None
-        parsed, _k, _u, _cc = _parse_column_defs(coldef)
+        parsed, _k, _u, _cc, _dd = _parse_column_defs(coldef)
         if len(parsed) != 1:
             raise ValueError(f"ALTER TABLE ADD: cannot parse {coldef!r}")
         cname, ctype = parsed[0]
@@ -4059,7 +4067,7 @@ def _alter_table(spark: SparkSession, exists_ok: str | None, name: str, act: str
         if cname.lower() not in low:
             raise KeyError(f"ALTER TABLE: column {cname} does not exist")
         src = low[cname.lower()]
-        parsed, _k, _u, _cc = _parse_column_defs(f"{src} {typetext}")
+        parsed, _k, _u, _cc, _dd = _parse_column_defs(f"{src} {typetext}")
         _n, ctype = parsed[0]
         expr = translate(using.strip()) if using else f"`{src}`"
         stage = [
@@ -4395,6 +4403,21 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
         reader = reader.option(
             "escape", opts.get("ESCAPE", opts.get("QUOTE", '"'))
         )
+        # quoted cells spanning lines need multiLine (an odd quote count
+        # on a physical line = an open quoted cell); cheap head sniff
+        try:
+            from myduckdb_spark.io import _local_json_files
+
+            _qc = opts.get("QUOTE", '"') or '"'
+            _f0 = _local_json_files(path, limit=1)
+            if _f0:
+                with open(_f0[0], "rb") as _fh:
+                    _head = _fh.read(1 << 20).decode("utf-8", "replace")
+                if any(ln.count(_qc) % 2 == 1
+                       for ln in _head.splitlines()[:2048]):
+                    reader = reader.option("multiLine", "true")
+        except OSError:
+            pass
         from myduckdb_spark.functions.registry import _strf_to_java
 
         if "%" in opts.get("DATEFORMAT", ""):
@@ -4518,10 +4541,14 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
             )
         low = {c.lower(): c for c in target_df.columns}
         named = {low[c.lower()]: src[s] for c, s in zip(cols, src.columns)}
+        dflt = tbl.defaults
+        types = dict(target_df.dtypes)
         src = src.select(
             *[
-                named[c] if c in named
-                else F.lit(None).cast(dict(target_df.dtypes)[c])
+                named[c].alias(c) if c in named
+                else F.expr(translate(dflt[c.lower()])).cast(types[c]).alias(c)
+                if c.lower() in dflt
+                else F.lit(None).cast(types[c]).alias(c)
                 for c in target_df.columns
             ]
         )
@@ -4669,7 +4696,7 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
     m = _CREATE_TBL.match(text)
     if m and not _CTAS.match(text):
         replace, name, body = bool(m.group(1)), m.group(2), m.group(3)
-        cols, key, uniques, collations = _parse_column_defs(body)
+        cols, key, uniques, collations, defaults = _parse_column_defs(body)
         if name in _MANAGED:
             if "IF NOT EXISTS" in text.upper():
                 return _count_df(spark, 0)
@@ -4684,6 +4711,8 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
             _MANAGED[name].set_key(key)
         for u in uniques:
             _MANAGED[name].add_unique(u)
+        if defaults:
+            _MANAGED[name].set_defaults(defaults)
         if collations:
             _COLUMN_COLLATIONS[name.lower()] = collations
         else:
@@ -4746,12 +4775,16 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
             by_name = dict(zip(names, src_df.columns))
             from pyspark.sql import functions as _F
 
-            src_df = src_df.select(
-                *[
-                    _F.col(by_name[c]).alias(c) if c in by_name else _F.lit(None).alias(c)
-                    for c in table_cols
-                ]
-            )
+            dflt = tbl.defaults
+
+            def _fill(c):
+                if c in by_name:
+                    return _F.col(by_name[c]).alias(c)
+                if c.lower() in dflt:
+                    return _F.expr(translate(dflt[c.lower()])).alias(c)
+                return _F.lit(None).alias(c)
+
+            src_df = src_df.select(*[_fill(c) for c in table_cols])
         if or_action or conflict is not None:
             all_keys = tbl.keys()
             key = all_keys[0] if all_keys else None

@@ -168,6 +168,8 @@ class ManagedTable:
             m["key"] = cur["key"]
         if cur.get("unique"):
             m["unique"] = cur["unique"]
+        if cur.get("defaults"):
+            m["defaults"] = cur["defaults"]
         if cur.get("projections"):
             m["projections"] = cur["projections"]
         _atomic_write_json(self._manifest_path(version), m)
@@ -229,6 +231,8 @@ class ManagedTable:
             m["key"] = cur["key"]
         if cur.get("unique"):
             m["unique"] = cur["unique"]
+        if cur.get("defaults"):
+            m["defaults"] = cur["defaults"]
         _atomic_write_json(self._manifest_path(m["version"]), m)
         _atomic_write_json(self._manifest_path(), m)
 
@@ -269,6 +273,18 @@ class ManagedTable:
         out = [m["key"]] if m.get("key") else []
         out += [k for k in m.get("unique", []) if k not in out]
         return out
+
+    def set_defaults(self, defaults: dict) -> None:
+        """Persist column DEFAULT expressions (SQL text, applied by the
+        front door when an INSERT/COPY column list omits the column)."""
+        cur = self._manifest()
+        cur["defaults"] = dict(defaults)
+        _atomic_write_json(self._manifest_path(cur["version"]), cur)
+        _atomic_write_json(self._manifest_path(), cur)
+
+    @property
+    def defaults(self) -> dict:
+        return self._manifest().get("defaults", {})
 
     def set_key(self, cols: list[str]) -> None:
         cur = self._manifest()

@@ -58,6 +58,11 @@ def main() -> None:
             if rel in HANGERS:
                 print(json.dumps({rel: {"skipped": "hang file"}}), flush=True)
                 continue
+            # crash fence: a native duckdb segfault kills the process
+            # before the result line is written — emit a started marker
+            # first so a --done resume skips the killer file
+            print(json.dumps({rel: {"fatal": "started (native crash?)"}}),
+                  flush=True)
 
             def _timeout(signum, frame):
                 raise TimeoutError("per-file sweep timeout")

@@ -351,7 +351,7 @@ def _snapshot(spark, con) -> None:
             continue
         body = ddl[ddl.index("(") + 1 : ddl.rindex(")")]
         try:
-            _c, _k, _u, colls = _parse_column_defs(body)
+            _c, _k, _u, colls, _dd = _parse_column_defs(body)
         except Exception:
             continue
         if colls:
