@@ -106,7 +106,11 @@ _reg("printf", "format")(lambda fmt, *cs: F.format_string(fmt, *[_c(x) for x in 
 _reg("md5")(lambda s: F.md5(_c(s).cast("binary")))
 _reg("sha1")(lambda s: F.sha1(_c(s).cast("binary")))
 _reg("sha256")(lambda s: F.sha2(_c(s).cast("binary"), 256))
-_reg("to_base64", "base64")(lambda b: F.base64(_c(b)))
+# Spark's base64 MIME-chunks at 76 chars (legacy JVM encoder) — the
+# reference emits one unbroken string (blob/base64.test)
+_reg("to_base64", "base64")(
+    lambda b: F.regexp_replace(F.base64(_c(b)), "\r\n", "")
+)
 _reg("from_base64")(lambda s: F.unbase64(_c(s)))
 _reg("hex", "to_hex")(lambda x: F.hex(_c(x)))
 _reg("unhex", "from_hex")(lambda s: F.unhex(_c(s)))

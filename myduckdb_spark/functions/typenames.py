@@ -76,6 +76,8 @@ def duck_typename_py(t: str | None) -> str | None:
         return f"STRUCT({', '.join(fields)})"
     if low.startswith("decimal"):
         return "DECIMAL" + t[len("decimal"):].replace(" ", "")
+    if low.startswith("time("):  # Spark TIME carries precision
+        return "TIME"
     return _SCALARS.get(low, t.upper())
 
 

@@ -150,14 +150,25 @@ def register_string_metrics(spark: SparkSession) -> None:
     """Register jaro_winkler_similarity / damerau_levenshtein as
     Arrow-batched UDFs (SQL + Column callable via spark.udf)."""
 
+    # NULL in, NULL out — the reference's string metrics are not
+    # null-coalescing (test_damerau_levenshtein.test, test_jaro_winkler)
+    def _null2(fn):
+        # NULL propagates; two EMPTY strings score 0.0 (live DuckDB;
+        # jaro_impl returns 0 when either length is 0)
+        return lambda x, y: (
+            None if x is None or y is None
+            else (0.0 if fn is not damerau_levenshtein
+                  and (len(x) == 0 or len(y) == 0) else fn(x, y))
+        )
+
     def _jw(a, b):
-        return a.combine(b, jaro_winkler)
+        return a.combine(b, _null2(jaro_winkler))
 
     def _j(a, b):
-        return a.combine(b, lambda x, y: _jaro_sim(x or "", y or ""))
+        return a.combine(b, _null2(_jaro_sim))
 
     def _dl(a, b):
-        return a.combine(b, damerau_levenshtein)
+        return a.combine(b, _null2(damerau_levenshtein))
 
     create_scalar_function(spark, "jaro_winkler_similarity", _jw, "double")
     create_scalar_function(spark, "jaro_similarity", _j, "double")

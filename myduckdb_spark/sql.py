@@ -2063,6 +2063,54 @@ def translate(text: str) -> str:
     out = _rewrite_table_functions(out)
     out = _rewrite_positional_join(out)
     out = _rewrite_window_filter(out)
+    # percentile_disc(p) WITHIN GROUP (ORDER BY e [DESC]) — Spark's
+    # builtin returns DOUBLE; the reference returns the INPUT type
+    # (ordered_aggregates.test: percentile_disc over ints = int).
+    # Collect-sort-index preserves the element type; index = smallest k
+    # with cum_dist >= p, i.e. ceil(p*n) (1-based, floor 1).
+    def _pdisc(mt: "re.Match[str]") -> str:
+        p, e, direc = mt.group(1), mt.group(2).strip(), (mt.group(3) or "")
+        asc = "false" if re.search(r"\bDESC\b", direc, re.I) else "true"
+        srt = f"sort_array(collect_list({e}), {asc})"
+
+        def pick(frac: str) -> str:
+            return (
+                f"try_element_at({srt}, greatest(CAST(ceil(({frac}) * "
+                f"size({srt})) AS INT), 1))"
+            )
+
+        if re.match(r"\s*(\[|array\s*\()", p, re.I):
+            return f"transform({p}, __pq -> {pick('__pq')})"
+        return pick(p)
+
+    out = re.sub(
+        r"\bpercentile_disc\s*\(((?:[^()]|\([^()]*\))+)\)\s+WITHIN\s+GROUP\s*\(\s*"
+        r"ORDER\s+BY\s+([^()]+?)(\s+DESC|\s+ASC)?\s*\)",
+        _pdisc, out, flags=re.I,
+    )
+
+    # median over VARCHAR / DECIMAL is DISCRETE (lower middle) in the
+    # reference — only plain numerics interpolate (verified live:
+    # median(r::decimal(10,2)) over 0..9999 = 4999.00; median(d::VARCHAR)
+    # over 0..99 = '53'). Detect the typed-cast argument shape.
+    def _median_discrete(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        arg = a[0].strip()
+        if not re.search(
+            r"::\s*(VARCHAR|STRING|TEXT|CHAR|BPCHAR|DECIMAL|NUMERIC)\b"
+            r"|\bAS\s+(VARCHAR|STRING|TEXT|CHAR|BPCHAR|DECIMAL|NUMERIC)\b",
+            arg, re.I,
+        ):
+            return None
+        srt = f"array_sort(collect_list({arg}))"
+        # lower middle: floor((n+1)/2), 1-based (int CAST would ROUND)
+        return (
+            f"try_element_at({srt}, "
+            f"CAST(floor((size({srt}) + 1) / 2) AS INT))"
+        )
+
+    out = _rewrite_calls(out, "median", _median_discrete)
     # DuckDB tolerates a trailing comma in the SELECT list
     spans0 = _literal_spans(out)
     out = re.sub(
@@ -2103,6 +2151,8 @@ def translate(text: str) -> str:
         # routed through the __duck_typename helper (functions/typenames.py)
         return (
             f"CASE WHEN {t} LIKE '%<%' THEN __duck_typename({t}) "
+            # Spark TIME carries precision (time(6)); DuckDB prints TIME
+            f"WHEN {t} LIKE 'time(%' THEN 'TIME' "
             f"ELSE coalesce(element_at({m}, {t}), upper({t})) END"
         )
 
@@ -2348,6 +2398,18 @@ def translate(text: str) -> str:
     for _jfn in ("json_structure", "json_type"):
         out = _rewrite_calls(out, _jfn, _json_in_cast)
         out = out.replace("__jx0(", f"{_jfn}(")
+
+    # Spark's base64 MIME-chunks at 76 chars; the reference emits one
+    # unbroken string (blob/base64.test)
+    for _b64 in ("base64", "to_base64"):
+        out = _rewrite_calls(
+            out, _b64,
+            lambda a: (
+                f"replace(__b64({a[0]}), '\\r\\n', '')"
+                if len(a) == 1 else None
+            ),
+        )
+    out = out.replace("__b64(", "base64(")
     # regr_avgx/avgy always return DOUBLE in the reference (regr_avg.cpp);
     # Spark preserves DECIMAL inputs. Equivalent both-non-null average.
     out = _rewrite_calls(
@@ -3281,8 +3343,32 @@ def translate(text: str) -> str:
             "bool_or": f"CASE WHEN {n} = 0 THEN NULL ELSE exists({nn}, __x -> __x) END",
         }.get(name)
 
+    # NULL-propagation parity: Spark's isnan(NULL)=false, the reference
+    # returns NULL; factorial of a negative is 1 (empty product loop)
+    out = _rewrite_calls(
+        out, "isnan",
+        lambda a: (
+            f"CASE WHEN ({a[0]}) IS NULL THEN NULL "
+            f"ELSE __isnan({a[0]}) END"
+        ) if len(a) == 1 else None,
+    )
+    out = out.replace("__isnan(", "isnan(")
+    # factorial returns HUGEINT in the reference (up to 33!); Spark's
+    # builtin overflows LONG at 21!. DECIMAL(38,0) product matches the
+    # HUGEINT range; negatives/0 are the empty product = 1
+    out = _rewrite_calls(
+        out, "factorial",
+        lambda a: (
+            f"CASE WHEN ({a[0]}) < 1 THEN CAST(1 AS DECIMAL(38,0)) "
+            f"ELSE aggregate(sequence(1, CAST({a[0]} AS INT)), "
+            f"CAST(1 AS DECIMAL(38,0)), "
+            f"(__fa, __fi) -> __fa * __fi) END"
+        ) if len(a) == 1 else None,
+    )
+
     out = _rewrite_calls(out, "list_aggregate", _list_aggregate)
     out = _rewrite_calls(out, "list_aggr", _list_aggregate)
+
     # every aggregate name above also has a list_<name>(l, params...)
     # rewrite alias (function/list/list_aggregates.cpp registration loop)
     for _agg in (
@@ -3367,25 +3453,48 @@ def translate(text: str) -> str:
         )
 
     out = _rewrite_calls(out, "trunc", _trunc1)
-    # parse_path family (reference parse_path.cpp; default separator
-    # splits on both / and \; a leading separator is its own component)
-    _SEPC = r"[/\\\\\\\\]"  # regex class for / or \ in the emitted literal
+    # parse_path family (reference parse_path.cpp). The optional
+    # separator argument picks the split class: 'forward_slash' (/ only),
+    # 'backslash' (\\ only), 'system' (platform = / here), default
+    # 'both_slash' (verified live). A leading separator is its own
+    # component.
+    _SEP_BOTH = r"[/\\\\\\\\]"
 
-    def _path_components(s: str) -> str:
-        f = f"filter(split({s}, '{_SEPC}'), __pc -> __pc <> '')"
+    def _sep_class(argtext: str | None) -> str:
+        v = (argtext or "").strip().strip("'\"").lower()
+        if v == "forward_slash" or v == "system":
+            return r"[/]"
+        if v == "backslash":
+            return r"[\\\\\\\\]"
+        return _SEP_BOTH
+
+    def _path_components(s: str, sep: str) -> str:
+        f = f"filter(split({s}, '{sep}'), __pc -> __pc <> '')"
         return (
-            f"CASE WHEN {s} RLIKE '^{_SEPC}' "
+            f"CASE WHEN {s} RLIKE '^{sep}' "
             f"THEN concat(array(substring({s}, 1, 1)), {f}) ELSE {f} END"
         )
 
     def _parse_path(a: list[str]) -> str | None:
-        return _path_components(a[0]) if len(a) >= 1 else None
+        if not a:
+            return None
+        return _path_components(a[0], _sep_class(a[1] if len(a) > 1 else None))
 
     def _parse_filename(a: list[str]) -> str | None:
         if not a:
             return None
-        fname = f"regexp_extract({a[0]}, '({_SEPC.replace('[', '[^')}*)$', 1)"
-        if len(a) >= 2 and a[1].strip().lower() == "true":
+        # parse_filename(path[, trim_extension][, separator]) — the 2-arg
+        # form takes EITHER a trim flag or a separator name
+        rest = [x.strip() for x in a[1:]]
+        sepname = next(
+            (x for x in rest
+             if x.strip("'\"").lower() in
+             ("system", "forward_slash", "backslash", "both_slash")),
+            None,
+        )
+        sep = _sep_class(sepname)
+        fname = f"regexp_extract({a[0]}, '({sep.replace('[', '[^')}*)$', 1)"
+        if len(a) >= 2 and a[1].strip().strip("'\"").lower() == "true":
             return f"regexp_replace({fname}, '\\\\.[^.]*$', '')"
         return fname
 
@@ -3393,18 +3502,29 @@ def translate(text: str) -> str:
         if not a:
             return None
         s = a[0]
+        sep = _sep_class(a[1] if len(a) > 1 else None)
         return (
-            f"CASE WHEN {s} RLIKE '{_SEPC}' "
-            f"THEN regexp_replace({s}, '{_SEPC}{_SEPC.replace('[', '[^')}*$', '') "
+            f"CASE WHEN ({s}) IS NULL THEN NULL "
+            # a pure-separator path is its own dirpath ('/' -> '/')
+            f"WHEN {s} RLIKE '^{sep}+$' THEN {s} "
+            f"WHEN {s} RLIKE '{sep}' "
+            f"THEN regexp_replace({s}, '{sep}{sep.replace('[', '[^')}*$', '') "
             f"ELSE '' END"
         )
 
     def _parse_dirname(a: list[str]) -> str | None:
         if not a:
             return None
-        comps = _path_components(a[0])
+        comps = _path_components(
+            a[0], _sep_class(a[1] if len(a) > 1 else None)
+        )
+        sep = _sep_class(a[1] if len(a) > 1 else None)
         return (
-            f"CASE WHEN size({comps}) > 1 THEN element_at({comps}, 1) "
+            f"CASE WHEN ({a[0]}) IS NULL THEN NULL "
+            f"WHEN size({comps}) > 1 THEN element_at({comps}, 1) "
+            # a bare leading separator IS the dirname ('\\' -> '\\')
+            f"WHEN size({comps}) = 1 AND {a[0]} RLIKE '^{sep}' "
+            f"THEN element_at({comps}, 1) "
             f"ELSE '' END"
         )
 
@@ -3418,16 +3538,40 @@ def translate(text: str) -> str:
         if len(a) not in (3, 4):
             return None
         w = a[3] if len(a) == 4 else "80"
+        # fraction = (x - min) / ABS(max - min), clamped to [0, 1]
+        # (verified live: bar(40, 20, 0) is FULL, bar(10, 20, 0) empty —
+        # a reversed range keeps min as the zero point)
+        # reference clamp order (bar.cpp; verified live incl. reversed
+        # ranges and infinities): x <= min -> 0, else x >= max -> 1,
+        # else (x-min)/(max-min); NaN fraction -> 0
+        xd = f"CAST({a[0]} AS DOUBLE)"
+        mn = f"CAST({a[1]} AS DOUBLE)"
+        mx = f"CAST({a[2]} AS DOUBLE)"
         u = (
-            f"least(greatest((CAST({a[0]} AS DOUBLE) - CAST({a[1]} AS DOUBLE))"
-            f" / (CAST({a[2]} AS DOUBLE) - CAST({a[1]} AS DOUBLE)), CAST(0 AS DOUBLE)), "
-            f"CAST(1 AS DOUBLE)) * ({w})"
+            # Spark orders NaN above everything; C++ comparisons with
+            # NaN are false -> the NaN case must short-circuit first
+            f"(CASE WHEN isnan({xd}) THEN CAST(0 AS DOUBLE) "
+            f"WHEN {xd} <= {mn} THEN CAST(0 AS DOUBLE) "
+            f"WHEN {xd} >= {mx} THEN CAST(1 AS DOUBLE) "
+            f"ELSE nanvl(({xd} - {mn}) / ({mx} - {mn}), CAST(0 AS DOUBLE)) "
+            f"END) * ({w})"
         )
         full = f"CAST({u} - ({u} % 1.0) AS INT)"
         rem8 = f"CAST((({u}) - ({u} - ({u} % 1.0))) * 8 AS INT)"
-        return (
+        body = (
             f"concat(repeat('█', {full}), "
             f"element_at(array('', '▏', '▎', '▍', '▌', '▋', '▊', '▉'), {rem8} + 1))"
+        )
+        # the reference pads with spaces until the string reaches `width`
+        # BYTES (bar.cpp targets a byte budget; each block glyph is 3
+        # UTF-8 bytes) — verified live: bar(25,0,100,80) = 20 blocks +
+        # 20 spaces (80 bytes, 40 chars)
+        nblock = f"({full} + CASE WHEN {rem8} > 0 THEN 1 ELSE 0 END)"
+        return (
+            f"CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL "
+            f"OR ({a[2]}) IS NULL THEN NULL ELSE "
+            f"concat({body}, repeat(' ', "
+            f"greatest(CAST({w} AS INT) - 3 * {nblock}, 0))) END"
         )
 
     out = _rewrite_calls(out, "bar", _bar)

@@ -226,6 +226,15 @@ def _canon_val(v) -> str:
         return "[" + ", ".join(_canon_val(x) for x in v) + "]"
     if type(v).__name__ == "VariantVal":  # Spark VARIANT ≡ DuckDB JSON text
         return v.toJson()
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        # engine convention: TIMESTAMPTZ is the UTC instant (session TZ
+        # pinned UTC) — canonicalize tz-aware values to naive UTC so the
+        # same instant compares equal across engines
+        return str(v.astimezone(_dt.timezone.utc).replace(tzinfo=None))
+    if isinstance(v, _dt.time) and v.tzinfo is not None:
+        return str(v.replace(tzinfo=None))
     return str(v)
 
 
