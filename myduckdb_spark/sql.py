@@ -3004,17 +3004,84 @@ def translate(text: str) -> str:
         "millennium", "isoyear",
     )
     # day-equivalent part names truncate to day (date_trunc.cpp)
-    _DAY_ALIASES = ("doy", "dow", "isodow", "weekday", "dayofyear", "dayofweek")
+    _DAY_ALIASES = ("doy", "dow", "isodow", "weekday", "dayofyear",
+                    "dayofweek", "julian", "jd")
+
+    # reference date_part_specifier synonyms (date_part.cpp GetDatePartSpecifier)
+    _PART_NORM = {
+        "y": "year", "yr": "year", "yrs": "year", "years": "year",
+        "mon": "month", "mons": "month", "months": "month",
+        "days": "day", "d": "day", "dayofmonth": "day",
+        "h": "hour", "hr": "hour", "hrs": "hour", "hours": "hour",
+        "min": "minute", "mins": "minute", "minutes": "minute", "n": "minute",
+        "s": "second", "sec": "second", "secs": "second", "seconds": "second",
+        "ms": "millisecond", "msec": "millisecond", "msecs": "millisecond",
+        "milliseconds": "millisecond",
+        "us": "microsecond", "usec": "microsecond", "usecs": "microsecond",
+        "microseconds": "microsecond",
+        "w": "week", "weeks": "week",
+        "quarters": "quarter", "qtr": "quarter",
+        "decades": "decade", "dec": "decade", "decs": "decade",
+        "centuries": "century", "cent": "century",
+        "millenniums": "millennium", "millennia": "millennium",
+        "mil": "millennium", "mils": "millennium",
+    }
+
+    def _isoyear_start(x: str) -> str:
+        j4 = f"make_date(extract(YEAROFWEEK FROM {x}), 1, 4)"
+        return f"date_sub({j4}, (dayofweek({j4}) + 5) % 7)"
+
+    def _era_start(x: str, unit: int, offset: int = 0) -> str:
+        # all eras anchor at year 0 (verified live: century(1996)=1900,
+        # millennium(1996)=1000, decade(1996)=1990)
+        y = f"CAST(year({x}) AS INT)"
+        return f"make_date(CAST(floor({y} / {unit}) AS INT) * {unit}, 1, 1)"
 
     def _date_trunc(args: list[str]):
         if len(args) != 2:
             return None
-        part = args[0].strip().strip("'\"").lower()
-        if part in _DAY_ALIASES:
-            return f"CAST(__dtr('day', {args[1]}) AS DATE)"
-        if part in _DATE_PARTS:
-            return f"CAST(__dtr({args[0]}, {args[1]}) AS DATE)"
-        return None
+        raw = args[0].strip()
+        x = args[1]
+        if re.fullmatch(r"'[^']*'", raw):
+            part = raw.strip("'").lower()
+            part = _PART_NORM.get(part, part)
+            raw = f"'{part}'"
+            if part in _DAY_ALIASES:
+                return f"CAST(__dtr('day', {x}) AS DATE)"
+            if part == "yearweek":
+                return f"CAST(__dtr('week', {x}) AS DATE)"
+            if part == "isoyear":
+                return _isoyear_start(x)
+            if part == "decade":
+                return _era_start(x, 10)
+            if part == "century":
+                return _era_start(x, 100)
+            if part == "millennium":
+                return _era_start(x, 1000)
+            if part in _DATE_PARTS:
+                return f"CAST(__dtr({raw}, {x}) AS DATE)"
+            if part == "epoch":
+                return f"__dtr('second', {x})"
+            if part in ("hour", "minute", "second", "millisecond",
+                        "microsecond"):
+                return f"__dtr({raw}, {x})"
+            return None
+        # dynamic part (a column): CASE over the special parts, Spark's
+        # builtin for the rest — always TIMESTAMP, like the reference's
+        # dynamic dispatch
+        p = f"lower({raw})"
+        return (
+            f"CASE WHEN {p} = 'isoyear' THEN "
+            f"CAST({_isoyear_start(x)} AS TIMESTAMP) "
+            f"WHEN {p} = 'decade' THEN CAST({_era_start(x, 10)} AS TIMESTAMP) "
+            f"WHEN {p} = 'century' THEN CAST({_era_start(x, 100)} AS TIMESTAMP) "
+            f"WHEN {p} = 'millennium' THEN CAST({_era_start(x, 1000)} AS TIMESTAMP) "
+            f"WHEN {p} IN ('doy', 'dow', 'isodow', 'weekday', 'dayofyear', "
+            f"'dayofweek', 'julian', 'jd') THEN __dtr('day', {x}) "
+            f"WHEN {p} = 'yearweek' THEN __dtr('week', {x}) "
+            f"WHEN {p} = 'epoch' THEN __dtr('second', {x}) "
+            f"ELSE __dtr(CASE {p} WHEN 'years' THEN 'year' WHEN 'months' THEN 'month' WHEN 'days' THEN 'day' WHEN 'hours' THEN 'hour' WHEN 'minutes' THEN 'minute' WHEN 'seconds' THEN 'second' WHEN 'milliseconds' THEN 'millisecond' WHEN 'microseconds' THEN 'microsecond' WHEN 'weeks' THEN 'week' WHEN 'quarters' THEN 'quarter' ELSE {p} END, {x}) END"
+        )
 
     out = _rewrite_calls(out, "date_trunc", _date_trunc)
     out = re.sub(r"\b__dtr\s*\(", "date_trunc(", out)
