@@ -43,6 +43,8 @@ CRASHERS = {
     "types/nested/list/test_list_functions_with_null_structs.test",
     "function/timestamp/test_icu_time_bucket_timestamptz.test",
     "function/list/list_resize.test",
+    # spins the JVM/driver past any alarm
+    "json/issues/issue13212.test",
 }
 
 
@@ -165,6 +167,21 @@ def main() -> None:
         import tests.test_slt_corpus as tc
 
         curated = set(tc.CORPUS)
+    for a in sys.argv[1:]:
+        if a.startswith("--done="):  # resume: skip already-triaged files
+            dec = json.JSONDecoder()
+            for ln in open(a[len("--done="):]):
+                ln = ln.strip()
+                pos = 0
+                while pos < len(ln):
+                    try:
+                        obj, end = dec.raw_decode(ln, pos)
+                        curated.update(obj.keys())
+                        pos = end
+                        while pos < len(ln) and ln[pos] in " \t":
+                            pos += 1
+                    except Exception:
+                        break
     max_q = 60
     spark = get_spark()
     report: dict[str, dict] = {}
@@ -178,7 +195,12 @@ def main() -> None:
                     continue
                 if rel in CRASHERS:
                     report[rel] = {"skipped": "native-crash file"}
+                    print(json.dumps({rel: report[rel]}), flush=True)
                     continue
+                # crash fence: native duckdb segfaults kill the process
+                # before a result is written; a --done resume must skip
+                print(json.dumps({rel: {"fatal": "started (native crash?)"}}),
+                      flush=True)
                 try:
                     # per-file wall clock cap — a few corpus files drive the
                     # JVM into multi-minute analysis; don't let one file
