@@ -2633,10 +2633,23 @@ def translate(text: str) -> str:
     def _printf_nulls(a: list[str]) -> str | None:
         if len(a) < 2:
             return None
+        args = list(a)
+        fmt = args[0].strip()
+        if re.fullmatch(r"'(?:[^']|'')*'", fmt):
+            # %s arguments format through the SQL text rendering (the
+            # reference prints DATE/TIMESTAMP as their SQL text; Spark's
+            # %s of a DATE prints the raw epoch-days int)
+            convs = re.findall(
+                r"%[-+ #0]*\d*(?:\.\d+)?([sdioxXeEfgGc%])", fmt
+            )
+            convs = [c for c in convs if c != "%"]
+            for i, conv in enumerate(convs):
+                if conv == "s" and i + 1 < len(args):
+                    args[i + 1] = f"CAST({args[i + 1]} AS STRING)"
         guard = " OR ".join(f"({x}) IS NULL" for x in a)
         return (
             f"CASE WHEN {guard} THEN CAST(NULL AS STRING) "
-            f"ELSE __printf({', '.join(a)}) END"
+            f"ELSE __printf({', '.join(args)}) END"
         )
 
     out = _rewrite_calls(out, "printf", _printf_nulls)
