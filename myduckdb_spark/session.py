@@ -66,6 +66,10 @@ def get_spark(
         # DuckDB double-quotes are ALWAYS identifiers (never string
         # literals) — matches ANSI; needed for "names with spaces()"
         .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+        # DuckDB's TIMESTAMP is naive (no zone): literals and casts
+        # default to TIMESTAMP_NTZ; Spark's instant TIMESTAMP then maps
+        # to the reference's TIMESTAMP WITH TIME ZONE (typeof parity)
+        .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
     )
     if driver_memory is None:
         driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")

@@ -2141,9 +2141,11 @@ def translate(text: str) -> str:
             "map('int','INTEGER','bigint','BIGINT','smallint','SMALLINT',"
             "'tinyint','TINYINT','string','VARCHAR','double','DOUBLE',"
             "'float','FLOAT','boolean','BOOLEAN','date','DATE',"
-            # both Spark timestamp kinds map to TIMESTAMP: the engine's
-            # convention is naive-UTC (TIMESTAMPTZ is a packed BIGINT)
-            "'timestamp_ntz','TIMESTAMP','timestamp','TIMESTAMP',"
+            # session timestampType=NTZ: naive values are timestamp_ntz
+            # (duck TIMESTAMP); Spark's instant kind only arises from
+            # tz-aware sources = duck TIMESTAMP WITH TIME ZONE
+            "'timestamp_ntz','TIMESTAMP',"
+            "'timestamp','TIMESTAMP WITH TIME ZONE',"
             "'binary','BLOB','void','\"NULL\"','variant','JSON')"
         )
         # compound names (struct/map/array/decimal) need the recursive
