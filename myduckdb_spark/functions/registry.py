@@ -174,11 +174,18 @@ _reg("isodow")(
 _reg("dayofyear")(lambda ts: F.dayofyear(_c(ts)))
 _reg("week", "weekofyear")(lambda ts: F.weekofyear(_c(ts)))
 _reg("quarter")(lambda ts: F.quarter(_c(ts)))
-_reg("epoch")(lambda ts: F.unix_timestamp(_c(ts).cast("timestamp_ltz")))
+# epoch(ts) is DOUBLE seconds in the reference (fractional seconds kept;
+# src/core_functions/scalar/date/epoch.cpp)
+_reg("epoch")(lambda ts: (
+    F.unix_micros(_c(ts).cast("timestamp_ltz")).cast("double") / 1000000.0
+))
 _reg("epoch_ms")(lambda ts: F.unix_millis(_c(ts).cast("timestamp_ltz")))
 # timestamp_ltz: unix_micros needs an instant; the session default
 # timestamp type is NTZ (session TZ pinned UTC, so same instant)
 _reg("epoch_us")(lambda ts: F.unix_micros(_c(ts).cast("timestamp_ltz")))
+_reg("epoch_ns")(lambda ts: (
+    F.unix_micros(_c(ts).cast("timestamp_ltz")) * F.lit(1000).cast("bigint")
+))
 _reg("date_trunc", "datetrunc")(lambda part, ts: F.date_trunc(part, _c(ts)))
 _reg("date_diff", "datediff")(lambda part, a, b: F.timestampdiff(part, _c(a), _c(b)))
 _reg("date_add")(lambda d, n: F.date_add(_c(d), n))

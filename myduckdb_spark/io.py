@@ -379,6 +379,17 @@ def _csv_refine(df: DataFrame) -> DataFrame:
             *[F.col(f"`{c}`").cast("bigint").alias(c) if c in ints
               else F.col(f"`{c}`") for c in df.columns]
         )
+    # The reference sniffer never yields TIMESTAMP WITH TIME ZONE:
+    # offset-bearing cells are normalized to UTC and stored as naive
+    # TIMESTAMP (csv_scanner type lattice ends at TIMESTAMP). Spark infers
+    # offset-bearing cells as instant TIMESTAMP (LTZ); with the session
+    # pinned to UTC the NTZ cast is value-preserving and restores parity.
+    ltz = {c for c, t in df.dtypes if t == "timestamp"}
+    if ltz:
+        df = df.select(
+            *[F.col(f"`{c}`").cast("timestamp_ntz").alias(c) if c in ltz
+              else F.col(f"`{c}`") for c in df.columns]
+        )
     return df
 
 
@@ -625,6 +636,10 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None, **optio
     and empty-object fields recovered as MAP(VARCHAR, JSON)."""
     detect = options.pop("detect_temporal", True)
     multiline = options.pop("multiLine", None)
+    if isinstance(multiline, str):
+        # Spark reader options arrive as strings; 'false'/'0' must not be
+        # truthy (mirrors read_csv's header normalization)
+        multiline = multiline.strip().lower() in ("true", "1")
     if multiline is None and isinstance(path, str):
         multiline = _sniff_json_format(path)
     reader = spark.read

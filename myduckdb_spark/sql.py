@@ -111,6 +111,30 @@ def _rewrite_calls(text: str, name: str, fn) -> str:
             return text
 
 
+_NUMERIC_TYPE_RE = (
+    r"U?(?:TINY|SMALL|BIG|HUGE)?INT(?:EGER)?(?:[0-9]+)?|DOUBLE|FLOAT[48]?|"
+    r"REAL|DEC(?:IMAL)?(?:\s*\([^)]*\))?|NUMERIC(?:\s*\([^)]*\))?"
+)
+
+
+def _is_numeric_arg(a: str) -> bool:
+    """Syntactic test: does this SQL expression look numerically typed?
+    Used to pick the construction overload of epoch_ms/to_timestamp
+    (numeric -> timestamp) vs the extraction one (timestamp -> numeric).
+    Column references (untypable at rewrite time) default to False — the
+    extraction direction, which is the overwhelmingly common column case."""
+    s = a.strip()
+    if re.fullmatch(r"[-+0-9eE. \t()*/%]+", s) and re.search(r"[0-9]", s):
+        return True
+    if re.search(rf"::\s*(?:{_NUMERIC_TYPE_RE})\s*$", s, re.I):
+        return True
+    if re.match(
+        rf"CAST\s*\(.*\bAS\s+(?:{_NUMERIC_TYPE_RE})\s*\)\s*$", s, re.I | re.S
+    ):
+        return True
+    return False
+
+
 # ------------------------------------------------------ arrow vs lambda
 
 _HOFS = (
@@ -1010,6 +1034,14 @@ def _rewrite_table_functions(text: str) -> str:
         text,
         flags=re.I,
     )
+    # same promotion for the postfix-cast spelling: expr::DATE ± INTERVAL
+    # (the double cast keeps ::DATE's truncation before promoting)
+    text = re.sub(
+        r"::\s*DATE\b(\s*[+-]\s*)(?=INTERVAL\b)",
+        r"::DATE::TIMESTAMP\1",
+        text,
+        flags=re.I,
+    )
     # scalar positions: generate_series(...) → sequence(...)
     def gs(args: list[str]):
         if len(args) == 1:
@@ -1677,12 +1709,18 @@ def _rewrite_setop_order_alias(text: str) -> str:
 
 
 def _pin_window_null_order(text: str) -> str:
-    """Append NULLS LAST to window ORDER BY items without an explicit
-    placement: DuckDB's default null order is NULLS LAST while Spark's is
-    NULLS FIRST on ASC — inside an OVER clause that changes which rows a
-    frame covers and which row a ranking picks, so the default must be
-    pinned (bare query-level ORDER BY is handled per-query; this is the
-    window-spec counterpart)."""
+    """Append the session default null placement (SETTINGS
+    default_null_order; the reference defaults NULLS LAST, its test
+    harness often sets nulls_first) to window ORDER BY items without an
+    explicit placement — Spark's ASC default is NULLS FIRST, and inside
+    an OVER clause that changes which rows a frame covers and which row a
+    ranking picks (bare query-level ORDER BY is handled per-query; this
+    is the window-spec counterpart)."""
+    null_kw = (
+        "NULLS FIRST"
+        if SETTINGS.get("default_null_order", "nulls_last") == "nulls_first"
+        else "NULLS LAST"
+    )
     spans = _literal_spans(text)
     edits = []
     done_until = -1  # skip OVER sites nested inside an already-collected
@@ -1721,7 +1759,8 @@ def _pin_window_null_order(text: str) -> str:
         o_end = fm.start() if fm else len(spec)
         order = spec[om.end() : o_end]
         pinned = ", ".join(
-            o if re.search(r"\bNULLS\s+(FIRST|LAST)\b", o, re.I) else o.strip() + " NULLS LAST"
+            o if re.search(r"\bNULLS\s+(FIRST|LAST)\b", o, re.I)
+            else f"{o.strip()} {null_kw}"
             for o in _split_args(order)
         )
         new_spec = spec[: om.end()] + pinned + " " + spec[o_end:]
@@ -1775,6 +1814,107 @@ def _inline_named_windows(text: str) -> str:
             text = re.sub(
                 rf"\bOVER\s+{nm}\b", f"OVER ({spec})", text, flags=re.I
             )
+
+
+def _rewrite_window_mode(text: str) -> str:
+    """``mode(e) OVER (spec)`` → frame-materialized mode with the
+    reference's tie-break: highest count, then FIRST OCCURRENCE in frame
+    scan order (verified live: frame [5,3] → 5). Spark's mode() breaks
+    ties arbitrarily and its moving-frame results diverge (the reference
+    recomputes per frame — window_segment_tree.cpp). collect_list over
+    the same window preserves frame order; cost is O(frame²) per row,
+    bounded by the frame length."""
+    pat = re.compile(r"\bmode\s*\(", re.I)
+    pos = 0
+    while True:
+        spans = _literal_spans(text)
+        m = None
+        for c in pat.finditer(text, pos):
+            if not _in_spans(c.start(), spans):
+                m = c
+                break
+        if m is None:
+            return text
+        open_idx = m.end() - 1
+        close_idx = _matching_paren(text, open_idx)
+        if close_idx < 0:
+            pos = m.end()
+            continue
+        om = re.match(r"\s+OVER\s*(\(|\w+)", text[close_idx + 1:], re.I)
+        if om is None:
+            pos = close_idx + 1
+            continue
+        e = text[open_idx + 1: close_idx].strip()
+        if re.match(r"DISTINCT\b", e, re.I):
+            pos = close_idx + 1
+            continue
+        if om.group(1) == "(":
+            spec_open = close_idx + 1 + om.end() - 1
+            oc = _matching_paren(text, spec_open)
+            if oc < 0:
+                pos = close_idx + 1
+                continue
+            over_end = oc + 1
+        else:
+            over_end = close_idx + 1 + om.end()
+        over_txt = text[close_idx + 1: over_end]
+        arr = f"(collect_list({e}){over_txt})"
+        repl = (
+            f"try_element_at(array_sort(transform(array_distinct({arr}), "
+            f"__mv -> named_struct("
+            f"'c', -size(filter({arr}, __my -> __my = __mv)), "
+            f"'p', array_position({arr}, __mv), 'v', __mv))), 1).v"
+        )
+        text = text[: m.start()] + repl + text[over_end:]
+        pos = m.start() + len(repl)
+
+
+def _rewrite_window_nth(text: str) -> str:
+    """``nth_value(e, k) OVER (spec)`` with a non-literal / NULL / zero
+    offset — Spark requires a foldable positive offset, the reference
+    evaluates k per row and yields NULL for NULL or out-of-range k
+    (verified live: nth_value(x, NULL) → NULL, nth_value(x, 0) → NULL).
+    Emulate with element lookup over the frame-ordered collect_list; the
+    struct wrapper keeps NULL values countable (collect_list drops bare
+    NULLs, nth_value must count them)."""
+    pat = re.compile(r"\bnth_value\s*\(", re.I)
+    pos = 0
+    while True:
+        spans = _literal_spans(text)
+        m = None
+        for c in pat.finditer(text, pos):
+            if not _in_spans(c.start(), spans):
+                m = c
+                break
+        if m is None:
+            return text
+        open_idx = m.end() - 1
+        close_idx = _matching_paren(text, open_idx)
+        if close_idx < 0:
+            pos = m.end()
+            continue
+        args = [a.strip() for a in _split_args(text[open_idx + 1: close_idx])]
+        om = re.match(r"\s+OVER\s*(\(|\w+)", text[close_idx + 1:], re.I)
+        if om is None or len(args) != 2 or re.fullmatch(r"[1-9][0-9]*", args[1]):
+            pos = close_idx + 1
+            continue
+        if om.group(1) == "(":
+            oc = _matching_paren(text, close_idx + 1 + om.end() - 1)
+            if oc < 0:
+                pos = close_idx + 1
+                continue
+            over_end = oc + 1
+        else:
+            over_end = close_idx + 1 + om.end()
+        over_txt = text[close_idx + 1: over_end]
+        e, k = args
+        repl = (
+            f"(CASE WHEN ({k}) IS NULL OR ({k}) < 1 THEN NULL ELSE "
+            f"try_element_at((collect_list(named_struct('v', ({e})))"
+            f"{over_txt}), CAST(({k}) AS INT)).v END)"
+        )
+        text = text[: m.start()] + repl + text[over_end:]
+        pos = m.start() + len(repl)
 
 
 def _rewrite_window_exclude(text: str) -> str:
@@ -2083,9 +2223,14 @@ def translate(text: str) -> str:
             return f"transform({p}, __pq -> {pick('__pq')})"
         return pick(p)
 
+    # direction group also absorbs a NULLS FIRST/LAST modifier (nulls are
+    # dropped by collect_list, so placement never affects the result —
+    # but leaving it in the expression text broke the Spark parse) and
+    # the expression group tolerates one paren-nesting level.
     out = re.sub(
         r"\bpercentile_disc\s*\(((?:[^()]|\([^()]*\))+)\)\s+WITHIN\s+GROUP\s*\(\s*"
-        r"ORDER\s+BY\s+([^()]+?)(\s+DESC|\s+ASC)?\s*\)",
+        r"ORDER\s+BY\s+((?:[^()]|\([^()]*\))+?)"
+        r"(\s+DESC|\s+ASC)?(?:\s+NULLS\s+(?:FIRST|LAST))?\s*\)",
         _pdisc, out, flags=re.I,
     )
 
@@ -2123,11 +2268,39 @@ def translate(text: str) -> str:
     out = _rewrite_distinct_on(out)
     out = _inline_named_windows(out)
     out = _rewrite_distinct_window(out)
+    # RANGE frame end bound `0 PRECEDING`: the reference ends the frame
+    # BEFORE the current row (window_boundaries_state.cpp caps the end at
+    # the current position), where Spark's rangeBetween(…, 0) includes
+    # the current row and all its peers. Rewrite to CURRENT ROW EXCLUDE
+    # GROUP and let the EXCLUDE expansion subtract the peer group — exact
+    # whenever the order key is unique (ties are input-order-dependent in
+    # the reference itself).
+    spans_rp = _literal_spans(out)
+    out = re.sub(
+        r"(\bRANGE\s+BETWEEN\s+(?:[^()]|\([^()]*\))+?\s+AND\s+)0\s+PRECEDING\b",
+        lambda mm: mm.group(0) if _in_spans(mm.start(), spans_rp)
+        else mm.group(1) + "CURRENT ROW EXCLUDE GROUP",
+        out, flags=re.I,
+    )
+    out = _rewrite_window_mode(out)
+    out = _rewrite_window_nth(out)
     out = _rewrite_window_exclude(out)
     out = _pin_window_null_order(out)
     out = _rewrite_in_subquery(out)
     out = _rewrite_any_all(out)
     out = _rewrite_power_operator(out)
+    # DuckDB's `//` is integer division on integral operands — Spark's
+    # `div` truncates identically (both: -7//2 = -3). (On FLOAT/DECIMAL
+    # operands the reference's `//` degenerates to plain division — a
+    # surface this text-level rewrite doesn't carry; sweeps gate any
+    # mismatch before corpus promotion.)
+    spans_fd = _literal_spans(out)
+    out = re.sub(
+        r"(?<![/:])//(?!/)",
+        lambda mm: mm.group(0) if _in_spans(mm.start(), spans_fd)
+        else " div ",
+        out,
+    )
 
     # typeof(): DuckDB type NAMES (catalog type ids, type.cpp ToString)
     # differ from Spark's — map the scalar names, upper-case the rest.
@@ -2743,6 +2916,43 @@ def translate(text: str) -> str:
 
     # ---- missing scalar functions (SQL front door; Column forms live in
     # functions/registry.py) ------------------------------------------------
+    # epoch family (reference src/core_functions/scalar/date/epoch.cpp):
+    # extraction direction (temporal -> number) AND the construction
+    # overloads epoch_ms(BIGINT) -> TIMESTAMP / to_timestamp(numeric) ->
+    # TIMESTAMPTZ. Dispatch is syntactic (literal/explicit-numeric-cast =>
+    # construction; anything else => extraction, the common column case).
+    out = _rewrite_calls(
+        out, "epoch_ms",
+        lambda a: None if len(a) != 1 else (
+            f"CAST(timestamp_millis(CAST(({a[0]}) AS BIGINT)) AS TIMESTAMP_NTZ)"
+            if _is_numeric_arg(a[0])
+            else f"unix_millis(CAST(({a[0]}) AS TIMESTAMP_LTZ))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "epoch_us",
+        lambda a: f"unix_micros(CAST(({a[0]}) AS TIMESTAMP_LTZ))"
+        if len(a) == 1 and not _is_numeric_arg(a[0]) else None,
+    )
+    out = _rewrite_calls(
+        out, "epoch_ns",
+        lambda a: (
+            f"(unix_micros(CAST(({a[0]}) AS TIMESTAMP_LTZ)) * CAST(1000 AS BIGINT))"
+        ) if len(a) == 1 and not _is_numeric_arg(a[0]) else None,
+    )
+    out = _rewrite_calls(
+        out, "epoch",
+        lambda a: (
+            f"(CAST(unix_micros(CAST(({a[0]}) AS TIMESTAMP_LTZ)) AS DOUBLE)"
+            f" / 1000000)"
+        ) if len(a) == 1 and not _is_numeric_arg(a[0]) else None,
+    )
+    out = _rewrite_calls(
+        out, "to_timestamp",
+        lambda a: (
+            f"timestamp_seconds(CAST(({a[0]}) AS DECIMAL(20,6)))"
+        ) if len(a) == 1 and _is_numeric_arg(a[0]) else None,
+    )
     out = _rewrite_calls(
         out, "starts_with", lambda a: f"startswith({', '.join(a)})" if a else None
     )
@@ -4442,20 +4652,35 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
         n = df.count()
         part_by = [c.strip().strip('"')
                    for c in opts.get("PARTITION_BY", "").split(",") if c.strip()]
+        if part_by == ["*"]:  # PARTITION_BY '*' = all columns (bind_copy)
+            part_by = list(df.columns)
         if part_by:
-            # Hive-partitioned write, DuckDB-parity layout
-            # (physical_copy_to_file.cpp hive path): the partition columns
-            # are ALSO written into the data files, files are named
-            # data_{i} (or FILENAME_PATTERN with {uuid}/{i}), and repeat
-            # writes APPEND new uniquely-named files only under
-            # OVERWRITE_OR_IGNORE/APPEND — a bare rerun on a non-empty
-            # target errors. Implementation: Spark partitionBy on CLONED
-            # key columns (so the originals stay in the files), then
-            # metadata-only dir/file renames into the final layout —
+            # Hive-partitioned write, reference-parity layout
+            # (bind_copy.cpp:64,154): partition columns are NOT written
+            # into the data files by default — their values live only in
+            # the dir names; the explicit WRITE_PARTITION_COLUMNS option
+            # includes them, and partitioning by ALL columns without it
+            # errors. Files are named data_{i} (or FILENAME_PATTERN with
+            # {uuid}/{i}), and repeat writes APPEND new uniquely-named
+            # files only under OVERWRITE_OR_IGNORE/APPEND — a bare rerun
+            # on a non-empty target errors. Implementation: Spark
+            # partitionBy (which natively excludes the keys from data
+            # files; the WRITE_PARTITION_COLUMNS path partitions on
+            # CLONED key columns so the originals stay in the files),
+            # then metadata-only dir/file renames into the final layout —
             # fully parallel writers, one rename per output file.
             import uuid as _uuid
 
             truthy = ("true", "1")
+            write_part_cols = (
+                opts.get("WRITE_PARTITION_COLUMNS", "").lower() in truthy
+            )
+            if not write_part_cols and len(part_by) >= len(df.columns):
+                raise ValueError(
+                    "No column to write as all columns are specified as "
+                    "partition columns. WRITE_PARTITION_COLUMNS option "
+                    "can be used to write partition columns."
+                )
             append = (
                 opts.get("OVERWRITE_OR_IGNORE", "").lower() in truthy
                 or opts.get("APPEND", "").lower() in truthy
@@ -4471,13 +4696,17 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
                 )
             if overwrite and os.path.isdir(path):
                 _shutil.rmtree(path)
-            hp = {c: f"__hp_{c}" for c in part_by}
             out = df
-            for c, h in hp.items():
-                out = out.withColumn(h, F.col(f"`{c}`"))
+            if write_part_cols:
+                hp = {c: f"__hp_{c}" for c in part_by}
+                for c, h in hp.items():
+                    out = out.withColumn(h, F.col(f"`{c}`"))
+                part_dirs = list(hp.values())
+            else:
+                part_dirs = list(part_by)
             tmpd = _tempfile.mkdtemp(prefix="copypart_")
             wdir = os.path.join(tmpd, "w")
-            writer = out.write.mode("overwrite").partitionBy(*hp.values())
+            writer = out.write.mode("overwrite").partitionBy(*part_dirs)
             if fmt == "csv":
                 writer = writer.option("header", header).option("sep", delim)
             getattr(writer, fmt)(wdir)
@@ -4655,10 +4884,19 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
             reader = reader.option("timestampFormat", jf).option(
                 "timestampNTZFormat", jf
             )
-        tgt_types = [t for _c, t in target_df.dtypes]
-        # FORCE_NOT_NULL (cols): would-be-NULL cells become '' instead
-        # (live-DuckDB behavior; positional match to the table)
-        tgt_names = [c.lower() for c, _t in target_df.dtypes]
+        # FORCE_NOT_NULL (cols) / NULL-string rules are applied by FILE
+        # position: with an explicit column list (COPY t(b,a) FROM ...)
+        # file column i targets collist[i], not table column i.
+        all_tgt_names = [c.lower() for c, _t in target_df.dtypes]
+        if collist:
+            _order = [c.strip().strip('"').lower()
+                      for c in collist.split(",")]
+            _by_name = {c.lower(): t for c, t in target_df.dtypes}
+            tgt_names = _order
+            tgt_types = [_by_name.get(c, "string") for c in _order]
+        else:
+            tgt_types = [t for _c, t in target_df.dtypes]
+            tgt_names = all_tgt_names
         fraw = opts.get("FORCE_NOT_NULL")
         if fraw == "true":  # bare flag — needs a column list
             raise ValueError(
@@ -4672,7 +4910,7 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
                 for c in (fraw or "").split(",") if c.strip()
             }
             for c in forced:
-                if c not in tgt_names:
+                if c not in all_tgt_names:
                     raise ValueError(
                         f'"force_not_null" expected to find {c}, '
                         "but it was not found in the table"
@@ -5308,6 +5546,13 @@ def _statement_command(spark: SparkSession, text: str) -> DataFrame | None:
     m = _SET_STMT.match(text)
     if m:
         name, raw = m.group(1), m.group(2).strip().strip("'\"")
+        if name.lower() in ("default_null_order", "default_order"):
+            # session ordering defaults live in SETTINGS (translate()
+            # consults them for ORDER BY ALL and window null pinning)
+            SETTINGS[name.lower()] = raw.lower()
+            return spark.createDataFrame(
+                [(name, raw)], "name string, value string"
+            )
         if "." in name:  # dotted → Spark conf (e.g. spark.sql.shuffle.partitions)
             spark.conf.set(name, raw)
         else:
@@ -5580,6 +5825,22 @@ _READ_FN_FROM = re.compile(
 )
 
 
+def _hive_base(path: str) -> str | None:
+    """basePath for hive-layout file globs: the prefix before the first
+    ``key=value`` or glob path segment, so Spark's partition-dir inference
+    sees the full key chain instead of swallowing it into the common
+    parent. None when the path has no such segment (plain file/dir)."""
+    if path.startswith(("s3://", "s3a://", "s3n://", "r2://", "http")):
+        return None
+    p = path[len("file://"):] if path.startswith("file://") else path
+    parts = p.split("/")
+    for i, seg in enumerate(parts):
+        if ("=" in seg or "*" in seg or "?" in seg) and i:
+            base = "/".join(parts[:i]) or "/"
+            return base if os.path.isdir(base) else None
+    return None
+
+
 def _bind_file_scans(spark: SparkSession, text: str) -> str:
     """``FROM 'file.csv'`` / ``FROM read_csv(...)`` — the reference's
     filename-as-table binding (replacement scans). Registers a temp view
@@ -5601,18 +5862,43 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
                 ".jsonl": "json",
             }.get(ext, "csv")
             if fmt == "parquet":
-                # hive-layout dirs: the engine's partitioned COPY writes
-                # the partition columns INTO the files (DuckDB layout),
-                # so suppress Spark's dir-name partition inference — it
-                # would collide with the in-file column
-                df = (
-                    spark.read.option("recursiveFileLookup", "true")
-                    .parquet(path)
-                )
+                # hive-layout dirs: the reference's partitioned COPY keeps
+                # partition values ONLY in dir names (bind_copy.cpp
+                # write_partition_columns=false default), so Spark's
+                # dir-name partition inference must stay ON. For globs
+                # that descend through key=value segments the common
+                # parent would otherwise swallow the keys — anchor
+                # basePath at the first glob/key=value segment. Files
+                # that (via WRITE_PARTITION_COLUMNS, or written by the
+                # reference pre-0.10) ALSO carry the column in-file would
+                # collide with inference — fall back to a flat
+                # recursive-lookup read (in-file columns win there).
+                base = _hive_base(path)
+                try:
+                    rd = spark.read
+                    if base:
+                        rd = rd.option("basePath", base)
+                    df = rd.parquet(path)
+                except Exception:
+                    df = (
+                        spark.read.option("recursiveFileLookup", "true")
+                        .parquet(path)
+                    )
             elif fmt == "json":
                 df = _io.read_json(spark, path)
             else:
-                df = _io.read_csv(spark, path, **opts)
+                base = _hive_base(path)
+                if base:
+                    try:
+                        df = _io.read_csv(
+                            spark, path, basePath=base, **opts
+                        )
+                    except Exception:
+                        # files that also carry the partition column
+                        # in-file collide with dir inference — flat read
+                        df = _io.read_csv(spark, path, **opts)
+                else:
+                    df = _io.read_csv(spark, path, **opts)
             df.createOrReplaceTempView(view)
         except Exception:
             return None
