@@ -1480,6 +1480,66 @@ _UNARY_KEYWORDS = {
 }
 
 
+def _rewrite_at_time_zone(text: str) -> str:
+    """``expr AT TIME ZONE 'z'`` (reference ICU extension, icu-datefunc):
+    naive TIMESTAMP @ z → the instant of that wall time in z (duck
+    TIMESTAMPTZ; Spark to_utc_timestamp under the UTC session), and
+    TIMESTAMPTZ @ z → the naive wall time of the instant in z
+    (from_utc_timestamp). Dispatch is syntactic on the operand's cast/
+    literal spelling; bare column operands default to the naive reading
+    (the engine's session default timestamp type is NTZ)."""
+    pat = re.compile(r"\sAT\s+TIME\s+ZONE\s+('(?:[^']|'')*')", re.I)
+    while True:
+        spans = _literal_spans(text)
+        m = next(
+            (c for c in pat.finditer(text) if not _in_spans(c.start(), spans)),
+            None,
+        )
+        if m is None:
+            return text
+        start = _operand_start(text, m.start(), spans)
+        while True:  # extend over postfix-cast chains ('…'::TIMESTAMP)
+            j = start
+            while j > 0 and text[j - 1].isspace():
+                j -= 1
+            if j >= 2 and text[j - 2: j] == "::":
+                start = _operand_start(text, j - 2, spans)
+            else:
+                break
+        left = text[start: m.start()].strip()
+        z = m.group(1)
+        if re.search(r"::\s*TIMESTAMPTZ\s*$", left, re.I) or re.match(
+            r"TIMESTAMPTZ\b", left, re.I
+        ):
+            rep = _tz_instant_to_wall(left, z)
+        else:
+            rep = _tz_wall_to_instant(left, z)
+        text = text[:start] + rep + text[m.end():]
+
+
+def _tz_wall_to_instant(x: str, z: str) -> str:
+    """naive wall time in zone z → the instant, carried as its UTC wall
+    (TIMESTAMP_NTZ). convert_timezone is the one Spark tz primitive whose
+    value doesn't depend on the session timezone (to_utc_timestamp /
+    NTZ↔LTZ casts both re-read it), so corpus files that SET TimeZone
+    still compare exactly; the reference types this TIMESTAMPTZ — the
+    canon treats a tz-aware value and its UTC wall as equal."""
+    return f"convert_timezone({z}, 'UTC', CAST(({x}) AS TIMESTAMP_NTZ))"
+
+
+def _tz_instant_to_wall(x: str, z: str) -> str:
+    """instant → naive wall time in zone z (reference: TIMESTAMPTZ AT
+    TIME ZONE z → TIMESTAMP). unix_micros reads the instant session-
+    independently; the epoch-anchored interval rebuilds its UTC wall as
+    NTZ, then convert_timezone shifts walls."""
+    wall_utc = (
+        "(TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
+        f"CAST(unix_micros(CAST({x} AS TIMESTAMP_LTZ)) AS DECIMAL(26,6)) "
+        f"/ 1000000))"
+    )
+    return f"convert_timezone('UTC', {z}, {wall_utc})"
+
+
 def _rewrite_power_operator(text: str) -> str:
     """DuckDB's ``^`` / ``**`` are exponentiation (left-associative,
     binding tighter than * and unary minus — postgres rules, reference
@@ -2373,6 +2433,18 @@ def translate(text: str) -> str:
     out = _rewrite_calls(out, "floor", _ceil_floor("floor"))
 
     out = _rewrite_blob_literals(out)
+    out = _rewrite_at_time_zone(out)
+    # the reference's TIMESTAMPTZ type name (instant kind) is Spark's
+    # TIMESTAMP_LTZ — rename at every type position (::casts, CAST AS,
+    # typed literals); runs after AT TIME ZONE whose dispatch reads the
+    # original spelling
+    spans_tz = _literal_spans(out)
+    out = re.sub(
+        r"\bTIMESTAMPTZ\b",
+        lambda mm: mm.group(0) if _in_spans(mm.start(), spans_tz)
+        else "TIMESTAMP_LTZ",
+        out, flags=re.I,
+    )
     out = _rewrite_dynamic_interval(out)
     out = _rewrite_postfix_int_casts(out)
     out = _rewrite_int_casts(out)
@@ -2953,6 +3025,19 @@ def translate(text: str) -> str:
             f"timestamp_seconds(CAST(({a[0]}) AS DECIMAL(20,6)))"
         ) if len(a) == 1 and _is_numeric_arg(a[0]) else None,
     )
+    def _timezone_fn(a: list[str]) -> str | None:
+        if not a or (len(a) == 1 and not a[0]):
+            return "current_timezone()"
+        if len(a) != 2:
+            return None
+        z, ts = a
+        if re.search(r"::\s*TIMESTAMPTZ\s*$", ts, re.I) or re.match(
+            r"TIMESTAMPTZ\b", ts, re.I
+        ):
+            return _tz_instant_to_wall(ts, z)
+        return _tz_wall_to_instant(ts, z)
+
+    out = _rewrite_calls(out, "timezone", _timezone_fn)
     out = _rewrite_calls(
         out, "starts_with", lambda a: f"startswith({', '.join(a)})" if a else None
     )
@@ -4064,6 +4149,10 @@ def reset_dml_state(spark: SparkSession) -> None:
     _SEQUENCES = None
     _TXN = None
     _PREPARED.clear()
+    try:  # a corpus file's SET TimeZone must not leak into the next file
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
 
 
 # ---------------------------------------------------------------------------
@@ -4184,6 +4273,7 @@ _DDL_TYPES = {
     "VARCHAR": "STRING", "BPCHAR": "STRING", "BLOB": "BINARY",
     "NUMERIC": "DECIMAL(18,3)", "DATETIME": "TIMESTAMP", "UUID": "STRING",
     "BOOL": "BOOLEAN", "TIME": "BIGINT",  # µs-since-midnight convention
+    "TIMESTAMPTZ": "TIMESTAMP_LTZ",
 }
 
 
@@ -5530,6 +5620,244 @@ _PRAGMA_TI = re.compile(r"^\s*PRAGMA\s+table_info\s*\(\s*'([\w.]+)'\s*\)\s*;?\s*
 _EXPLAIN = re.compile(r"^\s*EXPLAIN\s+(.*)$", re.I | re.S)
 
 
+_DESCRIBE_SEL = re.compile(
+    r"^\s*(?:DESCRIBE|SHOW)\s+((?:SELECT|WITH|VALUES|FROM)\b.+|\(.+\))"
+    r"\s*;?\s*$",
+    re.I | re.S,
+)
+_DESCRIBE_TBL = re.compile(
+    r'^\s*(?:DESCRIBE|SHOW)\s+(?:TABLE\s+)?("?)([\w ]+)\1\s*;?\s*$', re.I
+)
+_DESCRIBE_ALL = re.compile(r"^\s*DESCRIBE\s*;?\s*$", re.I)
+_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+_SHOW_ALL_TABLES = re.compile(r"^\s*SHOW\s+ALL\s+TABLES\s*;?\s*$", re.I)
+
+_DESCRIBE_SCHEMA = (
+    "column_name string, column_type string, null string, key string, "
+    "default string, extra string"
+)
+
+
+def _catalog_names(spark: SparkSession) -> list[str]:
+    """Engine catalog listing: managed tables + CREATE VIEW views (the
+    reference's main-schema tables/views; Spark-side ephemeral temp views
+    that back them are implementation detail, not catalog entries)."""
+    names = set(_MANAGED) | set(_VIEWS)
+    return sorted(names)
+
+
+def _duck_field_type(f) -> str:
+    from myduckdb_spark.functions.typenames import duck_typename_py
+
+    return duck_typename_py(f.dataType.simpleString())
+
+
+def _describe_statement(spark: SparkSession, text: str) -> DataFrame | None:
+    """DESCRIBE / SHOW introspection (reference DescribeRelation /
+    duckdb_tables(): shell metadata surfaced as plain result sets —
+    column layout verified against live DuckDB):
+
+    * ``DESCRIBE tbl`` / ``SHOW tbl``     → column_name, column_type,
+      null (YES/NO), key (PRI/UNI), default, extra
+    * ``DESCRIBE SELECT …`` / ``SHOW SELECT …`` → same shape, YES nulls
+    * ``DESCRIBE`` / ``SHOW ALL TABLES``  → database, schema, name,
+      column_names, column_types, temporary
+    * ``SHOW TABLES``                     → name
+    """
+    from pyspark.sql import types as T
+
+    if _SHOW_TABLES.match(text):
+        return spark.createDataFrame(
+            [(n,) for n in _catalog_names(spark)], "name string"
+        )
+    if re.match(r"^\s*SHOW\s+DATABASES\s*;?\s*$", text, re.I):
+        return spark.createDataFrame(
+            [("memory",)], "database_name string"
+        )
+    if _DESCRIBE_ALL.match(text) or _SHOW_ALL_TABLES.match(text):
+        rows = []
+        for n in _catalog_names(spark):
+            try:
+                sch = (
+                    _MANAGED[n].scan().schema
+                    if n in _MANAGED else spark.table(n).schema
+                )
+            except Exception:
+                continue
+            rows.append(
+                (
+                    "memory", "main", n,
+                    [f.name for f in sch.fields],
+                    [_duck_field_type(f) for f in sch.fields],
+                    False,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("database", T.StringType()),
+                    T.StructField("schema", T.StringType()),
+                    T.StructField("name", T.StringType()),
+                    T.StructField(
+                        "column_names", T.ArrayType(T.StringType())
+                    ),
+                    T.StructField(
+                        "column_types", T.ArrayType(T.StringType())
+                    ),
+                    T.StructField("temporary", T.BooleanType()),
+                ]
+            ),
+        )
+    m = _DESCRIBE_SEL.match(text)
+    if m:
+        df = sql(spark, m.group(1))
+        rows = [
+            (f.name, _duck_field_type(f), "YES", None, None, None)
+            for f in df.schema.fields
+        ]
+        return spark.createDataFrame(rows, _DESCRIBE_SCHEMA)
+    m = _DESCRIBE_TBL.match(text)
+    if m and not re.match(
+        r"\s*SHOW\s+(TABLES|DATABASES|SCHEMAS|FUNCTIONS|VARIABLES|ALL)\b",
+        text, re.I,
+    ):
+        name = m.group(2).strip()
+        tbl = _MANAGED.get(name) or _MANAGED.get(name.lower())
+        if tbl is not None:
+            sch = tbl.scan().schema
+            pri = set(tbl.key() or [])
+            uni = {c for ks in tbl._manifest().get("unique", []) for c in ks}
+            dflts = tbl.defaults
+        elif name in _VIEWS or spark.catalog.tableExists(name):
+            sch = spark.table(name).schema
+            pri, uni, dflts = set(), set(), {}
+        else:
+            raise ValueError(f"Table with name {name} does not exist!")
+        rows = []
+        for f in sch.fields:
+            key = "PRI" if f.name in pri else ("UNI" if f.name in uni else None)
+            null = "NO" if (f.name in pri or not f.nullable) else "YES"
+            dflt = dflts.get(f.name)
+            rows.append(
+                (f.name, _duck_field_type(f), null, key,
+                 str(dflt) if dflt is not None else None, None)
+            )
+        return spark.createDataFrame(rows, _DESCRIBE_SCHEMA)
+    return None
+
+
+_NUM_PRECISION = {
+    "TINYINT": (8, 0), "SMALLINT": (16, 0), "INTEGER": (32, 0),
+    "BIGINT": (64, 0), "HUGEINT": (128, 0), "FLOAT": (24, 0),
+    "DOUBLE": (53, 0),
+}
+
+
+def _bind_information_schema(spark: SparkSession, text: str) -> str:
+    """``information_schema.tables/columns/schemata`` (reference
+    src/catalog/default/default_views.cpp): materialized on demand from
+    the engine catalog as temp views and substituted into the query —
+    values verified against live DuckDB (catalog 'memory', schema 'main',
+    Postgres bit-precision conventions for numerics)."""
+    used = {
+        m.group(1).lower()
+        for m in re.finditer(
+            r"\binformation_schema\s*\.\s*(tables|columns|schemata)\b",
+            text, re.I,
+        )
+    }
+    if not used:
+        return text
+    if "tables" in used:
+        rows = [
+            ("memory", "main", n,
+             "VIEW" if n in _VIEWS and n not in _MANAGED else "BASE TABLE")
+            for n in _catalog_names(spark)
+        ]
+        spark.createDataFrame(
+            rows,
+            "table_catalog string, table_schema string, table_name string, "
+            "table_type string",
+        ).createOrReplaceTempView("__is_tables")
+    if "columns" in used:
+        crows = []
+        for n in _catalog_names(spark):
+            try:
+                tbl = _MANAGED.get(n) or _MANAGED.get(n.lower())
+                sch = tbl.scan().schema if tbl else spark.table(n).schema
+            except Exception:
+                continue
+            dflts = tbl.defaults if tbl else {}
+            for i, f in enumerate(sch.fields, 1):
+                dt = _duck_field_type(f)
+                if dt.startswith("DECIMAL("):
+                    p, s = (int(x) for x in dt[8:-1].split(","))
+                else:
+                    p, s = _NUM_PRECISION.get(dt, (None, None))
+                dflt = dflts.get(f.name)
+                crows.append(
+                    ("memory", "main", n, f.name, i,
+                     str(dflt) if dflt is not None else None,
+                     "YES" if f.nullable else "NO", dt, p, s)
+                )
+        spark.createDataFrame(
+            crows,
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position int, column_default "
+            "string, is_nullable string, data_type string, "
+            "numeric_precision int, numeric_scale int",
+        ).createOrReplaceTempView("__is_columns")
+    if "schemata" in used:
+        rows = [
+            (c, s)
+            for s in ("information_schema", "main", "pg_catalog")
+            for c in ("memory", "system", "temp")
+        ]
+        spark.createDataFrame(
+            rows, "catalog_name string, schema_name string"
+        ).createOrReplaceTempView("__is_schemata")
+    return re.sub(
+        r"\binformation_schema\s*\.\s*(tables|columns|schemata)\b",
+        lambda m: f"__is_{m.group(1).lower()}",
+        text, flags=re.I,
+    )
+
+
+def _bind_describe_subqueries(spark: SparkSession, text: str) -> str:
+    """``FROM (DESCRIBE …)`` / ``(SHOW …)`` — the reference treats
+    introspection statements as table expressions (DescribeRelation is a
+    relation). Evaluate the inner statement via _describe_statement,
+    register the result as a temp view, substitute the view name."""
+    import hashlib
+
+    pat = re.compile(r"\(\s*(DESCRIBE|SHOW|SUMMARIZE)\b", re.I)
+    pos = 0
+    while True:
+        spans = _literal_spans(text)
+        m = next(
+            (c for c in pat.finditer(text, pos)
+             if not _in_spans(c.start(), spans)),
+            None,
+        )
+        if m is None:
+            return text
+        close = _matching_paren(text, m.start())
+        if close < 0:
+            return text
+        inner = text[m.start() + 1: close].strip()
+        try:
+            df = _describe_statement(spark, inner)
+        except Exception:
+            df = None
+        if df is None:  # not an evaluable introspection statement
+            pos = m.end()
+            continue
+        view = "__desc_" + hashlib.md5(inner.encode()).hexdigest()[:12]
+        df.createOrReplaceTempView(view)
+        text = text[: m.start()] + f"(SELECT * FROM {view})" + text[close + 1:]
+
+
 def _statement_command(spark: SparkSession, text: str) -> DataFrame | None:
     """Client-config / introspection statements the reference serves from
     its shell (SET: settings.cpp; PRAGMA table_info; EXPLAIN). Returns a
@@ -5553,6 +5881,14 @@ def _statement_command(spark: SparkSession, text: str) -> DataFrame | None:
             return spark.createDataFrame(
                 [(name, raw)], "name string, value string"
             )
+        if name.lower() == "timezone":
+            # the reference's SET TimeZone drives naive<->instant casts;
+            # Spark's session timeZone is the same knob (reset_dml_state
+            # restores the UTC default between corpus files)
+            spark.conf.set("spark.sql.session.timeZone", raw)
+            return spark.createDataFrame(
+                [(name, raw)], "name string, value string"
+            )
         if "." in name:  # dotted → Spark conf (e.g. spark.sql.shuffle.partitions)
             spark.conf.set(name, raw)
         else:
@@ -5560,6 +5896,9 @@ def _statement_command(spark: SparkSession, text: str) -> DataFrame | None:
 
             set_option(name, raw)
         return spark.createDataFrame([(name, raw)], "name string, value string")
+    d = _describe_statement(spark, text)
+    if d is not None:
+        return d
     m = _PRAGMA_TI.match(text)
     if m:
         fields = spark.table(m.group(1)).schema.fields
@@ -6109,6 +6448,13 @@ def sql(
     cmd = _statement_command(spark, text)
     if cmd is not None:
         return cmd
+    if not re.match(r"\s*(CREATE|DROP|ALTER)\b", text, re.I):
+        text = _bind_information_schema(spark, text)
+        if re.search(r"\(\s*(DESCRIBE|SHOW|SUMMARIZE)\b", text, re.I):
+            text = _bind_describe_subqueries(spark, text)
+            cmd = _statement_command(spark, text)
+            if cmd is not None:  # e.g. a bare parenthesized DESCRIBE
+                return cmd
     text = _bind_file_scans(spark, text)
     out = translate(_inject_column_collations(text))
     if re.search(r"\bjson_(structure|type)\s*\(", out):

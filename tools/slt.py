@@ -248,6 +248,44 @@ def _canon(rows) -> list[str]:
     return sorted("|".join(_canon_val(v) for v in r) for r in rows)
 
 
+def _utc_normalize_ltz(spark, df, rows):
+    """PySpark collects TIMESTAMP (LTZ) values as session-tz-shifted naive
+    datetimes; the canon expects the UTC instant (DuckDB returns tz-aware
+    values _canon_val normalizes to UTC). A no-op while the session sits
+    at its pinned UTC default — only corpus files that SET TimeZone pay
+    the extra collect: LTZ columns are re-read as unix_micros (the exact
+    instant, independent of any session/OS timezone conversion) and
+    rebuilt as naive-UTC datetimes."""
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        return rows
+    if tz in ("UTC", "Etc/UTC", "GMT"):
+        return rows
+    cols = df.columns
+    idx = [i for i, (_c, t) in enumerate(df.dtypes) if t == "timestamp"]
+    if not idx or len(set(cols)) != len(cols):
+        return rows
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    sel = [
+        F.unix_micros(F.col(f"`{c}`")).alias(c) if i in idx
+        else F.col(f"`{c}`")
+        for i, c in enumerate(cols)
+    ]
+    epoch = _dt.datetime(1970, 1, 1)
+    out = []
+    for r in df.select(*sel).collect():
+        r = list(r)
+        for i in idx:
+            if r[i] is not None:
+                r[i] = epoch + _dt.timedelta(microseconds=r[i])
+        out.append(tuple(r))
+    return out
+
+
 def _split_type_args(s: str) -> list[str]:
     parts, depth, start = [], 0, 0
     for i, ch in enumerate(s):
@@ -434,7 +472,7 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
             if max_queries is not None and res.queries >= max_queries:
                 break
             # plan/metadata output isn't value-comparable across engines
-            if re.match(r"\s*(EXPLAIN|DESCRIBE|SHOW|PRAGMA)\b", rec.sql, re.I):
+            if re.match(r"\s*(EXPLAIN|PRAGMA)\b", rec.sql, re.I):
                 res.skipped_queries.append((rec.sql, "plan/metadata query"))
                 continue
             if any(sub in rec.sql for sub in skip_substrings):
@@ -498,7 +536,11 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
                     and all(c.lower() in low for c in duck_cols)
                 ):
                     df = df.select([low[c.lower()] for c in duck_cols])
-                got = _canon([tuple(r) for r in df.collect()])
+                got = _canon(
+                    _utc_normalize_ltz(
+                        spark, df, [tuple(r) for r in df.collect()]
+                    )
+                )
             except Exception as e:
                 if strict:
                     raise
@@ -601,6 +643,7 @@ def _resync_from_duck(spark, con) -> None:
 def run_file_dual(
     spark, path: str, con=None, max_queries: int | None = None,
     collect_mismatches: bool = False,
+    skip_substrings: tuple[str, ...] = (),
 ):
     """Run one DML .test file with parallel engine/DuckDB state.
 
@@ -642,6 +685,8 @@ def run_file_dual(
         try:
             df = engine_sql(spark, localize_paths(sql, _spark_dir))
             rows = df.collect() if df is not None else []
+            if df is not None and rows:
+                rows = _utc_normalize_ltz(spark, df, rows)
             return (df, rows), None
         except Exception as e:
             return None, e
@@ -654,6 +699,12 @@ def run_file_dual(
     for rec in parse(path):
         sql = rec.sql
         if not sql.strip():
+            continue
+        if any(sub in sql for sub in skip_substrings):
+            # documented gap / native-crasher fence: never runs on EITHER
+            # engine (some fenced statements segfault live DuckDB itself)
+            (res.skipped_queries if rec.kind == "query"
+             else res.skipped_statements).append((sql, "documented gap"))
             continue
         if re.match(r"\s*PRAGMA", sql, re.I):
             continue
@@ -696,7 +747,7 @@ def run_file_dual(
         else:  # query
             if max_queries is not None and res.queries >= max_queries:
                 break
-            if re.match(r"\s*(EXPLAIN|DESCRIBE|SHOW|PRAGMA)\b", sql, re.I):
+            if re.match(r"\s*(EXPLAIN|PRAGMA)\b", sql, re.I):
                 res.skipped_queries.append((sql, "plan/metadata query"))
                 continue
             if re.match(
