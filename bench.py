@@ -130,6 +130,75 @@ def main() -> None:
     ratio = {
         n: round(timings[n] / duck[n], 3) for n in duck if duck[n] > 0
     }
+
+    # --- sf1 scale point (primary for the 2x budget: fixed job overhead
+    # amortizes; tools/make_sf_scale.py synthesizes 10x sf0.1) ----------
+    sf1 = None
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "testdata_sf1"),
+    )
+    if os.path.isdir(sf1_dir) and os.environ.get(
+        "SPARK_GRAFT_BENCH_SF1", "1"
+    ).lower() not in ("0", "false"):
+        sf1_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "2")))
+        t1: dict[str, float] = {}
+        for name in HEADLINE:
+            samples = []
+            for _ in range(sf1_runs):
+                t0 = time.time()
+                df = all_q[name](spark, sf1_dir)
+                df.write.mode("overwrite").format("noop").save()
+                samples.append(time.time() - t0)
+                if samples[0] > 45:  # one slow pass is measurement enough
+                    break
+            t1[name] = _median(samples)
+            print(f"  sf1 {name}: median {t1[name]}s", file=sys.stderr, flush=True)
+        con1 = duckdb.connect()
+        for t in TABLES:
+            p = f"{sf1_dir}/{t}.parquet"
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            con1.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        d1: dict[str, float] = {}
+        for name in HEADLINE:
+            sql = oracles.get(name)
+            if sql is None:
+                continue
+            try:
+                import threading
+
+                dsamples = []
+                for _ in range(min(sf1_runs, 3)):
+                    timer = threading.Timer(duck_cap, con1.interrupt)
+                    timer.start()
+                    try:
+                        t0 = time.time()
+                        con1.execute(sql).arrow()
+                        dsamples.append(time.time() - t0)
+                    finally:
+                        timer.cancel()
+                    if dsamples[0] > duck_cap / 2:
+                        break
+                d1[name] = _median(dsamples)
+            except Exception as e:
+                print(f"  sf1 duckdb {name}: SKIP ({str(e)[:100]})",
+                      file=sys.stderr, flush=True)
+                continue
+            print(
+                f"  sf1 duckdb {name}: median {d1[name]}s (ratio "
+                f"{round(t1[name] / d1[name], 2) if d1[name] else 'inf'})",
+                file=sys.stderr, flush=True,
+            )
+        sf1 = {
+            "queries": t1,
+            "total_sec": round(sum(t1.values()), 3),
+            "duckdb": d1,
+            "ratio": {n: round(t1[n] / d1[n], 3) for n in d1 if d1[n] > 0},
+            "runs": sf1_runs,
+        }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -144,6 +213,7 @@ def main() -> None:
                 "ratio": ratio,
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"sf1": sf1} if sf1 else {}),
             }
         )
     )

@@ -185,6 +185,20 @@ def parse(path: str) -> list[Record]:
     return recs
 
 
+def _canon_float(v: float) -> str:
+    """6-decimal rendering with trailing zeros stripped: DECIMAL vs DOUBLE
+    is a TYPE divergence the value canon shouldn't fail on (100.0000
+    DECIMAL vs 100.0 DOUBLE — test_evil_window ratio), and values equal at
+    6dp must render identically (240.0 vs 240.0000001 — windowed regr
+    accumulation). typeof() queries still check types explicitly."""
+    if v != v or v in (float("inf"), float("-inf")):
+        return f"{v:.6f}"
+    s = f"{v:.6f}"
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return "0" if s in ("-0", "") else s
+
+
 def _canon_val(v) -> str:
     """Engine-neutral value rendering: Spark Rows and DuckDB dicts (STRUCT),
     lists (LIST), and integral decimals (HUGEINT comes back as int from
@@ -198,15 +212,9 @@ def _canon_val(v) -> str:
     if isinstance(v, Decimal):
         if v == v.to_integral_value():
             return str(int(v))
-        return f"{float(v):.6f}"
+        return _canon_float(float(v))
     if isinstance(v, float):
-        # integral floats render like integral decimals: DECIMAL vs DOUBLE
-        # is a TYPE divergence the value canon shouldn't fail on (e.g.
-        # 100.0000 DECIMAL vs 100.0 DOUBLE — test_evil_window ratio);
-        # typeof() queries still check types explicitly
-        if abs(v) < 1e15 and v == int(v):  # NaN/inf fail the abs() gate
-            return str(int(v))
-        return f"{v:.6f}"
+        return _canon_float(v)
     if hasattr(v, "asDict"):  # pyspark Row (struct value)
         v = v.asDict()
         # DuckDB's UNNAMED structs (list_zip output) surface as tuples in
@@ -246,6 +254,40 @@ def _canon_val(v) -> str:
 
 def _canon(rows) -> list[str]:
     return sorted("|".join(_canon_val(v) for v in r) for r in rows)
+
+
+_APPROX_FNS = re.compile(
+    r"\bapprox_(count_distinct|quantile|top_k)\s*\(|\breservoir_quantile\s*\(",
+    re.I,
+)
+
+
+def _approx_equal(sql: str, got: list[str], want: list[str],
+                  rel: float = 0.05) -> bool:
+    """Sketch-backed aggregates (HLL / t-digest) pin ENGINE-SPECIFIC
+    estimates — the reference's expected blocks encode ITS sketch's
+    output, Spark's HLL++ legitimately differs. For queries calling an
+    approx_* function, numeric cells within ``rel`` relative error count
+    as equal (mirrors the registry's error-bound oracle for agg_approx);
+    non-numeric cells still compare exactly."""
+    if not _APPROX_FNS.search(sql) or len(got) != len(want):
+        return False
+    for g, w in zip(got, want):
+        gc, wc = g.split("|"), w.split("|")
+        if len(gc) != len(wc):
+            return False
+        for a, b in zip(gc, wc):
+            if a == b:
+                continue
+            try:
+                fa, fb = float(a), float(b)
+            except ValueError:
+                return False
+            if fa == fb:
+                continue
+            if abs(fa - fb) > rel * max(abs(fa), abs(fb), 1.0):
+                return False
+    return True
 
 
 def _utc_normalize_ltz(spark, df, rows):
@@ -546,7 +588,7 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
                     raise
                 res.skipped_queries.append((rec.sql, f"engine: {e}"))
                 continue
-            assert got == want, (
+            assert got == want or _approx_equal(rec.sql, got, want), (
                 f"mismatch for {rec.sql!r}:\n spark={got[:5]}\n duck={want[:5]}"
             )
             res.queries += 1
@@ -793,7 +835,7 @@ def run_file_dual(
             else:
                 rows = [tuple(r) for r in rows]
             got = _canon(rows)
-            if got != want:
+            if got != want and not _approx_equal(sql, got, want):
                 if collect_mismatches:
                     res.mismatches.append((sql[:300], got[:3], want[:3]))
                     continue
