@@ -48,6 +48,38 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # implementation or oracle changed since their last green row, then the
 # queries whose last green driver row is oldest so every registered
 # query re-verifies on a rotating schedule.
+R07_PRIORITY = (
+    # code paths TOUCHED this round: registry epoch() now returns DOUBLE
+    # seconds (fractional) and epoch_ns exists — re-prove the datetime
+    # battery; percentile/median SQL rewrite changed — re-prove the
+    # median/quantile battery
+    "fn_datetime_battery", "agg_median_quantile",
+    # stale: every query whose latest green driver row is r5 (r6
+    # verified the other 50) — rotates the full registry through the
+    # window every two rounds
+    "fn_list_battery", "fn_json_battery",
+    "win_lead_lag", "win_running_frames", "win_range_frame",
+    "win_qualify_topk", "win_exclude_current_row", "win_exclude_group_ties",
+    "win_share_of_group", "agg_distinct_and_filter", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_min_max_by",
+    "agg_string_agg_ordered", "agg_stats_exact",
+    "agg_mode_deterministic", "agg_bool_bit", "agg_collect_histogram",
+    "agg_regression", "agg_mad_topk", "q01_pricing_summary",
+    "q03_top_revenue_orders", "q05_local_supplier_volume",
+    "q06_forecast_revenue", "q10_returned_items", "groupjoin_order_items",
+    "amus_theta_join", "fn_string_battery", "fn_math_battery",
+    "fn_struct_map_battery", "fn_union_battery",
+    "fn_blob_battery", "join_left_outer_counts", "join_full_outer",
+    "join_semi", "join_anti", "join_mark_in_subquery",
+    "join_single_scalar_subquery", "join_positional", "join_range_theta",
+    "dedup_minhash_lsh", "sim_topk_bruteforce", "text_token_stats",
+    "tableinout_normalize", "stream_window_counts_batch",
+    "order_nulls_parity", "q12_priority_shipping",
+    # 51st slot — overflows the 50-query window; r4-green ranking query
+    # judge-strict-verified in r6, its code path unchanged this round
+    "win_ranking",
+)
+
 R06_PRIORITY = (
     # code paths TOUCHED this round (ADVICE r5 fixes: collate-in-call,
     # asof no-key persist, UPDATE...FROM scratch cleanup, array_agg
@@ -114,7 +146,7 @@ R05_PRIORITY = (
 
 def _ordered_names() -> list[str]:
     names = list(REGISTRY)
-    prio = [n for n in R06_PRIORITY if n in names]
+    prio = [n for n in R07_PRIORITY if n in names]
     return prio + [n for n in names if n not in set(prio)]
 
 
