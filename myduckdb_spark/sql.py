@@ -2433,6 +2433,37 @@ def translate(text: str) -> str:
     out = _rewrite_calls(out, "floor", _ceil_floor("floor"))
 
     out = _rewrite_blob_literals(out)
+    # ±infinity temporal literals in postfix-cast spelling: the reference
+    # pins them to the type's range ends (timestamp.cpp); the CAST(...)
+    # spelling is handled inside _rewrite_int_casts, this is the ::form
+    def _inf_postfix(mm: "re.Match[str]") -> str:
+        neg = mm.group(1).startswith("-")
+        typ = mm.group(2).upper()
+        if typ == "DATE":
+            v = "'0001-01-01'" if neg else "'9999-12-31'"
+        else:
+            v = ("'0001-01-01 00:00:00'" if neg
+                 else "'9999-12-31 23:59:59.999999'")
+        return f"{v}::{mm.group(2)}"
+
+    out = re.sub(
+        r"'([+-]?infinity)'\s*::\s*(TIMESTAMPTZ|TIMESTAMP|DATE|DATETIME)\b",
+        _inf_postfix, out, flags=re.I,
+    )
+    # offset-bearing string → naive TIMESTAMP: the reference normalizes
+    # the instant to UTC (timestamp.cpp TryConvertTimestampTZ — verified
+    # live, session-independent); Spark's NTZ cast silently DROPS the
+    # offset. Parse as instant and rebuild the UTC wall.
+    out = re.sub(
+        r"'(\d{4}-\d{2}-\d{2}[ T]\d{1,2}:\d{2}[0-9:.]*\s*[+-]\d{1,2}"
+        r"(?::\d{2})?)'\s*::\s*TIMESTAMP\b(?!\s*(?:_|TZ|\w))"
+        r"|\bTIMESTAMP\s+'(\d{4}-\d{2}-\d{2}[ T]\d{1,2}:\d{2}[0-9:.]*\s*"
+        r"[+-]\d{1,2}(?::\d{2})?)'",
+        lambda mm: _tz_instant_to_wall(
+            f"'{mm.group(1) or mm.group(2)}'", "'UTC'"
+        ),
+        out, flags=re.I,
+    )
     out = _rewrite_at_time_zone(out)
     # the reference's TIMESTAMPTZ type name (instant kind) is Spark's
     # TIMESTAMP_LTZ — rename at every type position (::casts, CAST AS,
@@ -3352,24 +3383,38 @@ def translate(text: str) -> str:
             return None
         raw = args[0].strip()
         x = args[1]
+        # TIMESTAMPTZ input keeps TIMESTAMPTZ output (date_trunc.cpp icu
+        # overload truncates in session tz) — day-or-coarser parts return
+        # DATE only for DATE/TIMESTAMP inputs
+        ltz = bool(
+            re.search(r"::\s*TIMESTAMP_?(LTZ|TZ)\s*$", x, re.I)
+            or re.match(r"\s*TIMESTAMP_?(LTZ|TZ)\b", x, re.I)
+        )
         if re.fullmatch(r"'[^']*'", raw):
             part = raw.strip("'").lower()
             part = _PART_NORM.get(part, part)
             raw = f"'{part}'"
             if part in _DAY_ALIASES:
-                return f"CAST(__dtr('day', {x}) AS DATE)"
+                return (f"__dtr('day', {x})" if ltz
+                        else f"CAST(__dtr('day', {x}) AS DATE)")
             if part == "yearweek":
-                return f"CAST(__dtr('week', {x}) AS DATE)"
+                return (f"__dtr('week', {x})" if ltz
+                        else f"CAST(__dtr('week', {x}) AS DATE)")
             if part == "isoyear":
-                return _isoyear_start(x)
+                return (f"CAST({_isoyear_start(x)} AS TIMESTAMP_LTZ)"
+                        if ltz else _isoyear_start(x))
             if part == "decade":
-                return _era_start(x, 10)
+                return (f"CAST({_era_start(x, 10)} AS TIMESTAMP_LTZ)"
+                        if ltz else _era_start(x, 10))
             if part == "century":
-                return _era_start(x, 100)
+                return (f"CAST({_era_start(x, 100)} AS TIMESTAMP_LTZ)"
+                        if ltz else _era_start(x, 100))
             if part == "millennium":
-                return _era_start(x, 1000)
+                return (f"CAST({_era_start(x, 1000)} AS TIMESTAMP_LTZ)"
+                        if ltz else _era_start(x, 1000))
             if part in _DATE_PARTS:
-                return f"CAST(__dtr({raw}, {x}) AS DATE)"
+                return (f"__dtr({raw}, {x})" if ltz
+                        else f"CAST(__dtr({raw}, {x}) AS DATE)")
             if part == "epoch":
                 return f"__dtr('second', {x})"
             if part in ("hour", "minute", "second", "millisecond",

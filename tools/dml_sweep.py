@@ -22,6 +22,8 @@ REF = "/root/reference/test/sql"
 # per-file watchdog cannot interrupt them, so they are skipped outright
 HANGERS = {
     "copy/csv/test_non_unicode_header.test",
+    # native duckdb crash observed mid-sweep (r7)
+    "types/nested/map/map_from_entries/data_types.test",
 }
 
 

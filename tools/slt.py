@@ -475,6 +475,10 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
     from myduckdb_spark.sql import SETTINGS, _SET_SETTING
 
     SETTINGS["default_null_order"] = "nulls_last"  # fresh-connection default
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     import tempfile
 
     test_dir = tempfile.mkdtemp(prefix="slt_")
@@ -488,6 +492,14 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
             sm = _SET_SETTING.match(rec.sql)
             if sm:  # semantic session settings apply to BOTH engines
                 SETTINGS[sm.group(1).lower()] = sm.group(2).lower()
+            tm = re.match(
+                r"^\s*SET\s+TimeZone\s*=\s*'([^']+)'\s*;?\s*$", rec.sql, re.I
+            )
+            if tm:  # instant literals / NTZ<->LTZ casts follow it
+                try:
+                    spark.conf.set("spark.sql.session.timeZone", tm.group(1))
+                except Exception:
+                    pass
             try:
                 con.execute(rec.sql)
                 res.statements += 1
