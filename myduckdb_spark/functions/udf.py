@@ -183,9 +183,19 @@ def register_numeric_udfs(spark: SparkSession) -> None:
     def _nextafter(a, b):
         import pandas as pd
 
-        return pd.Series(
-            np.nextafter(a.astype("float64"), b.astype("float64")),
-            index=a.index,
-        ).where(~(a.isna() | b.isna()))
+        # NaN must PROPAGATE (reference: nextafter(nan, x) = nan); SQL
+        # NULLs are indistinguishable from NaN in a float64 batch, so the
+        # SQL front door wraps the call in an IS NULL guard instead.
+        # FLOAT inputs step in float32 ULPs (nextafter('inf'::FLOAT, 0)
+        # is the largest finite float32, not float64)
+        if str(a.dtype) == "float32" and str(b.dtype) == "float32":
+            out = np.nextafter(
+                a.to_numpy(dtype="float32"), b.to_numpy(dtype="float32")
+            )
+        else:
+            out = np.nextafter(
+                a.to_numpy(dtype="float64"), b.to_numpy(dtype="float64")
+            )
+        return pd.Series(out.astype("float64"), index=a.index)
 
     create_scalar_function(spark, "nextafter", _nextafter, "double")

@@ -2446,6 +2446,19 @@ def translate(text: str) -> str:
                  else "'9999-12-31 23:59:59.999999'")
         return f"{v}::{mm.group(2)}"
 
+    # infinity ABSORBS interval arithmetic (interval.cpp: ±infinity ± x =
+    # ±infinity; an infinite DATE promotes to the infinite TIMESTAMP) —
+    # collapse to the final cast type and drop the interval op before the
+    # literal pin applies
+    out = re.sub(
+        r"('[+-]?infinity')(?:\s*::\s*(?:TIMESTAMPTZ|TIMESTAMP|DATE|"
+        r"DATETIME))*\s*::\s*(TIMESTAMPTZ|TIMESTAMP|DATE|DATETIME)"
+        r"\s*[+-]\s*INTERVAL\s*(?:\([^()]*\)|'[^']*')?\s*\w*",
+        lambda mm: f"{mm.group(1)}::TIMESTAMP"
+        if mm.group(2).upper() in ("DATE", "DATETIME")
+        else f"{mm.group(1)}::{mm.group(2)}",
+        out, flags=re.I,
+    )
     out = re.sub(
         r"'([+-]?infinity)'\s*::\s*(TIMESTAMPTZ|TIMESTAMP|DATE|DATETIME)\b",
         _inf_postfix, out, flags=re.I,
@@ -3069,6 +3082,20 @@ def translate(text: str) -> str:
         return _tz_wall_to_instant(ts, z)
 
     out = _rewrite_calls(out, "timezone", _timezone_fn)
+    # nextafter: NULL args → NULL, NaN args → NaN (the pandas UDF can't
+    # tell them apart in a float64 batch — guard at the SQL level where
+    # isnull() is NaN-exact)
+    out = _rewrite_calls(
+        out, "nextafter",
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN NULL "
+            f"WHEN __isnan(CAST(({a[0]}) AS DOUBLE)) "
+            f"OR __isnan(CAST(({a[1]}) AS DOUBLE)) "
+            f"THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE __naf({a[0]}, {a[1]}) END)"
+        ) if len(a) == 2 else None,
+    )
+    out = out.replace("__naf(", "nextafter(")
     out = _rewrite_calls(
         out, "starts_with", lambda a: f"startswith({', '.join(a)})" if a else None
     )

@@ -242,6 +242,13 @@ def _canon_val(v) -> str:
         return v.toJson()
     import datetime as _dt
 
+    if isinstance(v, _dt.timedelta):
+        # whole-day durations render as the day count: DuckDB types
+        # DATE - DATE as BIGINT days where Spark yields INTERVAL DAY —
+        # a TYPE divergence, same value
+        if v.seconds == 0 and v.microseconds == 0:
+            return str(v.days)
+        return str(v)
     if isinstance(v, _dt.datetime) and v.tzinfo is not None:
         # engine convention: TIMESTAMPTZ is the UTC instant (session TZ
         # pinned UTC) — canonicalize tz-aware values to naive UTC so the
@@ -421,6 +428,7 @@ def _snapshot(spark, con) -> None:
     }
     for t in names:
         tbl = con.execute(f'SELECT * FROM "{t}"').arrow()
+        tbl = _clamp_infinite_temporals(tbl)
         if any(f.type in _WIDEN for f in tbl.schema):
             tbl = tbl.cast(
                 pa.schema(
@@ -623,6 +631,34 @@ def run_file(spark, path: str, con=None, strict: bool = False, max_queries: int 
 # ---------------------------------------------------------------------------
 
 
+def _clamp_infinite_temporals(tbl):
+    """DuckDB encodes ±infinity TIMESTAMP/DATE as the int64/int32 range
+    extremes — Spark can't hold year ±294247, and the engine pins
+    infinity at the µs-range ends (0001-01-01 / 9999-12-31…999999, the
+    same values DuckDB's own Python fetch caps at). Clamp during the
+    resync mirror so both representations agree."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    TS_HI, TS_LO = 253402300799999999, -62135596800000000  # µs
+    D_HI, D_LO = 2932896, -719162  # days
+    for i, f in enumerate(tbl.schema):
+        if pa.types.is_timestamp(f.type):
+            ints = tbl.column(i).cast(pa.int64())
+            clamped = pc.min_element_wise(
+                pc.max_element_wise(ints, pa.scalar(TS_LO)), pa.scalar(TS_HI)
+            )
+            tbl = tbl.set_column(i, f, clamped.cast(f.type))
+        elif pa.types.is_date32(f.type):
+            ints = tbl.column(i).cast(pa.int32())
+            clamped = pc.min_element_wise(
+                pc.max_element_wise(ints, pa.scalar(D_LO, pa.int32())),
+                pa.scalar(D_HI, pa.int32()),
+            )
+            tbl = tbl.set_column(i, f, clamped.cast(f.type))
+    return tbl
+
+
 def _resync_from_duck(spark, con) -> None:
     from myduckdb_spark.sql import reset_dml_state
     from myduckdb_spark.sql import sql as engine_sql
@@ -655,6 +691,7 @@ def _resync_from_duck(spark, con) -> None:
     for t in names:
         try:
             tbl = con.execute(f'SELECT * FROM "{t}"').arrow()
+            tbl = _clamp_infinite_temporals(tbl)
             if any(f.type in _WIDEN for f in tbl.schema):
                 tbl = tbl.cast(
                     pa.schema(
