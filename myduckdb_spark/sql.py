@@ -2263,6 +2263,26 @@ def translate(text: str) -> str:
     out = _rewrite_table_functions(out)
     out = _rewrite_positional_join(out)
     out = _rewrite_window_filter(out)
+    # quantile family (reference quantile.cpp): quantile_cont
+    # interpolates (DOUBLE) = Spark's exact percentile; quantile_disc /
+    # quantile return the INPUT type — route through the WITHIN GROUP
+    # machinery below (which preserves the element type)
+    out = _rewrite_calls(
+        out, "quantile_cont",
+        lambda a: f"percentile({a[0]}, {a[1]})" if len(a) == 2 else (
+            f"percentile({a[0]}, 0.5)" if len(a) == 1 else None
+        ),
+    )
+    for _qd in ("quantile_disc", "quantile"):
+        out = _rewrite_calls(
+            out, _qd,
+            lambda a: (
+                f"percentile_disc({a[1]}) WITHIN GROUP (ORDER BY {a[0]})"
+                if len(a) == 2 else
+                f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {a[0]})"
+                if len(a) == 1 else None
+            ),
+        )
     # percentile_disc(p) WITHIN GROUP (ORDER BY e [DESC]) — Spark's
     # builtin returns DOUBLE; the reference returns the INPUT type
     # (ordered_aggregates.test: percentile_disc over ints = int).
@@ -3830,6 +3850,165 @@ def translate(text: str) -> str:
             lambda a, _agg=_agg: _list_aggregate([a[0], f"'{_agg}'", *a[1:]]),
         )
 
+    # plain-aggregate forms over a collected group (reference
+    # core_functions/aggregate/holistic): mad/product fold the group list
+    # through the SAME lattice as their list_* forms
+    for _agg in ("mad", "product"):
+        out = _rewrite_calls(
+            out, _agg,
+            lambda a, _agg=_agg: _list_aggregate(
+                [f"collect_list({a[0]})", f"'{_agg}'"]
+            ) if len(a) == 1 else None,
+        )
+    # entropy: -Σ (c/n)·log2(c/n) over value frequencies (NULLs ignored)
+    def _entropy(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        l = f"collect_list({a[0]})"
+        return (
+            f"(CASE WHEN size({l}) = 0 THEN NULL ELSE "
+            f"aggregate(transform(array_distinct({l}), "
+            f"__ev -> size(filter({l}, __ey -> __ey = __ev))), "
+            f"CAST(0 AS DOUBLE), (__ea, __ec) -> __ea - "
+            f"(__ec / size({l})) * log2(__ec / size({l}))) END)"
+        )
+
+    out = _rewrite_calls(out, "entropy", _entropy)
+    # histogram: MAP value → count, keys sorted (histogram.cpp)
+    def _histogram(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        l = f"collect_list({a[0]})"
+        return (
+            f"map_from_entries(transform(array_sort(array_distinct({l})), "
+            f"__hv -> struct(__hv, CAST(size(filter({l}, "
+            f"__hy -> __hy = __hv)) AS BIGINT))))"
+        )
+
+    out = _rewrite_calls(out, "histogram", _histogram)
+    # sem = population stddev / sqrt(n) (sem.cpp)
+    out = _rewrite_calls(
+        out, "sem",
+        lambda a: (
+            f"(stddev_pop({a[0]}) / sqrt(count({a[0]})))"
+        ) if len(a) == 1 else None,
+    )
+    def _arg_minmax(a: list[str], sp: str) -> str | None:
+        if len(a) == 2:
+            return f"{sp}({a[0]}, {a[1]})"
+        if len(a) == 3:
+            # arg_min(v, k, n): the v's of the n smallest k's, in k order
+            # (arg_min_max.cpp N-ary form; NULL k's excluded)
+            srt = (
+                f"array_sort(collect_list(CASE WHEN ({a[1]}) IS NOT NULL "
+                f"THEN struct(({a[1]}) AS k, ({a[0]}) AS v) END))"
+            )
+            if sp == "max_by":
+                srt = f"reverse({srt})"
+            return f"slice(transform({srt}, __am -> __am.v), 1, {a[2]})"
+        return None
+
+    for _nm, _sp in (
+        ("arg_min", "min_by"), ("argmin", "min_by"),
+        ("arg_min_null", "min_by"),
+        ("arg_max", "max_by"), ("argmax", "max_by"),
+        ("arg_max_null", "max_by"),
+    ):
+        out = _rewrite_calls(
+            out, _nm, lambda a, _sp=_sp: _arg_minmax(a, _sp)
+        )
+    out = _rewrite_calls(
+        out, "min_by",
+        lambda a: _arg_minmax(a, "min_by") if len(a) == 3 else None,
+    )
+    out = _rewrite_calls(
+        out, "max_by",
+        lambda a: _arg_minmax(a, "max_by") if len(a) == 3 else None,
+    )
+    out = _rewrite_calls(
+        out, "approx_quantile",
+        lambda a: f"approx_percentile({', '.join(a)})"
+        if len(a) == 2 else None,
+    )
+
+    # time_bucket(INTERVAL w, ts) — epoch-aligned buckets anchored at the
+    # reference's origins (time_bucket.cpp: 2000-01-03 for sub-month
+    # widths — a Monday, so week buckets start Mondays; 2000-01-01 for
+    # month-or-coarser). Literal intervals only; the optional
+    # origin/offset forms stay unrewritten (recorded as skips).
+    _TB_US = {
+        "microsecond": 1, "millisecond": 1000, "second": 1_000_000,
+        "minute": 60_000_000, "hour": 3_600_000_000,
+        "day": 86_400_000_000, "week": 604_800_000_000,
+    }
+
+    def _time_bucket(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        im = re.fullmatch(
+            r"INTERVAL\s*(?:'\s*(\d+)\s*(\w+?)s?\s*'|\(?\s*(\d+)\s*\)?\s*(\w+?)s?)",
+            a[0].strip(), re.I,
+        )
+        if not im:
+            return None
+        n = int(im.group(1) or im.group(3))
+        unit = (im.group(2) or im.group(4)).lower()
+        unit = {"min": "minute", "sec": "second", "hr": "hour",
+                "mon": "month", "yr": "year"}.get(unit, unit)
+        x = a[1]
+        is_date = bool(
+            re.search(r"::\s*DATE\s*$", x, re.I)
+            or re.match(r"\s*DATE\b", x, re.I)
+        )
+        if unit in _TB_US:
+            w = n * _TB_US[unit]
+            o = 946_857_600_000_000  # 2000-01-03 00:00:00 UTC in µs
+            us = f"unix_micros(CAST(({x}) AS TIMESTAMP_LTZ))"
+            b = f"({us} - pmod({us} - {o}, {w}))"
+            expr = (
+                f"(TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval("
+                f"0, 0, 0, CAST({b} AS DECIMAL(26,6)) / 1000000))"
+            )
+        elif unit in ("month", "quarter", "year", "decade", "century"):
+            w = n * {"month": 1, "quarter": 3, "year": 12,
+                     "decade": 120, "century": 1200}[unit]
+            mo = f"((year({x}) - 2000) * 12 + month({x}) - 1)"
+            bm = f"({mo} - pmod({mo}, {w}))"
+            expr = (
+                f"CAST(make_date(2000 + CAST(floor(({bm}) / 12) AS INT), "
+                f"pmod({bm}, 12) + 1, 1) AS TIMESTAMP_NTZ)"
+            )
+        else:
+            return None
+        return f"CAST({expr} AS DATE)" if is_date else expr
+
+    out = _rewrite_calls(out, "time_bucket", _time_bucket)
+    # union_value(tag := v) / union_tag / union_extract — the engine's
+    # UNION carrier is STRUCT{tag, <member fields>} (SURVEY §3 type map;
+    # Column forms in functions/registry.py)
+    def _union_value(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        m = re.match(r"^\s*(\w+)\s*:=\s*(.+)$", a[0], re.S)
+        if not m:
+            return None
+        return (
+            f"named_struct('tag', '{m.group(1)}', "
+            f"'{m.group(1)}', ({m.group(2)}))"
+        )
+
+    out = _rewrite_calls(out, "union_value", _union_value)
+    out = _rewrite_calls(
+        out, "union_tag",
+        lambda a: f"({a[0]}).tag" if len(a) == 1 else None,
+    )
+    out = _rewrite_calls(
+        out, "union_extract",
+        lambda a: f"({a[0]})[{a[1]}]"
+        if len(a) == 2 and not a[1].startswith("'")
+        else (f"({a[0]}).{a[1][1:-1]}" if len(a) == 2 else None),
+    )
+
     # prefix/suffix (reference string functions) → Spark predicates
     out = _rewrite_calls(
         out, "prefix",
@@ -4101,6 +4280,14 @@ def translate(text: str) -> str:
         ("int8", "bigint"), ("float4", "float"), ("float8", "double"),
         ("logical", "boolean"), ("bytea", "binary"), ("blob", "binary"),
         ("varbinary", "binary"),
+        # 128-bit / unsigned widths widen to the engine's carriers
+        # (SURVEY §3 type map); sub-µs timestamp widths all land on the
+        # µs TIMESTAMP carrier
+        ("hugeint", "decimal(38,0)"), ("uhugeint", "decimal(38,0)"),
+        ("utinyint", "smallint"), ("usmallint", "int"),
+        ("uinteger", "bigint"), ("ubigint", "decimal(20,0)"),
+        ("timestamp_ms", "timestamp"), ("timestamp_s", "timestamp"),
+        ("timestamp_ns", "timestamp"), ("timestamp_us", "timestamp"),
     ):
         spans_t = _literal_spans(out)
         pat_t = re.compile(rf"\b{duck_t}\b(?!\s*\()", re.I)

@@ -24,6 +24,11 @@ HANGERS = {
     "copy/csv/test_non_unicode_header.test",
     # native duckdb crash observed mid-sweep (r7)
     "types/nested/map/map_from_entries/data_types.test",
+    # known native crashers (shared with slt_sweep.CRASHERS)
+    "types/nested/list/test_list_functions_with_null_structs.test",
+    "function/timestamp/test_icu_time_bucket_timestamptz.test",
+    "function/list/list_resize.test",
+    "json/issues/issue13212.test",
 }
 
 
