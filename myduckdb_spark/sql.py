@@ -2294,10 +2294,15 @@ def translate(text: str) -> str:
         srt = f"sort_array(collect_list({e}), {asc})"
 
         def pick(frac: str) -> str:
-            return (
-                f"try_element_at({srt}, greatest(CAST(ceil(({frac}) * "
-                f"size({srt})) AS INT), 1))"
+            # negative fractions count from the TOP (quantile.cpp:
+            # disc(-0.5) over 6 = the 4th ascending = n + floor(p·n) + 1)
+            idx = (
+                f"CASE WHEN ({frac}) < 0 THEN size({srt}) + "
+                f"CAST(floor(({frac}) * size({srt})) AS INT) + 1 "
+                f"ELSE greatest(CAST(ceil(({frac}) * size({srt})) AS INT), "
+                f"1) END"
             )
+            return f"try_element_at({srt}, {idx})"
 
         if re.match(r"\s*(\[|array\s*\()", p, re.I):
             return f"transform({p}, __pq -> {pick('__pq')})"

@@ -645,17 +645,19 @@ def _clamp_infinite_temporals(tbl):
     for i, f in enumerate(tbl.schema):
         if pa.types.is_timestamp(f.type):
             ints = tbl.column(i).cast(pa.int64())
-            clamped = pc.min_element_wise(
-                pc.max_element_wise(ints, pa.scalar(TS_LO)), pa.scalar(TS_HI)
-            )
-            tbl = tbl.set_column(i, f, clamped.cast(f.type))
+            lo, hi = pa.scalar(TS_LO), pa.scalar(TS_HI)
         elif pa.types.is_date32(f.type):
             ints = tbl.column(i).cast(pa.int32())
-            clamped = pc.min_element_wise(
-                pc.max_element_wise(ints, pa.scalar(D_LO, pa.int32())),
-                pa.scalar(D_HI, pa.int32()),
-            )
-            tbl = tbl.set_column(i, f, clamped.cast(f.type))
+            lo, hi = pa.scalar(D_LO, pa.int32()), pa.scalar(D_HI, pa.int32())
+        else:
+            continue
+        # skip_nulls=False: min/max_element_wise otherwise REPLACES nulls
+        # with the clamp bound
+        clamped = pc.min_element_wise(
+            pc.max_element_wise(ints, lo, skip_nulls=False),
+            hi, skip_nulls=False,
+        )
+        tbl = tbl.set_column(i, f, clamped.cast(f.type))
     return tbl
 
 
