@@ -375,7 +375,8 @@ def _rewrite_qualify(text: str) -> str:
             raise ValueError("QUALIFY SELECT without FROM")
         items = [a.strip() for a in _split_args(text[sel.end() : from_m.start()])]
         names = []
-        for it in items:
+        auto_aliased = list(items)
+        for i, it in enumerate(items):
             am = _AS_ALIAS.search(it)
             if am:
                 names.append(am.group(1))
@@ -384,7 +385,11 @@ def _rewrite_qualify(text: str) -> str:
             elif it == "*":
                 raise ValueError("QUALIFY with SELECT * needs explicit columns")
             else:
-                raise ValueError(f"QUALIFY select item needs an alias: {it!r}")
+                # expression without an alias: auto-name it (the value
+                # canon maps columns positionally when names differ)
+                names.append(f"__q{i}")
+                auto_aliased[i] = f"{it} AS __q{i}"
+        items = auto_aliased
         # the reference binder applies DISTINCT *after* QUALIFY
         # (bind_select_node.cpp) — so strip it from the inner projection
         # (which carries the extra __qualify column) and dedupe the outer
@@ -392,14 +397,14 @@ def _rewrite_qualify(text: str) -> str:
         distinct = " DISTINCT" if sel.group(1) else ""
         inner = (
             "SELECT "
-            + text[sel.end() : from_m.start()]
+            + ", ".join(items)
             + f", ({pred}) AS __qualify "
             + text[from_m.start() : qm.start()]
         )
         new_block = (
             f"SELECT{distinct} "
             + ", ".join(names)
-            + f" FROM ({inner}) __qt WHERE __qualify"
+            + f" FROM ({inner}) __qt WHERE __qualify "
             + tail
         )
         text = text[: sel.start()] + new_block + text[end:]
