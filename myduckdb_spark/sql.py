@@ -3112,6 +3112,15 @@ def translate(text: str) -> str:
         return _tz_wall_to_instant(ts, z)
 
     out = _rewrite_calls(out, "timezone", _timezone_fn)
+    # weekday/dayofweek: Sunday=0..Saturday=6 in the reference
+    # (date_part.cpp); Spark's weekday() builtin is Monday=0 and its
+    # dayofweek() is Sunday=1
+    for _wd in ("weekday", "dayofweek"):
+        out = _rewrite_calls(
+            out, _wd,
+            lambda a: f"(__dow({a[0]}) - 1)" if len(a) == 1 else None,
+        )
+    out = out.replace("__dow(", "dayofweek(")
     # nextafter: NULL args → NULL, NaN args → NaN (the pandas UDF can't
     # tell them apart in a float64 batch — guard at the SQL level where
     # isnull() is NaN-exact)
