@@ -1249,6 +1249,27 @@ def _rewrite_int_casts(text: str) -> str:
             if lit == "'-infinity'":
                 v = "'0001-01-01'" if is_date else "'0001-01-01 00:00:00'"
                 return head + f"CAST({v} AS {am.group(2)})" + rest
+            if kw == "CAST" and not is_date and not re.fullmatch(
+                r"'(?:[^']|'')*'", am.group(1).strip()
+            ):
+                # offset-bearing STRING cells normalize their instant to
+                # UTC in the reference (timestamp.cpp TryConvertTimestampTZ)
+                # where Spark's NTZ cast drops the offset — per-row
+                # dispatch on a trailing ±HH[:MM] after a seconds field;
+                # offset-less strings keep the plain (naive) cast
+                argt = am.group(1).strip()
+                # single backslashes here: the literal-backslash doubling
+                # pass has already run, Spark itself doubles once more
+                off_re = r"':[0-9]{2}(\.[0-9]+)? *[+-][0-9]{1,2}(:[0-9]{2})?$'"
+                wall = _tz_instant_to_wall(f"({argt})", "'UTC'")
+                return (
+                    head
+                    + f"(CASE WHEN typeof(({argt})) = 'string' AND "
+                    f"CAST(({argt}) AS STRING) RLIKE {off_re} "
+                    f"THEN {wall} "
+                    f"ELSE CAST(({argt}) AS {am.group(2)}) END)"
+                    + rest
+                )
             # The reference's string→DATE/TIMESTAMP grammar (date.cpp /
             # timestamp.cpp, verified live) requires Y-M-D with -, / or .
             # separators (digit-only strings like '19920903' are NULL —
