@@ -3850,6 +3850,22 @@ def translate(text: str) -> str:
             ),
             "bool_and": f"CASE WHEN {n} = 0 THEN NULL ELSE forall({nn}, __x -> __x) END",
             "bool_or": f"CASE WHEN {n} = 0 THEN NULL ELSE exists({nn}, __x -> __x) END",
+            "entropy": (
+                f"(CASE WHEN size({nn}) = 0 THEN NULL ELSE "
+                f"aggregate(transform(array_distinct({nn}), "
+                f"__ev -> size(filter({nn}, __ey -> __ey = __ev))), "
+                f"CAST(0 AS DOUBLE), (__ea, __ec) -> __ea - "
+                f"(__ec / size({nn})) * log2(__ec / size({nn}))) END)"
+            ),
+            "histogram": (
+                f"map_from_entries(transform("
+                f"array_sort(array_distinct({nn})), "
+                f"__hv -> struct(__hv, CAST(size(filter({nn}, "
+                f"__hy -> __hy = __hv)) AS BIGINT))))"
+            ),
+            # HLL is exact at list cardinalities; corpus compares approx_*
+            # under a relative-error canon anyway
+            "approx_count_distinct": f"size(array_distinct({nn}))",
         }.get(name)
 
     # NULL-propagation parity: Spark's isnan(NULL)=false, the reference
@@ -3883,6 +3899,7 @@ def translate(text: str) -> str:
     for _agg in (
         "median", "mad", "mode", "product", "string_agg", "bool_and",
         "bool_or", "quantile", "quantile_disc", "first", "last",
+        "entropy", "histogram", "approx_count_distinct",
     ):
         out = _rewrite_calls(
             out,
