@@ -3851,7 +3851,8 @@ def translate(text: str) -> str:
             "bool_and": f"CASE WHEN {n} = 0 THEN NULL ELSE forall({nn}, __x -> __x) END",
             "bool_or": f"CASE WHEN {n} = 0 THEN NULL ELSE exists({nn}, __x -> __x) END",
             "entropy": (
-                f"(CASE WHEN size({nn}) = 0 THEN NULL ELSE "
+                f"(CASE WHEN ({l}) IS NULL THEN NULL "
+                f"WHEN size({nn}) = 0 THEN CAST(0 AS DOUBLE) ELSE "
                 f"aggregate(transform(array_distinct({nn}), "
                 f"__ev -> size(filter({nn}, __ey -> __ey = __ev))), "
                 f"CAST(0 AS DOUBLE), (__ea, __ec) -> __ea - "
@@ -3923,7 +3924,7 @@ def translate(text: str) -> str:
             return None
         l = f"collect_list({a[0]})"
         return (
-            f"(CASE WHEN size({l}) = 0 THEN NULL ELSE "
+            f"(CASE WHEN size({l}) = 0 THEN CAST(0 AS DOUBLE) ELSE "
             f"aggregate(transform(array_distinct({l}), "
             f"__ev -> size(filter({l}, __ey -> __ey = __ev))), "
             f"CAST(0 AS DOUBLE), (__ea, __ec) -> __ea - "

@@ -264,7 +264,7 @@ def _canon(rows) -> list[str]:
 
 
 _APPROX_FNS = re.compile(
-    r"\bapprox_(count_distinct|quantile|top_k)\s*\(|\breservoir_quantile\s*\(",
+    r"\b(list_)?approx_(count_distinct|quantile|top_k)\s*\(|\breservoir_quantile\s*\(",
     re.I,
 )
 
