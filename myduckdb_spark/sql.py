@@ -1186,6 +1186,15 @@ _INT_CAST_TYPES = {
     "int1", "int2", "int4", "int8", "signed", "long", "short",
     "utinyint", "usmallint", "uinteger", "ubigint",
 }
+# unsigned widths: (lo, hi, widened Spark carrier) — casts range-guard
+# (numeric_cast.hpp bounds); out-of-range is NULL under TRY_CAST and an
+# error under CAST, exactly like the reference
+_UNSIGNED_RANGES = {
+    "utinyint": (0, 255, "SMALLINT"),
+    "usmallint": (0, 65535, "INT"),
+    "uinteger": (0, 4294967295, "BIGINT"),
+    "ubigint": (0, 18446744073709551615, "DECIMAL(20,0)"),
+}
 _COLON_INT = re.compile(
     r"::\s*(tinyint|smallint|integer|int[1248]?|bigint|hugeint|signed|long|short"
     r"|utinyint|usmallint|uinteger|ubigint|varchar|text|bpchar|decimal|numeric)\b(?!\s*\()",
@@ -1334,6 +1343,25 @@ def _rewrite_int_casts(text: str) -> str:
                 f"WHEN '-Infinity' THEN '-inf' ELSE {base} END)"
                 + rest
             )
+        if am and am.group(2).lower() in _UNSIGNED_RANGES:
+            lo, hi, wide = _UNSIGNED_RANGES[am.group(2).lower()]
+            r = _round_cast(am.group(1), wide, "TRY_CAST")
+            if kw == "TRY_CAST":
+                return (
+                    head
+                    + f"(CASE WHEN ({r}) BETWEEN {lo} AND {hi} "
+                    f"THEN {r} END)"
+                    + rest
+                )
+            return (
+                head
+                + f"(CASE WHEN ({am.group(1)}) IS NULL THEN "
+                f"CAST(NULL AS {wide}) "
+                f"WHEN ({r}) BETWEEN {lo} AND {hi} THEN {r} "
+                f"ELSE CAST(raise_error('Conversion Error: value out of "
+                f"range for unsigned integer cast') AS {wide}) END)"
+                + rest
+            )
         if (
             am
             and am.group(2).lower() in _INT_CAST_TYPES
@@ -1363,6 +1391,7 @@ def _rewrite_postfix_int_casts(text: str) -> str:
                 # rounding is identity and frame bounds need bare literals
                 and not (
                     c.group(1).lower() in _INT_CAST_TYPES
+                    and c.group(1).lower() not in _UNSIGNED_RANGES
                     and re.search(r"(?<![\w.])\d+\s*$", text[: c.start()])
                 )
             ),
@@ -2483,6 +2512,42 @@ def translate(text: str) -> str:
     out = _rewrite_calls(out, "ceiling", _ceil_floor("ceil"))
     out = _rewrite_calls(out, "floor", _ceil_floor("floor"))
 
+    # bare integer literals beyond BIGINT parse as DOUBLE in Spark
+    # (silent precision loss at digit 16); the reference parses them as
+    # HUGEINT — carry them exactly as DECIMAL(38,0). A UNARY minus is
+    # absorbed into the literal: Spark coerces `-CASE …` (the cast
+    # rewrite's later expansion) through DOUBLE, losing the digits again.
+    spans_big = _literal_spans(out)
+
+    def _wrap_big(mm: "re.Match[str]") -> str:
+        if (
+            _in_spans(mm.start(), spans_big)
+            or int(mm.group(2)) <= 9223372036854775807
+        ):
+            return mm.group(0)
+        neg = ""
+        if mm.group(1):
+            j = mm.start() - 1
+            while j >= 0 and out[j].isspace():
+                j -= 1
+            prev = out[j] if j >= 0 else ""
+            wm = re.search(r"([A-Za-z_]\w*)\s*$", out[: j + 1])
+            unary = (
+                j < 0
+                or prev in "(,=<>+-*/%"
+                or (wm and wm.group(1).upper() in (
+                    "SELECT", "WHEN", "THEN", "ELSE", "AND", "OR", "NOT",
+                    "BY", "VALUES", "IN", "RETURN", "AS", "WHERE", "ON",
+                ))
+            )
+            if unary:
+                neg = "-"
+        body = f"CAST('{neg}{mm.group(2)}' AS DECIMAL(38,0))"
+        return body if neg else (mm.group(1) or "") + body
+
+    out = re.sub(
+        r"(-\s*)?(?<![\w.'\"])(\d{19,38})(?![\w.])", _wrap_big, out
+    )
     out = _rewrite_blob_literals(out)
     # ±infinity temporal literals in postfix-cast spelling: the reference
     # pins them to the type's range ends (timestamp.cpp); the CAST(...)
@@ -4338,14 +4403,12 @@ def translate(text: str) -> str:
         ("int8", "bigint"), ("float4", "float"), ("float8", "double"),
         ("logical", "boolean"), ("bytea", "binary"), ("blob", "binary"),
         ("varbinary", "binary"),
-        # 128-bit / unsigned widths widen to the engine's carriers
-        # (SURVEY §3 type map); sub-µs timestamp widths all land on the
-        # µs TIMESTAMP carrier
+        # 128-bit widths widen to the engine's carriers (SURVEY §3 type
+        # map). Unsigned types are handled inside the cast rewrite with
+        # RANGE GUARDS (below) — a bare rename would silently accept
+        # out-of-range values; TIMESTAMP_NS/_MS/_S stay unmapped (their
+        # precision semantics aren't a rename).
         ("hugeint", "decimal(38,0)"), ("uhugeint", "decimal(38,0)"),
-        ("utinyint", "smallint"), ("usmallint", "int"),
-        ("uinteger", "bigint"), ("ubigint", "decimal(20,0)"),
-        ("timestamp_ms", "timestamp"), ("timestamp_s", "timestamp"),
-        ("timestamp_ns", "timestamp"), ("timestamp_us", "timestamp"),
     ):
         spans_t = _literal_spans(out)
         pat_t = re.compile(rf"\b{duck_t}\b(?!\s*\()", re.I)

@@ -642,10 +642,14 @@ def _clamp_infinite_temporals(tbl):
 
     TS_HI, TS_LO = 253402300799999999, -62135596800000000  # µs
     D_HI, D_LO = 2932896, -719162  # days
+    _UNIT = {"s": 10**-6, "ms": 10**-3, "us": 1, "ns": 10**3}
     for i, f in enumerate(tbl.schema):
         if pa.types.is_timestamp(f.type):
             ints = tbl.column(i).cast(pa.int64())
-            lo, hi = pa.scalar(TS_LO), pa.scalar(TS_HI)
+            m = _UNIT.get(f.type.unit, 1)
+            i64 = (1 << 63) - 1
+            lo = pa.scalar(max(int(TS_LO * m), -i64))
+            hi = pa.scalar(min(int(TS_HI * m), i64))
         elif pa.types.is_date32(f.type):
             ints = tbl.column(i).cast(pa.int32())
             lo, hi = pa.scalar(D_LO, pa.int32()), pa.scalar(D_HI, pa.int32())
