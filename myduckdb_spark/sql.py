@@ -1000,6 +1000,10 @@ def _rewrite_table_functions(text: str) -> str:
     """FROM-position generate_series/unnest → lateral explode subqueries
     (reference table functions src/function/table/range.cpp,
     physical_unnest.cpp); scalar generate_series → sequence."""
+    # multi-unnest zip FIRST — the comma-TVF pass below would otherwise
+    # absorb a second select-list UNNEST into a correlated subquery
+    text = _rewrite_multi_unnest(text)
+
     def tvf(m: re.Match) -> str:
         kw, fn = m.group(1), m.group(2).lower()
         open_idx = m.end() - 1
@@ -1059,6 +1063,71 @@ def _rewrite_table_functions(text: str) -> str:
         text, "unnest", lambda a: f"explode({a[0]})" if len(a) == 1 else None
     )
     return text
+
+
+def _rewrite_multi_unnest(text: str) -> str:
+    """Several ``UNNEST(e)`` items in ONE select list zip POSITIONALLY in
+    the reference (physical_unnest.cpp: one row per index up to the
+    longest list, shorter lists NULL-padded; a NULL list pads
+    throughout). Spark's multiple generators would cross-product —
+    rewrite to a single explode over an index-aligned struct sequence.
+    Only the plain shape (every unnest a top-level select item, optional
+    alias) is handled; other shapes keep the single-generator path."""
+    sel_m = re.match(r"^\s*SELECT\s+", text, re.I)
+    if sel_m is None:
+        return text
+    spans = _literal_spans(text)
+    depths = _depth_profile(text)
+    fm = None
+    for f in re.finditer(r"\bFROM\b", text, re.I):
+        if not _in_spans(f.start(), spans) and depths[f.start()] == 0:
+            fm = f
+            break
+    sel_end = fm.start() if fm else len(text)
+    items = [a.strip() for a in _split_args(text[sel_m.end(): sel_end])]
+    un = []
+    for i, it in enumerate(items):
+        im = re.match(
+            r"^UNNEST\s*\((.*)\)(?:\s+AS\s+(\w+))?$", it, re.I | re.S
+        )
+        if im:
+            # require the call's parens to close where the regex says
+            inner = im.group(1)
+            if inner.count("(") != inner.count(")"):
+                return text
+            un.append((i, inner.strip(), im.group(2) or f"unnest_{i}"))
+    if len(un) < 2 or len(un) != len(
+        [1 for it in items if re.match(r"^UNNEST\s*\(", it, re.I)]
+    ):
+        return text
+    arrs = [f"coalesce(({e}), array())" for _i, e, _n in un]
+    g = f"greatest({', '.join(f'size({a})' for a in arrs)})"
+    fields = ", ".join(
+        f"try_element_at({a}, __ui) AS {n}"
+        for a, (_i, _e, n) in zip(arrs, un)
+    )
+    gen = (
+        f"explode(CASE WHEN {g} < 1 THEN array() ELSE "
+        f"transform(sequence(1, {g}), __ui -> struct({fields})) END) AS __uz"
+    )
+    inner_items = []
+    outer_items = []
+    un_idx = {i: n for i, _e, n in un}
+    extra = 0
+    for i, it in enumerate(items):
+        if i in un_idx:
+            outer_items.append(f"__uz.{un_idx[i]} AS {un_idx[i]}")
+        else:
+            am = re.search(r"\bAS\s+(\w+)\s*$", it, re.I)
+            name = am.group(1) if am else f"__uc{extra}"
+            if not am:
+                it = f"{it} AS {name}"
+                extra += 1
+            inner_items.append(it)
+            outer_items.append(name)
+    tail = text[fm.start():] if fm else "FROM (SELECT 1)"
+    inner = "SELECT " + ", ".join(inner_items + [gen]) + " " + tail
+    return "SELECT " + ", ".join(outer_items) + f" FROM ({inner}) __ut"
 
 
 _POSITIONAL_JOIN = re.compile(
