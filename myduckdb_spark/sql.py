@@ -2611,6 +2611,11 @@ def translate(text: str) -> str:
             )
             if unary:
                 neg = "-"
+        # -9223372036854775808 is a valid BIGINT even though its digits
+        # alone overflow; keep it integral so sequence()/range() bounds
+        # stay BIGINT-typed (table_function/test_range_function.test)
+        if neg and int(mm.group(2)) <= 9223372036854775808:
+            return f"CAST('-{mm.group(2)}' AS BIGINT)"
         body = f"CAST('{neg}{mm.group(2)}' AS DECIMAL(38,0))"
         return body if neg else (mm.group(1) or "") + body
 
@@ -3382,19 +3387,8 @@ def translate(text: str) -> str:
         return expr
 
     out = _rewrite_calls(out, "list_zip", _list_zip)
-    # list_histogram: element -> count map, NULLs dropped
-    out = _rewrite_calls(
-        out,
-        "list_histogram",
-        lambda a: (
-            f"map_from_arrays("
-            f"array_distinct(filter({a[0]}, __x -> __x IS NOT NULL)), "
-            f"transform(array_distinct(filter({a[0]}, __x -> __x IS NOT NULL)), "
-            f"__x -> size(filter({a[0]}, __y -> __y = __x))))"
-        )
-        if len(a) == 1
-        else None,
-    )
+    # list_histogram routes through _list_aggregate's histogram fold (the
+    # alias loop below) — one NULL/empty-semantics implementation, not two.
     # vector distance family over list columns (reference array_distance /
     # list_distance; fixed-size bounds already dropped by the type rewrite)
     def _vec_dist(a: list[str]) -> str | None:
@@ -3992,11 +3986,14 @@ def translate(text: str) -> str:
                 f"CAST(0 AS DOUBLE), (__ea, __ec) -> __ea - "
                 f"(__ec / size({nn})) * log2(__ec / size({nn}))) END)"
             ),
+            # NULL for NULL / empty / all-NULL input (null_or_empty.test:
+            # histogram sits in the NULL-result foreach, unlike entropy)
             "histogram": (
+                f"CASE WHEN size({nn}) = 0 THEN NULL ELSE "
                 f"map_from_entries(transform("
                 f"array_sort(array_distinct({nn})), "
                 f"__hv -> struct(__hv, CAST(size(filter({nn}, "
-                f"__hy -> __hy = __hv)) AS BIGINT))))"
+                f"__hy -> __hy = __hv)) AS BIGINT)))) END"
             ),
             # HLL is exact at list cardinalities; corpus compares approx_*
             # under a relative-error canon anyway
