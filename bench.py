@@ -206,23 +206,41 @@ def main() -> None:
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "duckdb": duck,
-                "duckdb_total": round(sum(duck.values()), 3),
-                "ratio": ratio,
-                "runs": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **({"sf1": sf1} if sf1 else {}),
-            }
-        )
-    )
+    # full detail (spreads, per-query duckdb medians, sf1 per-query
+    # timings) goes to stderr; the FINAL stdout line stays compact
+    # (< ~1.5KB) so the driver's tail capture can parse it — round 7's
+    # BENCH_r07.json recorded "parsed": null because this line outgrew
+    # the capture window.
+    detail = {
+        "spread": spread,
+        "duckdb": duck,
+        **({"sf1_detail": sf1} if sf1 else {}),
+    }
+    print("DETAIL " + json.dumps(detail), file=sys.stderr, flush=True)
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "ratio": ratio,
+        "duckdb_total": round(sum(duck.values()), 3),
+        "runs": runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if sf1:
+        r1 = sf1["ratio"]
+        worst = max(r1, key=r1.get) if r1 else None
+        best = min(r1, key=r1.get) if r1 else None
+        compact["sf1"] = {
+            "total_sec": sf1["total_sec"],
+            "duckdb_total": round(sum(sf1["duckdb"].values()), 3),
+            "ratio_median": round(statistics.median(r1.values()), 2) if r1 else None,
+            "le2x": sum(1 for v in r1.values() if v <= 2.0),
+            "worst": [worst, r1.get(worst)] if worst else None,
+            "best": [best, r1.get(best)] if best else None,
+            "runs": sf1["runs"],
+        }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

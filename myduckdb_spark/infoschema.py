@@ -1,0 +1,359 @@
+"""Catalog-introspection state: information_schema views + CREATE SCHEMA.
+
+Reference: src/catalog/default/default_views.cpp (the information_schema
+view definitions), duckdb_constraints()/duckdb_views() table functions,
+and Postgres-compatible constraint naming (<table>_<cols>_pkey/_key/
+_check/_fkey).
+
+The engine keeps a catalog-metadata registry here:
+
+* engine DDL (CREATE SCHEMA, CREATE TABLE column defs) populates it;
+* the sqllogictest harness MIRRORS DuckDB state into it per file, the
+  same state-mirroring pattern as column collations (tools/slt.py
+  _snapshot) — the engine then COMPUTES every information_schema row
+  itself (schema membership, constraint names, usage expansion).
+
+Column metadata records the DECLARED types (e.g. HUGEINT with numeric
+precision 128) — the catalog remembers what the user wrote even where
+the engine's Spark carrier widens (DECIMAL(38,0)); that is what the
+reference's information_schema reports and what a user introspects.
+
+At scale this surface is driver-side metadata only — no executor work.
+"""
+
+from __future__ import annotations
+
+import re
+
+# user-created schemas (beyond the main/information_schema/pg_catalog
+# baseline); values are bare schema names in catalog 'memory'
+SCHEMAS: set[str] = set()
+
+# lowercase object key -> row metadata. ``key`` is the engine view name
+# (schema-qualified duck tables mirror as `<schema>__<table>`).
+# {catalog, schema, name, type}  type: BASE TABLE | VIEW | LOCAL TEMPORARY
+TABLE_META: dict[str, dict] = {}
+
+# lowercase object key -> [{name, ordinal, dtype, prec, scale, nullable,
+# default}] with dtype spelled in duck type names
+COLUMN_META: dict[str, list[dict]] = {}
+
+# [{catalog, schema, table, ctype, text, columns}]
+# ctype: PRIMARY KEY | UNIQUE | CHECK | FOREIGN KEY | NOT NULL
+CONSTRAINTS: list[dict] = []
+
+# lowercase object key -> CREATE VIEW sql text
+VIEW_SQL: dict[str, str] = {}
+
+_BASE_SCHEMAS = ("information_schema", "main", "pg_catalog")
+_BASE_CATALOGS = ("memory", "system", "temp")
+
+# duck type name -> information_schema numeric precision/scale
+NUM_PRECISION: dict[str, tuple[int, int]] = {
+    "TINYINT": (8, 0), "SMALLINT": (16, 0), "INTEGER": (32, 0),
+    "BIGINT": (64, 0), "HUGEINT": (128, 0),
+    "UTINYINT": (8, 0), "USMALLINT": (16, 0), "UINTEGER": (32, 0),
+    "UBIGINT": (64, 0), "UHUGEINT": (128, 0),
+    "FLOAT": (24, 0), "DOUBLE": (53, 0), "REAL": (24, 0),
+}
+
+
+def reset() -> None:
+    SCHEMAS.clear()
+    TABLE_META.clear()
+    COLUMN_META.clear()
+    CONSTRAINTS.clear()
+    VIEW_SQL.clear()
+
+
+def constraint_name(table: str, ctype: str, columns: list[str],
+                    text: str) -> str:
+    """DuckDB's Postgres-style generated constraint names."""
+    cols = "_".join(columns)
+    if ctype == "PRIMARY KEY":
+        return f"{table}_{cols}_pkey"
+    if ctype == "UNIQUE":
+        return f"{table}_{cols}_key"
+    if ctype == "CHECK":
+        return f"{table}_{cols}_check"
+    if ctype == "FOREIGN KEY":
+        m = re.search(r"REFERENCES\s+[\w.\"]+\s*\(([^)]*)\)", text, re.I)
+        ref = "_".join(
+            c.strip().strip('"') for c in m.group(1).split(",")
+        ) if m else "ref"
+        return f"{table}_{cols}_{ref}_fkey"
+    return f"{table}_{cols}_{ctype.lower().replace(' ', '_')}"
+
+
+def register_table(key: str, catalog: str, schema: str, name: str,
+                   ttype: str) -> None:
+    TABLE_META[key.lower()] = {
+        "catalog": catalog, "schema": schema, "name": name, "type": ttype,
+    }
+
+
+def register_columns(key: str, cols: list[dict]) -> None:
+    COLUMN_META[key.lower()] = cols
+
+
+_SPARK2DUCK = {"INT": "INTEGER", "STRING": "VARCHAR", "BINARY": "BLOB",
+               "TIMESTAMP_NTZ": "TIMESTAMP"}
+
+
+def column_row(name: str, ordinal: int, dtype: str,
+               nullable: bool = True, default=None) -> dict:
+    """Build one column-metadata record from a duck-spelled type name."""
+    dt = dtype.strip().upper()
+    dt = _SPARK2DUCK.get(dt, dt)
+    if dt.startswith(("DECIMAL(", "NUMERIC(")):
+        p, s = (int(x) for x in dt[dt.index("(") + 1 : -1].split(","))
+        dt = f"DECIMAL({p},{s})"
+    else:
+        p, s = NUM_PRECISION.get(dt, (None, None))
+    return {
+        "name": name, "ordinal": ordinal, "dtype": dt, "prec": p,
+        "scale": s, "nullable": nullable, "default": default,
+    }
+
+
+def drop_object(key: str) -> None:
+    TABLE_META.pop(key.lower(), None)
+    COLUMN_META.pop(key.lower(), None)
+    VIEW_SQL.pop(key.lower(), None)
+
+
+def drop_schema(schema: str) -> list[str]:
+    """Remove a schema and its objects; returns the dropped object keys
+    (engine view names) so the caller can drop the temp views."""
+    SCHEMAS.discard(schema)
+    dropped = [
+        k for k, m in TABLE_META.items() if m["schema"] == schema
+    ]
+    for k in dropped:
+        drop_object(k)
+    global CONSTRAINTS
+    CONSTRAINTS[:] = [c for c in CONSTRAINTS if c["schema"] != schema]
+    return dropped
+
+
+def schemata_rows() -> list[tuple]:
+    rows = [
+        (c, s, "duckdb", None, None, None, None)
+        for c in _BASE_CATALOGS
+        for s in _BASE_SCHEMAS
+    ]
+    rows += [("memory", s, "duckdb", None, None, None, None)
+             for s in sorted(SCHEMAS)]
+    return rows
+
+
+SCHEMATA_DDL = (
+    "catalog_name string, schema_name string, schema_owner string, "
+    "default_character_set_catalog string, default_character_set_schema "
+    "string, default_character_set_name string, sql_path string"
+)
+
+CHARACTER_SETS_ROWS = [
+    (None, None, "UTF8", "UCS", "UTF8", "memory", "pg_catalog",
+     "ucs_basic"),
+]
+CHARACTER_SETS_DDL = (
+    "character_set_catalog string, character_set_schema string, "
+    "character_set_name string, character_repertoire string, "
+    "form_of_use string, default_collate_catalog string, "
+    "default_collate_schema string, default_collate_name string"
+)
+
+
+def views_rows() -> list[tuple]:
+    rows = []
+    for key, sql_text in VIEW_SQL.items():
+        m = TABLE_META.get(key, {})
+        rows.append((
+            m.get("catalog", "memory"), m.get("schema", "main"),
+            m.get("name", key), sql_text, "NONE", "NO", "NO", "NO",
+            "NO", "NO",
+        ))
+    return rows
+
+
+VIEWS_DDL = (
+    "table_catalog string, table_schema string, table_name string, "
+    "view_definition string, check_option string, is_updatable string, "
+    "is_insertable_into string, is_trigger_updatable string, "
+    "is_trigger_deletable string, is_trigger_insertable_into string"
+)
+
+
+def _named_constraints():
+    for c in CONSTRAINTS:
+        yield c, constraint_name(c["table"], c["ctype"], c["columns"],
+                                 c["text"])
+
+
+def table_constraints_rows() -> list[tuple]:
+    rows = []
+    for c, name in _named_constraints():
+        if c["ctype"] == "NOT NULL":
+            continue
+        rows.append((
+            c["catalog"], c["schema"], name,
+            c["catalog"], c["schema"], c["table"], c["ctype"],
+            "NO", "NO", "YES", "YES" if c["ctype"] == "UNIQUE" else None,
+        ))
+    return rows
+
+
+TABLE_CONSTRAINTS_DDL = (
+    "constraint_catalog string, constraint_schema string, "
+    "constraint_name string, table_catalog string, table_schema string, "
+    "table_name string, constraint_type string, is_deferrable string, "
+    "initially_deferred string, enforced string, nulls_distinct string"
+)
+
+
+def referential_constraints_rows() -> list[tuple]:
+    rows = []
+    for c, name in _named_constraints():
+        if c["ctype"] != "FOREIGN KEY":
+            continue
+        rows.append((
+            c["catalog"], c["schema"], name, c["catalog"], c["schema"],
+            None, "NONE", "NO ACTION", "NO ACTION",
+        ))
+    return rows
+
+
+REFERENTIAL_CONSTRAINTS_DDL = (
+    "constraint_catalog string, constraint_schema string, "
+    "constraint_name string, unique_constraint_catalog string, "
+    "unique_constraint_schema string, unique_constraint_name string, "
+    "match_option string, update_rule string, delete_rule string"
+)
+
+
+def key_column_usage_rows() -> list[tuple]:
+    rows = []
+    for c, name in _named_constraints():
+        if c["ctype"] not in ("PRIMARY KEY", "UNIQUE", "FOREIGN KEY"):
+            continue
+        for i, col in enumerate(c["columns"], 1):
+            rows.append((
+                c["catalog"], c["schema"], name,
+                c["catalog"], c["schema"], c["table"], col, i,
+                i if c["ctype"] == "FOREIGN KEY" else None,
+            ))
+    return rows
+
+
+KEY_COLUMN_USAGE_DDL = (
+    "constraint_catalog string, constraint_schema string, "
+    "constraint_name string, table_catalog string, table_schema string, "
+    "table_name string, column_name string, ordinal_position int, "
+    "position_in_unique_constraint int"
+)
+
+
+def constraint_column_usage_rows() -> list[tuple]:
+    rows = []
+    for c, name in _named_constraints():
+        if c["ctype"] == "NOT NULL":
+            continue
+        for col in c["columns"]:
+            rows.append((
+                c["catalog"], c["schema"], c["table"], col,
+                c["catalog"], c["schema"], name,
+            ))
+    return rows
+
+
+CONSTRAINT_COLUMN_USAGE_DDL = (
+    "table_catalog string, table_schema string, table_name string, "
+    "column_name string, constraint_catalog string, constraint_schema "
+    "string, constraint_name string"
+)
+
+
+def constraint_table_usage_rows() -> list[tuple]:
+    rows = []
+    for c, name in _named_constraints():
+        if c["ctype"] == "NOT NULL":
+            continue
+        rows.append((
+            c["catalog"], c["schema"], c["table"],
+            c["catalog"], c["schema"], name,
+        ))
+    return rows
+
+
+CONSTRAINT_TABLE_USAGE_DDL = (
+    "table_catalog string, table_schema string, table_name string, "
+    "constraint_catalog string, constraint_schema string, "
+    "constraint_name string"
+)
+
+
+def check_constraints_rows() -> list[tuple]:
+    rows = []
+    for c, name in _named_constraints():
+        if c["ctype"] == "CHECK":
+            rows.append((c["catalog"], c["schema"], name, c["text"]))
+        elif c["ctype"] == "NOT NULL":
+            rows.append((
+                c["catalog"], c["schema"],
+                f"{c['table']}_{'_'.join(c['columns'])}_not_null",
+                f"{' ,'.join(c['columns'])} IS NOT NULL",
+            ))
+    return rows
+
+
+CHECK_CONSTRAINTS_DDL = (
+    "constraint_catalog string, constraint_schema string, "
+    "constraint_name string, check_clause string"
+)
+
+
+def mirror_duckdb(con) -> None:
+    """Mirror a live DuckDB connection's catalog STATE (schemas, declared
+    table/column metadata, constraint structure, view SQL) into the
+    registry — used by the sqllogictest harness so engine-side
+    information_schema queries see the file's CREATE statements."""
+    reset()
+    for (s,) in con.execute(
+        "SELECT schema_name FROM duckdb_schemas() WHERE NOT internal"
+    ).fetchall():
+        if s != "main":
+            SCHEMAS.add(s)
+    for cat, sch, name, ttype in con.execute(
+        "SELECT table_catalog, table_schema, table_name, table_type "
+        "FROM information_schema.tables"
+    ).fetchall():
+        key = name if sch == "main" else f"{sch}__{name}"
+        register_table(key, cat, sch, name, ttype)
+    cols: dict[str, list[dict]] = {}
+    for sch, name, cname, ordinal, dflt, nullable, dtype in con.execute(
+        "SELECT table_schema, table_name, column_name, ordinal_position,"
+        " column_default, is_nullable, data_type "
+        "FROM information_schema.columns ORDER BY table_name, "
+        "ordinal_position"
+    ).fetchall():
+        key = (name if sch == "main" else f"{sch}__{name}").lower()
+        cols.setdefault(key, []).append(
+            column_row(cname, ordinal, dtype, nullable == "YES", dflt)
+        )
+    COLUMN_META.update(cols)
+    for db, sch, tbl, ctype, text, ccols in con.execute(
+        "SELECT database_name, schema_name, table_name, constraint_type,"
+        " constraint_text, constraint_column_names "
+        "FROM duckdb_constraints()"
+    ).fetchall():
+        CONSTRAINTS.append({
+            "catalog": db, "schema": sch, "table": tbl, "ctype": ctype,
+            "text": text, "columns": list(ccols),
+        })
+    for sch, name, sql_text in con.execute(
+        "SELECT schema_name, view_name, sql FROM duckdb_views() "
+        "WHERE NOT internal"
+    ).fetchall():
+        key = name if sch == "main" else f"{sch}__{name}"
+        VIEW_SQL[key.lower()] = sql_text

@@ -184,31 +184,77 @@ _ARROW = re.compile(r"([A-Za-z_][\w.]*(?:\([^()]*\))?)\s*(->>|->)\s*'([^']+)'")
 
 
 def _rewrite_json_arrows(text: str) -> str:
-    # iterate to collapse chains: j->'a'->>'b'
-    prev = None
-    while prev != text:
-        prev = text
+    """``j -> 'path'`` / ``j ->> 'path'`` (json extract operators). The
+    LHS is grabbed as a full operand (identifier, call, string literal,
+    parenthesized/CASE expression) so casts and chains compose:
+    ``'{...}'::JSON -> '/a/0' ->> 'b'``. Iterates until no eligible
+    arrow remains, collapsing chains left to right."""
+    while True:
         banned = _lambda_arrow_positions(text)
-        comment_spans = [
-            s for s in _literal_spans(text) if not text[s[0] :].startswith("'")
-        ]
-
-        def rep(m: re.Match) -> str:
-            if m.start(2) in banned or _in_spans(m.start(1), comment_spans):
-                return m.group(0)
-            path = m.group(3)
-            path = path if path.startswith("$") else f"$.{path}"
-            if m.group(2) == "->":
-                # -> returns JSON (strings stay quoted, json_functions.cpp);
-                # Spark 4's VARIANT extraction round-trips exact JSON
-                return (
-                    f"nullif(to_json(try_variant_get(try_parse_json("
-                    f"{m.group(1)}), '{path}')), 'null')"
+        spans = _literal_spans(text)
+        replaced = False
+        for m in re.finditer(r"->>|->", text):
+            # skip arrows inside string literals AND comments
+            if m.start() in banned or _in_spans(m.start(), spans):
+                continue
+            # quoted path, or integer RHS = 0-based array index with
+            # negatives from the end ('[1,2,3]'::JSON -> 1 = 2)
+            rm = re.match(
+                r"\s*'([^']*)'|\s*(-?\d+)(?![\w.])", text[m.end():]
+            )
+            if not rm:
+                continue
+            try:
+                st = _operand_start(text, m.start(), spans)
+                # walk back over ::TYPE cast suffixes to the real operand
+                # ('{...}'::JSON -> 'a' casts the literal, not "JSON")
+                while True:
+                    head = text[:st].rstrip()
+                    if not head.endswith("::"):
+                        break
+                    st = _operand_start(text, len(head) - 2, spans)
+            except ValueError:
+                continue
+            lhs = text[st:m.start()].strip()
+            if not lhs:
+                continue
+            path = rm.group(1) if rm.group(1) is not None else rm.group(2)
+            if re.fullmatch(r"-?\d+", path):
+                path = f"$[{path}]"
+            elif path.startswith("/"):
+                # JSON-pointer spelling: numeric segments index arrays
+                # (json_common.hpp)
+                path = "$" + "".join(
+                    f"[{seg}]" if seg.isdigit() else f".{seg}"
+                    for seg in path[1:].split("/")
                 )
-            return f"get_json_object({m.group(1)}, '{path}')"
-
-        text = _ARROW.sub(rep, text)
-    return text
+            elif not path.startswith("$"):
+                path = f"$.{path}"
+            suffix = "_text" if m.group(0) == "->>" else ""
+            if ".*" in path or re.search(r"\[\s*\*\s*\]", path):
+                # wildcard paths return LIST(JSON) (json_common.cpp)
+                repl = f"__jx_multi{suffix}({lhs}, '{path}')"
+            elif re.search(r"\[\s*(#|-)", path):
+                repl = f"__jx_one{suffix}({lhs}, '{path}')"
+            elif m.group(0) == "->":
+                # -> returns JSON (strings stay quoted, json_functions.cpp);
+                # Spark 4's VARIANT extraction round-trips exact JSON.
+                # DuckDB quotes odd keys as $."a.b"; Spark's variant path
+                # wants bracket form $['a.b']
+                vpath = re.sub(
+                    r'\."((?:[^"])*)"', lambda q: f"['{q.group(1)}']", path
+                )
+                repl = (
+                    f"nullif(to_json(try_variant_get(try_parse_json("
+                    f"{lhs}), '{vpath}')), 'null')"
+                )
+            else:
+                repl = f"get_json_object({lhs}, '{path}')"
+            text = text[:st] + repl + text[m.end() + rm.end():]
+            replaced = True
+            break
+        if not replaced:
+            return text
 
 
 # ------------------------------------------------------------- name rules
@@ -716,6 +762,129 @@ def _operand_end(text: str, start: int, spans) -> int:
         if m is None:
             return i
         i += m.end()
+
+
+# Spark typeof() spellings for UNION member bind-time type matching
+_SPARK_TYPEOF = {
+    "STRING": "string", "BOOLEAN": "boolean", "INT": "int",
+    "BIGINT": "bigint", "SMALLINT": "smallint", "TINYINT": "tinyint",
+    "FLOAT": "float", "DOUBLE": "double", "DATE": "date",
+    "BINARY": "binary", "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NTZ": "timestamp_ntz", "TIMESTAMP_LTZ": "timestamp",
+}
+
+
+def _rewrite_union_casts(text: str) -> str:
+    """``x::UNION(a T1, b T2)`` / ``CAST(x AS UNION(...))`` — the UNION
+    carrier is STRUCT{tag, members...} with EVERY member present so
+    union_tag/union_extract/to_json work after the cast (reference
+    union_cast.cpp). A tagged carrier input widens into the new member
+    set; a NULL literal becomes a typed NULL struct; any other operand
+    binds its member by Spark-type match via typeof() — constant per
+    query, so the CASE dispatch collapses statically, mirroring the
+    reference's bind-time member resolution."""
+    while True:
+        spans = _literal_spans(text)
+        m = None
+        for mm in re.finditer(r"(::\s*|\bAS\s+)UNION\s*\(", text, re.I):
+            if not _in_spans(mm.start(), spans):
+                m = mm
+                break
+        if m is None:
+            return text
+        close = _matching_paren(text, m.end() - 1)
+        members = []
+        ok = True
+        for part in _split_args(text[m.end():close]):
+            pm = re.match(r"\s*(\w+)\s+(.+?)\s*$", part, re.S)
+            if not pm:
+                ok = False
+                break
+            dt = pm.group(2).strip().upper()
+            members.append((pm.group(1), _DDL_TYPES.get(dt, dt)))
+        if not ok or not members:
+            return text  # not a UNION type spec after all
+        if m.group(1).strip() == "::":
+            op_start = _operand_start(text, m.start(), spans)
+            operand = text[op_start:m.start()].strip()
+            lo, hi = op_start, close + 1
+        else:
+            # CAST(x AS UNION(...)): walk back to the enclosing CAST(
+            j = m.start()
+            depth = 0
+            while j > 0:
+                j -= 1
+                if _in_spans(j, spans):
+                    continue
+                if text[j] == ")":
+                    depth += 1
+                elif text[j] == "(":
+                    if depth == 0:
+                        break
+                    depth -= 1
+            km = re.search(r"(TRY_)?CAST\s*$", text[:j], re.I)
+            if not km:
+                return text
+            operand = text[j + 1 : m.start()].strip()
+            operand = re.sub(r"\s+AS\s*$", "", operand, flags=re.I)
+            end = close + 1
+            while end < len(text) and text[end].isspace():
+                end += 1
+            if end >= len(text) or text[end] != ")":
+                return text
+            lo, hi = km.start(), end + 1
+        text = text[:lo] + _union_cast_expr(operand, members) + text[hi:]
+
+
+def _union_cast_expr(operand: str, members: list[tuple[str, str]]) -> str:
+    struct_ddl = "STRUCT<tag: STRING, " + ", ".join(
+        f"`{n}`: {t}" for n, t in members
+    ) + ">"
+    if re.fullmatch(r"NULL", operand, re.I):
+        return f"CAST(NULL AS {struct_ddl})"
+    cm = re.match(
+        r"named_struct\s*\(\s*'tag'\s*,\s*'(\w+)'\s*,", operand, re.I
+    )
+    if cm and operand.endswith(")"):
+        # tagged carrier in: widen to the target member set
+        inner = _split_args(operand[operand.index("(") + 1 : -1])
+        vals = {}
+        for i in range(2, len(inner) - 1, 2):
+            km = re.fullmatch(r"\s*'(\w+)'\s*", inner[i])
+            if km:
+                vals[km.group(1)] = inner[i + 1]
+        fields = ", ".join(
+            f"'{n}', CAST({vals[n]} AS {t})" if n in vals
+            else f"'{n}', CAST(NULL AS {t})"
+            for n, t in members
+        )
+        return f"named_struct('tag', '{cm.group(1)}', {fields})"
+    # arbitrary operand: bind the member whose Spark type matches
+    conds = [
+        f"typeof({operand}) = '{_SPARK_TYPEOF[t]}'" if t in _SPARK_TYPEOF
+        else None
+        for _, t in members
+    ]
+    tag_whens = " ".join(
+        f"WHEN {c} THEN '{n}'"
+        for (n, _), c in zip(members, conds) if c
+    )
+    tag = f"CASE {tag_whens} ELSE '{members[0][0]}' END"
+    others = [c for c in conds[1:] if c]
+    fields = []
+    for i, ((n, t), c) in enumerate(zip(members, conds)):
+        if i == 0:
+            cond = c or "false"
+            if others:
+                cond = f"({cond}) OR NOT ({' OR '.join(others)})"
+            else:
+                cond = "true"
+        else:
+            cond = c or "false"
+        fields.append(
+            f"'{n}', CASE WHEN {cond} THEN TRY_CAST({operand} AS {t}) END"
+        )
+    return f"named_struct('tag', {tag}, {', '.join(fields)})"
 
 
 def _matching_delim(text: str, open_idx: int, open_ch: str, close_ch: str) -> int:
@@ -2810,30 +2979,46 @@ def translate(text: str) -> str:
     )
     out = re.sub(r"\b__jal\s*\(", "json_array_length(", out)
 
-    # json_transform(j, 'structure') / json_transform_strict / DuckDB's
-    # from_json alias with a JSON structure document: the structure is a
-    # query constant, so it compiles to Spark from_json with the
-    # equivalent DDL schema (scalar roots -> CAST of the unquoted value).
-    # Non-literal structures stay untouched (and fail loudly) — DuckDB
-    # itself requires a constant structure (json_transform.cpp bind).
-    def _json_transform_sql(a: list[str]) -> str | None:
-        if len(a) != 2:
-            return None
-        lit = a[1].strip()
-        if not (lit.startswith("'") and lit.endswith("'")):
-            return None
-        from myduckdb_spark.functions.jsonx import structure_to_ddl
+    # json_transform(j, 'structure') / json_transform_strict /
+    # from_json(_strict): the structure is a query constant (DuckDB's
+    # json_transform.cpp binds it constant too), so each distinct
+    # structure compiles to a SPECIALIZED Arrow-batched UDF implementing
+    # the reference's element-wise lenient-cast semantics — from_json
+    # can't express per-element NULL on mismatch, bool->int coercion,
+    # round-half-even number->int, or unsigned range guards
+    # (test_json_transform.test). Non-literal structures stay untouched
+    # (and fail loudly), matching the reference's bind requirement.
+    def _json_transform_sql(strict: bool):
+        def fn(a: list[str]) -> str | None:
+            if len(a) != 2:
+                return None
+            lit = a[1].strip()
+            if not (lit.startswith("'") and lit.endswith("'")):
+                return None
+            from myduckdb_spark.functions.jsonx import make_transform_spec
 
-        try:
-            ddl, container = structure_to_ddl(lit[1:-1].replace("''", "'"))
-        except ValueError:
-            return None
-        if container:
-            return f"from_json({a[0]}, '{ddl}')"
-        return f"CAST(get_json_object({a[0]}, '$') AS {ddl})"
+            try:
+                name, ddl, root_struct = make_transform_spec(
+                    lit[1:-1].replace("''", "'"), strict
+                )
+            except (ValueError, TypeError):
+                return None
+            if root_struct:
+                # a pandas-UDF DataFrame row can't be a NULL struct: NULL
+                # and JSON-null inputs short-circuit to a typed NULL here
+                return (
+                    f"CASE WHEN ({a[0]}) IS NULL OR trim({a[0]}) = 'null' "
+                    f"THEN CAST(NULL AS {ddl}) ELSE {name}({a[0]}) END"
+                )
+            return f"{name}({a[0]})"
 
-    out = _rewrite_calls(out, "json_transform", _json_transform_sql)
-    out = _rewrite_calls(out, "json_transform_strict", _json_transform_sql)
+        return fn
+
+    out = _rewrite_calls(out, "json_transform", _json_transform_sql(False))
+    out = _rewrite_calls(
+        out, "json_transform_strict", _json_transform_sql(True)
+    )
+    out = _rewrite_calls(out, "from_json_strict", _json_transform_sql(True))
 
     def _from_json_structure(a: list[str]) -> str | None:
         # only rewrite when the 2nd arg is a literal that parses as a
@@ -2846,9 +3031,126 @@ def translate(text: str) -> str:
         body = lit[1:-1].replace("''", "'").lstrip()
         if not body[:1] in ("{", "[", '"'):
             return None
-        return _json_transform_sql(a)
+        return _json_transform_sql(False)(a)
 
     out = _rewrite_calls(out, "from_json", _from_json_structure)
+
+    # --- JSON constructors (json_create.cpp): json_object / json_array /
+    # json_quote / to_json over scalars. Spark's to_json only accepts
+    # containers, so a scalar value renders through to_json(array(v))
+    # with the brackets stripped — uniform for every type including NULL
+    # ('null'), bool ('true'), strings (quoted+escaped), nested structs.
+    def _jfrag(v: str) -> str:
+        v = v.strip()
+        # JSON-typed args splice raw (their text IS the JSON); SQL NULL
+        # of JSON type renders as 'null' inside constructors
+        if re.search(r"::\s*JSON\s*$", v, re.I) or re.match(
+            r"(to_json|json_object|json_array|json_quote|json_merge_patch|"
+            r"json_extract(?!_string)|row_to_json|"
+            r"array_to_json|__jt_[0-9a-f]+)\s*\(", v, re.I
+        ):
+            # nested JSON values are MINIFIED inside constructors
+            # (json_create.cpp re-serializes) — round-trip through variant
+            return f"coalesce(to_json(try_parse_json({v})), 'null')"
+        t = f"to_json(array({v}))"
+        return f"substring({t}, 2, length({t}) - 2)"
+
+    def _jfrag_key(k: str) -> str:
+        m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", k)
+        if m:
+            body = m.group(1).replace('"', '\\"')
+            return f"'\"{body}\":'"
+        return f"{_jfrag(f'CAST({k} AS STRING)')} || ':'"
+
+    def _json_object(a: list[str]) -> str | None:
+        if len(a) == 1 and not a[0].strip():
+            a = []
+        if len(a) % 2:
+            return None
+        if not a:
+            return "'{}'"
+        pieces = []
+        for i in range(0, len(a), 2):
+            if pieces:
+                pieces.append("','")
+            pieces.append(_jfrag_key(a[i]))
+            pieces.append(_jfrag(a[i + 1]))
+        return f"concat('{{', {', '.join(pieces)}, '}}')"
+
+    out = _rewrite_calls(out, "json_object", _json_object)
+
+    def _json_array(a: list[str]) -> str:
+        if len(a) == 1 and not a[0].strip():
+            a = []
+        if not a:
+            return "'[]'"
+        pieces: list[str] = []
+        for v in a:
+            if pieces:
+                pieces.append("','")
+            pieces.append(_jfrag(v))
+        return f"concat('[', {', '.join(pieces)}, ']')"
+
+    out = _rewrite_calls(out, "json_array", _json_array)
+    # json_quote(NULL) is SQL NULL (unlike inside constructors)
+    out = _rewrite_calls(
+        out, "json_quote",
+        lambda a: (
+            f"CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE {_jfrag(a[0])} END"
+            if len(a) == 1 else None
+        ),
+    )
+
+    # --- JSON type casts: the JSON carrier is STRING. VARCHAR input
+    # VALIDATES but preserves the original text (CastVarcharToJSON);
+    # containers/scalars re-serialize compactly ([1,2,3]::JSON ->
+    # '[1,2,3]'). TRY_CAST yields NULL on malformed input, CAST raises.
+    # String literals validate at translate time (the common test form);
+    # everything else dispatches on the runtime value in the __json_cast
+    # UDF — a STRING column passes through, an ARRAY column serializes.
+    def _json_cast(try_form: bool):
+        def fn(x: str) -> str:
+            xs = x.strip()
+            m = re.fullmatch(r"'((?:[^']|'')*)'", xs)
+            if m:
+                from myduckdb_spark.functions.jsonx import _loads
+
+                try:
+                    _loads(m.group(1).replace("''", "'"))
+                    return xs
+                except (ValueError, TypeError):
+                    if try_form:
+                        return "CAST(NULL AS STRING)"
+                    return ("CAST(raise_error('malformed JSON') "
+                            "AS STRING)")
+            if re.fullmatch(r"NULL", xs, re.I):
+                return "CAST(NULL AS STRING)"
+            return f"__json_cast{'_try' if try_form else ''}({x})"
+
+        return fn
+
+    spans_jc = _literal_spans(out)
+    jc_hits = []
+    for mm in re.finditer(r"::\s*JSON\b", out, re.I):
+        if not _in_spans(mm.start(), spans_jc):
+            jc_hits.append(mm)
+    for mm in reversed(jc_hits):
+        try:
+            st = _operand_start(out, mm.start(), spans_jc)
+        except ValueError:
+            continue
+        operand = out[st:mm.start()].strip()
+        out = out[:st] + _json_cast(False)(operand) + out[mm.end():]
+    for cast_kw, try_form in (("TRY_CAST", True), ("CAST", False)):
+        def _cast_json(a: list[str], try_form=try_form) -> str | None:
+            if len(a) != 1:
+                return None
+            m = re.fullmatch(r"(.+)\s+AS\s+JSON\s*", a[0], re.I | re.S)
+            if not m:
+                return None
+            return _json_cast(try_form)(m.group(1))
+
+        out = _rewrite_calls(out, cast_kw, _cast_json)
 
     # json_type 1-arg form -> 2-arg UDF signature; json_typeof alias
     out = _rewrite_calls(
@@ -3784,23 +4086,51 @@ def translate(text: str) -> str:
     for jf in ("json_extract", "json_extract_path"):
         out = _rewrite_calls(out, jf, _json_pointer(text_form=False))
 
-    def _json_extract_dollar(a: list[str]) -> str | None:
-        # $-path / bare-key literal forms of the JSON-returning extract
-        m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", a[1]) if len(a) == 2 else None
-        if not m:
-            return None
-        path = m.group(1)
-        path = path if path.startswith("$") else f"$.{path}"
-        # DuckDB quotes odd keys as $."a.b"; Spark's variant path wants
-        # bracket form $['a.b']
-        path = re.sub(r'\."((?:[^"])*)"', lambda q: f"['{q.group(1)}']", path)
-        return (
-            f"nullif(to_json(try_variant_get(try_parse_json({a[0]}), "
-            f"'{path}')), 'null')"
-        )
+    def _json_extract_dollar(text_form: bool):
+        suffix = "_text" if text_form else ""
+
+        def fn(a: list[str]) -> str | None:
+            if len(a) != 2:
+                return None
+            m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", a[1])
+            if not m:
+                p1 = a[1].strip()
+                if p1.startswith("[") or re.match(
+                    r"(array|list_value|list_pack)\s*\(", p1, re.I
+                ):
+                    # list-of-paths form: LIST(JSON), one slot per path
+                    # (json_extract.cpp many-path bind)
+                    return f"__jx_list{suffix}({a[0]}, {a[1]})"
+                # non-constant path: runtime resolution in the extract UDF
+                # (DuckDB json_extract(j, q) with a column path —
+                # test_json_path.test)
+                return f"__jx_one{suffix}({a[0]}, {a[1]})"
+            path = m.group(1)
+            path = path if path.startswith("$") else f"$.{path}"
+            from myduckdb_spark.functions.jsonx import path_has_wildcard
+
+            if path_has_wildcard(path):
+                # wildcard paths return LIST(JSON) — one element per match
+                return f"__jx_multi{suffix}({a[0]}, '{path}')"
+            if re.search(r"\[\s*(#|-)", path):
+                # from-the-end indexes aren't variant-get paths
+                return f"__jx_one{suffix}({a[0]}, '{path}')"
+            if text_form:
+                return f"get_json_object({a[0]}, '{path}')"
+            # DuckDB quotes odd keys as $."a.b"; Spark's variant path wants
+            # bracket form $['a.b']
+            path = re.sub(r'\."((?:[^"])*)"', lambda q: f"['{q.group(1)}']", path)
+            return (
+                f"nullif(to_json(try_variant_get(try_parse_json({a[0]}), "
+                f"'{path}')), 'null')"
+            )
+
+        return fn
 
     for jf in ("json_extract", "json_extract_path"):
-        out = _rewrite_calls(out, jf, _json_extract_dollar)
+        out = _rewrite_calls(out, jf, _json_extract_dollar(False))
+    for jf in ("json_extract_string", "json_extract_path_text"):
+        out = _rewrite_calls(out, jf, _json_extract_dollar(True))
     # list_extract/list_element: 1-based, NULL at 0/out-of-bounds
     def _list_extract(args: list[str]):
         if len(args) != 2:
@@ -4197,6 +4527,44 @@ def translate(text: str) -> str:
         if len(a) == 2 and not a[1].startswith("'")
         else (f"({a[0]}).{a[1][1:-1]}" if len(a) == 2 else None),
     )
+    out = _rewrite_union_casts(out)
+
+    # to_json over the union carrier: the reference renders {member:
+    # value} (json_create.cpp CreateValues for UNION), never the tag
+    # field. The carrier is named_struct('tag', <tag>, <m1>, v1, ...) —
+    # rebuild as a tag-dispatched single-member object.
+    def _to_json_union(a: list[str]) -> str | None:
+        if not a:
+            return None
+        arg = a[0].strip()
+        m = re.match(r"named_struct\s*\(\s*'tag'\s*,", arg, re.I)
+        if not m or not arg.endswith(")"):
+            return None
+        inner = _split_args(arg[arg.index("(") + 1 : -1])
+        if len(inner) < 4 or len(inner) % 2:
+            return None
+        tag_expr = inner[1].strip()
+        members = []
+        for i in range(2, len(inner), 2):
+            km = re.fullmatch(r"\s*'(\w+)'\s*", inner[i])
+            if not km:
+                return None
+            members.append((km.group(1), inner[i + 1]))
+        # __tjm is swapped back to Spark's map() at the end of
+        # translate, out of reach of the duck map([k],[v]) rewrite
+        opts = ", __tjm('ignoreNullFields', 'false')"
+        mt = re.fullmatch(r"'(\w+)'", tag_expr)
+        if mt and len(members) == 1 and members[0][0] == mt.group(1):
+            return (f"to_json(named_struct('{mt.group(1)}', "
+                    f"{members[0][1]}){opts})")
+        whens = " ".join(
+            f"WHEN ({arg}).tag = '{name}' THEN "
+            f"to_json(named_struct('{name}', ({arg}).{name}){opts})"
+            for name, _ in members
+        )
+        return f"(CASE WHEN ({arg}) IS NULL THEN NULL {whens} END)"
+
+    out = _rewrite_calls(out, "to_json", _to_json_union)
 
     # prefix/suffix (reference string functions) → Spark predicates
     out = _rewrite_calls(
@@ -4495,6 +4863,9 @@ def translate(text: str) -> str:
                 lambda mm: mm.group(0) if _in_spans(mm.start(), spans_a) else view, out
             )
     out = re.sub(r"\b__tof\s*\(", "typeof(", out)
+    # to_json options maps emitted by the union-carrier rewrite, shielded
+    # from the duck map([k],[v]) rewrite until every pass has run
+    out = re.sub(r"\b__tjm\s*\(", "map(", out)
     return out
 
 
@@ -4595,6 +4966,9 @@ def reset_dml_state(spark: SparkSession) -> None:
     _SEQUENCES = None
     _TXN = None
     _PREPARED.clear()
+    from myduckdb_spark import infoschema as ischema
+
+    ischema.reset()
     try:  # a corpus file's SET TimeZone must not leak into the next file
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
@@ -5678,11 +6052,84 @@ def _split_assignments(settext: str) -> dict[str, str]:
     return out
 
 
+def _schema_of(name: str) -> tuple[str, str]:
+    """Recover (schema, bare_name) from a flattened ``schema__table``
+    engine object name (CREATE SCHEMA front door)."""
+    from myduckdb_spark import infoschema as ischema
+
+    if "__" in name:
+        s, _, bare = name.partition("__")
+        if s in ischema.SCHEMAS:
+            return s, bare
+    return "main", name
+
+
+def _flatten_schema_refs(text: str) -> str:
+    """Map ``schema.object`` references of CREATE SCHEMA-registered
+    schemas to the flattened ``schema__object`` engine names (the same
+    single-part-view mapping ATTACH uses for attached catalogs)."""
+    from myduckdb_spark import infoschema as ischema
+
+    if not ischema.SCHEMAS:
+        return text
+    spans = _literal_spans(text)
+    for s in ischema.SCHEMAS:
+        pat = re.compile(rf"\b{re.escape(s)}\s*\.\s*(\w+)", re.I)
+        text = pat.sub(
+            lambda mm: mm.group(0)
+            if _in_spans(mm.start(), spans) else f"{s}__{mm.group(1)}",
+            text,
+        )
+        spans = _literal_spans(text)
+    return text
+
+
+_CREATE_SCHEMA = re.compile(
+    r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?\"?(\w+)\"?\s*;?\s*$",
+    re.I,
+)
+_DROP_SCHEMA = re.compile(
+    r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?\"?(\w+)\"?\s*"
+    r"(CASCADE|RESTRICT)?\s*;?\s*$",
+    re.I,
+)
+
+
 def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
     import tempfile
 
     from myduckdb_spark import storage
+    from myduckdb_spark import infoschema as ischema
 
+    m = _CREATE_SCHEMA.match(text)
+    if m:
+        if m.group(2) in ischema.SCHEMAS and not m.group(1):
+            raise ValueError(f"schema {m.group(2)} already exists")
+        ischema.SCHEMAS.add(m.group(2))
+        return _count_df(spark, 0)
+    m = _DROP_SCHEMA.match(text)
+    if m:
+        name = m.group(2)
+        if name not in ischema.SCHEMAS:
+            if m.group(1):
+                return _count_df(spark, 0)
+            raise KeyError(f"DROP SCHEMA: unknown schema {name}")
+        members = [
+            k for k, t in ischema.TABLE_META.items() if t["schema"] == name
+        ]
+        if members and (m.group(3) or "").upper() != "CASCADE":
+            raise ValueError(
+                f"DROP SCHEMA: schema {name} is not empty (use CASCADE)"
+            )
+        for k in ischema.drop_schema(name):
+            _MANAGED.pop(k, None)
+            _VIEWS.pop(k, None)
+            try:
+                spark.catalog.dropTempView(k)
+            except Exception:
+                pass
+        return _count_df(spark, 0)
+    text = _flatten_schema_refs(text)
     m = _CTAS.match(text)
     if m:
         replace, name, select = bool(m.group(1)), m.group(2), m.group(3)
@@ -5692,6 +6139,8 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         select = _bind_file_scans(spark, select)
         _MANAGED[name] = storage.ManagedTable.create(spark, root, spark.sql(translate(select)))
         _refresh_view(spark, name)
+        sch, bare = _schema_of(name)
+        ischema.register_table(name, "memory", sch, bare, "BASE TABLE")
         return _count_df(spark, _MANAGED[name].count())
     m = _CREATE_TBL.match(text)
     if m and not _CTAS.match(text):
@@ -5718,6 +6167,26 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         else:
             _COLUMN_COLLATIONS.pop(name.lower(), None)
         _refresh_view(spark, name)
+        # catalog-metadata registry: declared columns + key constraints
+        # feed information_schema (myduckdb_spark.infoschema)
+        sch, bare = _schema_of(name)
+        ischema.register_table(name, "memory", sch, bare, "BASE TABLE")
+        ischema.register_columns(name, [
+            ischema.column_row(n, i, t, nullable=n not in (key or []))
+            for i, (n, t) in enumerate(cols, 1)
+        ])
+        if key:
+            ischema.CONSTRAINTS.append({
+                "catalog": "memory", "schema": sch, "table": bare,
+                "ctype": "PRIMARY KEY",
+                "text": f"PRIMARY KEY({', '.join(key)})", "columns": key,
+            })
+        for u in uniques:
+            ischema.CONSTRAINTS.append({
+                "catalog": "memory", "schema": sch, "table": bare,
+                "ctype": "UNIQUE", "text": f"UNIQUE({', '.join(u)})",
+                "columns": u,
+            })
         return _count_df(spark, 0)
     m = _CREATE_INDEX.match(text)
     if m:
@@ -5897,12 +6366,16 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
             df = df.toDF(*cols)
         df.createOrReplaceTempView(name)
         _VIEWS[name] = (sel, cols)
+        sch, bare = _schema_of(name)
+        ischema.register_table(name, "memory", sch, bare, "VIEW")
+        ischema.VIEW_SQL[name.lower()] = text.strip().rstrip(";")
         return _count_df(spark, 0)
     m = _DROP_VIEW.match(text)
     if m:
         name = m.group(2)
         if name in _VIEWS:
             _VIEWS.pop(name)
+            ischema.drop_object(name)
             try:
                 spark.catalog.dropTempView(name)
             except Exception:
@@ -5940,6 +6413,12 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         if name in _MANAGED:
             _MANAGED.pop(name)
             _COLUMN_COLLATIONS.pop(name.lower(), None)
+            ischema.drop_object(name)
+            _sch, _bare = _schema_of(name)
+            ischema.CONSTRAINTS[:] = [
+                c for c in ischema.CONSTRAINTS
+                if not (c["schema"] == _sch and c["table"] == _bare)
+            ]
             spark.catalog.dropTempView(name)
         elif not m.group(1):
             raise KeyError(f"DROP TABLE: unknown table {name}")
@@ -6200,40 +6679,84 @@ _NUM_PRECISION = {
 }
 
 
+_IS_VIEWS = (
+    "tables|columns|schemata|character_sets|views|table_constraints|"
+    "referential_constraints|key_column_usage|constraint_column_usage|"
+    "constraint_table_usage|check_constraints"
+)
+
+
 def _bind_information_schema(spark: SparkSession, text: str) -> str:
-    """``information_schema.tables/columns/schemata`` (reference
-    src/catalog/default/default_views.cpp): materialized on demand from
-    the engine catalog as temp views and substituted into the query —
-    values verified against live DuckDB (catalog 'memory', schema 'main',
-    Postgres bit-precision conventions for numerics)."""
+    """information_schema views (reference
+    src/catalog/default/default_views.cpp): materialized on demand as
+    temp views and substituted into the query. Rows come from the
+    catalog-metadata registry (myduckdb_spark.infoschema — engine DDL and
+    harness state-mirroring populate it: declared types, schemas, temp
+    catalog, constraint structure) with a live-catalog fallback for
+    session views created outside the front door."""
+    from myduckdb_spark import infoschema as ischema
+
     used = {
         m.group(1).lower()
         for m in re.finditer(
-            r"\binformation_schema\s*\.\s*(tables|columns|schemata)\b",
-            text, re.I,
+            rf"\binformation_schema\s*\.\s*({_IS_VIEWS})\b", text, re.I,
         )
     }
     if not used:
         return text
+    live = list(_catalog_names(spark))
     if "tables" in used:
-        rows = [
-            ("memory", "main", n,
-             "VIEW" if n in _VIEWS and n not in _MANAGED else "BASE TABLE")
-            for n in _catalog_names(spark)
-        ]
+        rows = []
+        seen = set()
+        for key, m in ischema.TABLE_META.items():
+            seen.add(key)
+            rows.append((m["catalog"], m["schema"], m["name"], m["type"],
+                         None, None, None, None, None,
+                         "NO" if m["type"] == "VIEW" else "YES", "NO",
+                         None))
+        for n in live:
+            if n.lower() in seen:
+                continue
+            rows.append(
+                ("memory", "main", n,
+                 "VIEW" if n in _VIEWS and n not in _MANAGED
+                 else "BASE TABLE",
+                 None, None, None, None, None, "YES", "NO", None)
+            )
         spark.createDataFrame(
             rows,
-            "table_catalog string, table_schema string, table_name string, "
-            "table_type string",
+            "table_catalog string, table_schema string, table_name string,"
+            " table_type string, self_referencing_column_name string, "
+            "reference_generation string, user_defined_type_catalog "
+            "string, user_defined_type_schema string, "
+            "user_defined_type_name string, is_insertable_into string, "
+            "is_typed string, commit_action string",
         ).createOrReplaceTempView("__is_tables")
     if "columns" in used:
         crows = []
-        for n in _catalog_names(spark):
+        done = set()
+        for key, cols in ischema.COLUMN_META.items():
+            m = ischema.TABLE_META.get(key) or {
+                "catalog": "memory", "schema": "main", "name": key,
+            }
+            done.add(key)
+            for c in cols:
+                crows.append(
+                    (m["catalog"], m["schema"], m["name"], c["name"],
+                     c["ordinal"],
+                     str(c["default"]) if c["default"] is not None else None,
+                     "YES" if c["nullable"] else "NO", c["dtype"],
+                     c["prec"], c["scale"])
+                )
+        for n in live:
+            if n.lower() in done:
+                continue
             try:
                 tbl = _MANAGED.get(n) or _MANAGED.get(n.lower())
                 sch = tbl.scan().schema if tbl else spark.table(n).schema
             except Exception:
-                continue
+                continue  # dropped concurrently; registry objects never
+                # hit this path (wide managed tables are registry-first)
             dflts = tbl.defaults if tbl else {}
             for i, f in enumerate(sch.fields, 1):
                 dt = _duck_field_type(f)
@@ -6254,17 +6777,37 @@ def _bind_information_schema(spark: SparkSession, text: str) -> str:
             "string, is_nullable string, data_type string, "
             "numeric_precision int, numeric_scale int",
         ).createOrReplaceTempView("__is_columns")
-    if "schemata" in used:
-        rows = [
-            (c, s)
-            for s in ("information_schema", "main", "pg_catalog")
-            for c in ("memory", "system", "temp")
-        ]
-        spark.createDataFrame(
-            rows, "catalog_name string, schema_name string"
-        ).createOrReplaceTempView("__is_schemata")
+    static_views = {
+        "schemata": (ischema.schemata_rows(), ischema.SCHEMATA_DDL),
+        "character_sets": (
+            ischema.CHARACTER_SETS_ROWS, ischema.CHARACTER_SETS_DDL),
+        "views": (ischema.views_rows(), ischema.VIEWS_DDL),
+        "table_constraints": (
+            ischema.table_constraints_rows(),
+            ischema.TABLE_CONSTRAINTS_DDL),
+        "referential_constraints": (
+            ischema.referential_constraints_rows(),
+            ischema.REFERENTIAL_CONSTRAINTS_DDL),
+        "key_column_usage": (
+            ischema.key_column_usage_rows(),
+            ischema.KEY_COLUMN_USAGE_DDL),
+        "constraint_column_usage": (
+            ischema.constraint_column_usage_rows(),
+            ischema.CONSTRAINT_COLUMN_USAGE_DDL),
+        "constraint_table_usage": (
+            ischema.constraint_table_usage_rows(),
+            ischema.CONSTRAINT_TABLE_USAGE_DDL),
+        "check_constraints": (
+            ischema.check_constraints_rows(),
+            ischema.CHECK_CONSTRAINTS_DDL),
+    }
+    for name, (rows, ddl) in static_views.items():
+        if name in used:
+            spark.createDataFrame(rows, ddl).createOrReplaceTempView(
+                f"__is_{name}"
+            )
     return re.sub(
-        r"\binformation_schema\s*\.\s*(tables|columns|schemata)\b",
+        rf"\binformation_schema\s*\.\s*({_IS_VIEWS})\b",
         lambda m: f"__is_{m.group(1).lower()}",
         text, flags=re.I,
     )
@@ -6891,6 +7434,8 @@ def sql(
     rec = _recursive_union_distinct(spark, text)
     if rec is not None:
         return rec
+    if not re.match(r"\s*(CREATE|DROP)\s+SCHEMA\b", text, re.I):
+        text = _flatten_schema_refs(text)
     cmd = _statement_command(spark, text)
     if cmd is not None:
         return cmd
@@ -6907,6 +7452,10 @@ def sql(
         from myduckdb_spark.functions.jsonx import register_json_udfs
 
         register_json_udfs(spark)
+    if "__jt_" in out or "__jx_" in out or "__json_cast" in out:
+        from myduckdb_spark.functions.jsonx import register_marked_udfs
+
+        register_marked_udfs(spark, out)
     if re.search(
         r"\b(jaro_winkler_similarity|jaro_similarity|damerau_levenshtein)\s*\(",
         out,

@@ -3,6 +3,7 @@
 json_transform}.cpp)."""
 
 import json
+import re
 
 import duckdb
 import pytest
@@ -83,13 +84,17 @@ def test_structure_to_ddl():
 
 
 def test_translate_json_transform():
+    # structure docs compile to a specialized transform UDF (r8: from_json
+    # can't express DuckDB's element-wise lenient casts); struct roots get
+    # a NULL/'null' guard because a pandas frame can't carry NULL structs
     out = translate("""SELECT json_transform(j, '{"a": "INTEGER"}') FROM t""")
-    assert "from_json(j, 'STRUCT<`a`: INT>')" in out
+    assert re.search(r"__jt_[0-9a-f]{10}\(j\)", out)
+    assert "CAST(NULL AS STRUCT<`a`: INT>)" in out
     out = translate("""SELECT json_transform(j, '"DATE"') FROM t""")
-    assert "CAST(get_json_object(j, '$') AS DATE)" in out
+    assert re.search(r"__jt_[0-9a-f]{10}\(j\)", out)
     # DuckDB's from_json alias with a structure doc converts; DDL passes
     out = translate("""SELECT from_json(j, '{"a": "INTEGER"}') FROM t""")
-    assert "from_json(j, 'STRUCT<`a`: INT>')" in out
+    assert re.search(r"__jt_[0-9a-f]{10}\(j\)", out)
     out = translate("SELECT from_json(j, 'a INT') FROM t")
     assert "from_json(j, 'a INT')" in out
     # 1-arg json_type gains the whole-document path; json_typeof aliases;

@@ -413,9 +413,9 @@ def _snapshot(spark, con) -> None:
     """Mirror DuckDB's tables AND views into Spark temp views (Arrow
     transfer preserves schema even for empty relations)."""
     names = [
-        r[0]
+        (r[0], r[1])
         for r in con.execute(
-            "SELECT table_name FROM information_schema.tables WHERE table_schema = 'main'"
+            "SELECT table_schema, table_name FROM information_schema.tables"
         ).fetchall()
     ]
     import pyarrow as pa
@@ -426,8 +426,9 @@ def _snapshot(spark, con) -> None:
         pa.uint8(): pa.int16(), pa.uint16(): pa.int32(),
         pa.uint32(): pa.int64(), pa.uint64(): pa.decimal128(20, 0),
     }
-    for t in names:
-        tbl = con.execute(f'SELECT * FROM "{t}"').arrow()
+    for sch, t in names:
+        view = t if sch == "main" else f"{sch}__{t}"
+        tbl = con.execute(f'SELECT * FROM "{sch}"."{t}"').arrow()
         tbl = _clamp_infinite_temporals(tbl)
         if any(f.type in _WIDEN for f in tbl.schema):
             tbl = tbl.cast(
@@ -440,8 +441,20 @@ def _snapshot(spark, con) -> None:
             )
         # pass the Arrow table straight through (Spark 4 accepts it):
         # round-tripping via pandas would turn INT-with-NULL into float64
-        df = _restore_json_types(spark.createDataFrame(tbl), con, t)
-        df.createOrReplaceTempView(t)
+        df = _restore_json_types(
+            spark.createDataFrame(tbl), con, f'{sch}"."{t}'
+        )
+        df.createOrReplaceTempView(view)
+    # mirror catalog STATE (schemas, declared column types, constraint
+    # structure, view SQL) into the engine's catalog-metadata registry —
+    # the engine computes information_schema rows from it itself (same
+    # state-mirroring pattern as the collation registry below)
+    from myduckdb_spark import infoschema as _ischema
+
+    try:
+        _ischema.mirror_duckdb(con)
+    except Exception:
+        _ischema.reset()
     # carry column-level collations (s VARCHAR COLLATE NOCASE) into the
     # front door's registry — the mirrored Spark view loses the metadata
     from myduckdb_spark.sql import _COLUMN_COLLATIONS, _parse_column_defs
