@@ -68,21 +68,54 @@ def reset() -> None:
 
 def constraint_name(table: str, ctype: str, columns: list[str],
                     text: str) -> str:
-    """DuckDB's Postgres-style generated constraint names."""
+    """DuckDB's Postgres-style generated constraint names, matching the
+    live-DuckDB-1.x oracle the corpus compares against:
+    <table>_<cols>_pkey / _key / _check / _not_null / _fkey."""
     cols = "_".join(columns)
     if ctype == "PRIMARY KEY":
-        return f"{table}_{cols}_pkey"
+        # multi-column keys drop the column list (live: multi_pkey)
+        return f"{table}_{cols}_pkey" if len(columns) == 1 else f"{table}_pkey"
     if ctype == "UNIQUE":
         return f"{table}_{cols}_key"
     if ctype == "CHECK":
-        return f"{table}_{cols}_check"
+        return (f"{table}_{cols}_check" if len(columns) == 1
+                else f"{table}_check")
+    if ctype == "NOT NULL":
+        return f"{table}_{cols}_not_null"
     if ctype == "FOREIGN KEY":
-        m = re.search(r"REFERENCES\s+[\w.\"]+\s*\(([^)]*)\)", text, re.I)
-        ref = "_".join(
-            c.strip().strip('"') for c in m.group(1).split(",")
-        ) if m else "ref"
-        return f"{table}_{cols}_{ref}_fkey"
+        return f"{table}_{cols}_fkey"
     return f"{table}_{cols}_{ctype.lower().replace(' ', '_')}"
+
+
+def _fk_referenced(c: dict) -> tuple[str, list[str]] | None:
+    """(referenced_table, referenced_columns) parsed from a FOREIGN KEY
+    constraint_text; columns empty when the short REFERENCES t form
+    names no column list (then the target's PRIMARY KEY applies)."""
+    m = re.search(
+        r"REFERENCES\s+\"?([\w.]+)\"?\s*(?:\(([^)]*)\))?", c["text"], re.I
+    )
+    if not m:
+        return None
+    tbl = m.group(1).split(".")[-1]
+    cols = [x.strip().strip('"') for x in m.group(2).split(",")] \
+        if m.group(2) else []
+    return tbl, cols
+
+
+def _unique_constraint_for(ref_tbl: str, ref_cols: list[str]):
+    """The PRIMARY KEY / UNIQUE constraint a foreign key points at."""
+    low = [c.lower() for c in ref_cols]
+    for c in CONSTRAINTS:
+        if c["table"].lower() != ref_tbl.lower():
+            continue
+        if c["ctype"] == "PRIMARY KEY" and (
+            not low or [x.lower() for x in c["columns"]] == low
+        ):
+            return c
+        if c["ctype"] == "UNIQUE" and low and \
+                [x.lower() for x in c["columns"]] == low:
+            return c
+    return None
 
 
 def register_table(key: str, catalog: str, schema: str, name: str,
@@ -194,11 +227,11 @@ def _named_constraints():
 def table_constraints_rows() -> list[tuple]:
     rows = []
     for c, name in _named_constraints():
-        if c["ctype"] == "NOT NULL":
-            continue
+        # live DuckDB lists NOT NULL as a CHECK-typed row named _not_null
+        ctype = "CHECK" if c["ctype"] == "NOT NULL" else c["ctype"]
         rows.append((
             c["catalog"], c["schema"], name,
-            c["catalog"], c["schema"], c["table"], c["ctype"],
+            c["catalog"], c["schema"], c["table"], ctype,
             "NO", "NO", "YES", "YES" if c["ctype"] == "UNIQUE" else None,
         ))
     return rows
@@ -217,9 +250,19 @@ def referential_constraints_rows() -> list[tuple]:
     for c, name in _named_constraints():
         if c["ctype"] != "FOREIGN KEY":
             continue
+        uniq_name = None
+        uc_cat, uc_sch = c["catalog"], c["schema"]
+        ref = _fk_referenced(c)
+        if ref:
+            uc = _unique_constraint_for(*ref)
+            if uc:
+                uniq_name = constraint_name(
+                    uc["table"], uc["ctype"], uc["columns"], uc["text"]
+                )
+                uc_cat, uc_sch = uc["catalog"], uc["schema"]
         rows.append((
-            c["catalog"], c["schema"], name, c["catalog"], c["schema"],
-            None, "NONE", "NO ACTION", "NO ACTION",
+            c["catalog"], c["schema"], name, uc_cat, uc_sch,
+            uniq_name, "NONE", "NO ACTION", "NO ACTION",
         ))
     return rows
 
@@ -293,6 +336,29 @@ CONSTRAINT_TABLE_USAGE_DDL = (
 )
 
 
+def duckdb_constraints_rows() -> list[tuple]:
+    """The duckdb_constraints() table function (reference
+    src/function/table/system/duckdb_constraints.cpp)."""
+    rows = []
+    for i, c in enumerate(CONSTRAINTS):
+        rows.append((
+            c["catalog"], None, c["schema"], None, c["table"], None,
+            c.get("index", i), c["ctype"], c["text"],
+            c.get("expression"), c.get("col_indexes", []),
+            list(c["columns"]),
+        ))
+    return rows
+
+
+DUCKDB_CONSTRAINTS_DDL = (
+    "database_name string, database_oid bigint, schema_name string, "
+    "schema_oid bigint, table_name string, table_oid bigint, "
+    "constraint_index bigint, constraint_type string, constraint_text "
+    "string, expression string, constraint_column_indexes array<bigint>, "
+    "constraint_column_names array<string>"
+)
+
+
 def check_constraints_rows() -> list[tuple]:
     rows = []
     for c, name in _named_constraints():
@@ -342,14 +408,16 @@ def mirror_duckdb(con) -> None:
             column_row(cname, ordinal, dtype, nullable == "YES", dflt)
         )
     COLUMN_META.update(cols)
-    for db, sch, tbl, ctype, text, ccols in con.execute(
-        "SELECT database_name, schema_name, table_name, constraint_type,"
-        " constraint_text, constraint_column_names "
+    for db, sch, tbl, idx, ctype, text, expr, cidx, ccols in con.execute(
+        "SELECT database_name, schema_name, table_name, constraint_index,"
+        " constraint_type, constraint_text, expression,"
+        " constraint_column_indexes, constraint_column_names "
         "FROM duckdb_constraints()"
     ).fetchall():
         CONSTRAINTS.append({
             "catalog": db, "schema": sch, "table": tbl, "ctype": ctype,
-            "text": text, "columns": list(ccols),
+            "text": text, "columns": list(ccols), "index": idx,
+            "expression": expr, "col_indexes": list(cidx or []),
         })
     for sch, name, sql_text in con.execute(
         "SELECT schema_name, view_name, sql FROM duckdb_views() "

@@ -80,6 +80,44 @@ def bench_queries() -> dict[str, tuple[Builder, str | None]]:
 # implementation or oracle changed since their last green row, then the
 # queries whose last green driver row is oldest so every registered
 # query re-verifies on a rotating schedule.
+R08_PRIORITY = (
+    # code paths TOUCHED this round: json_transform/json_extract UDF
+    # routing + json constructors (fn_json_battery), union-carrier
+    # to_json / ::UNION casts (fn_union_battery), epoch_* numeric guard
+    # + TRY_CAST offset normalization (fn_datetime_battery),
+    # list_histogram NULL semantics + wide-int literals (fn_list_battery)
+    "fn_json_battery", "fn_union_battery", "fn_datetime_battery",
+    "fn_list_battery",
+    # stale: every query whose latest green DRIVER row is r6 (r7
+    # verified the other 50; the judge strict-verified these in r7) —
+    # rotates the full registry through the window every two rounds.
+    # Series/interval entries also cover this round's range()-TVF and
+    # INTERVAL 'ago' changes.
+    "values_and_series", "date_series_buckets", "interval_arithmetic",
+    "collate_nocase_noaccent", "join_asof_purchase_click",
+    "dml_roundtrip", "upsert_on_conflict",
+    "agg_approx", "fn_timetz_battery",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_embedding_cosine", "sim_topk_lsh", "sim_topk_ivf",
+    "sim_lsh_recall", "text_quality_scores", "text_lang_id_confusion",
+    "text_fingerprint", "multimodal_features", "decontam_ngram_overlap",
+    "pii_scrub_counts", "text_repetition_stats", "setop_union_distinct",
+    "setop_except_intersect", "setop_all_variants",
+    "unnest_tokens", "recursive_cte_series", "seq_bulk_ids",
+    "q02_best_supplier_per_nation", "q04_order_priority_check",
+    "q07_volume_shipping", "q08_market_share", "q09_product_type_profit",
+    "q11_important_parts", "q13_customer_order_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_discounted_revenue", "q20_excess_inventory_suppliers",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    "pivot_status_counts", "unpivot_part_measures",
+    "win_ranking", "limit_offset_page",
+    # overflow past the 50-query window (lowest risk: r6 driver-green,
+    # judge strict-re-verified in r7, code paths unchanged this round)
+    "sample_deterministic", "join_cross_product",
+)
+
 R07_PRIORITY = (
     # code paths TOUCHED this round: registry epoch() now returns DOUBLE
     # seconds (fractional) and epoch_ns exists — re-prove the datetime
@@ -178,7 +216,7 @@ R05_PRIORITY = (
 
 def _ordered_names() -> list[str]:
     names = list(REGISTRY)
-    prio = [n for n in R07_PRIORITY if n in names]
+    prio = [n for n in R08_PRIORITY if n in names]
     return prio + [n for n in names if n not in set(prio)]
 
 

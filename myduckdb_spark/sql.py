@@ -1179,14 +1179,16 @@ def _rewrite_table_functions(text: str) -> str:
         close = _matching_paren(text, open_idx)
         return kw, fn, open_idx, close
 
+    scan_from = 0
     while True:
         spans = _literal_spans(text)
         m = next(
             (
                 c
-                for c in re.finditer(
-                    r"\b(FROM|JOIN|,)\s*(generate_series|unnest)\s*\(", text, re.I
-                )
+                for c in re.compile(
+                    r"\b(FROM|JOIN|,)\s*(generate_series|unnest|range)\s*\(",
+                    re.I,
+                ).finditer(text, scan_from)
                 if not _in_spans(c.start(), spans)
             ),
             None,
@@ -1196,8 +1198,37 @@ def _rewrite_table_functions(text: str) -> str:
         kw, fn, open_idx, close = tvf(m)
         if close < 0:
             break
+        if kw == ",":
+            # a comma only introduces a TVF in the FROM clause — a
+            # select-list `, UNNEST(x) alias` stays a generator item.
+            # Clause test: the nearest preceding SELECT/FROM keyword at
+            # this paren depth decides.
+            depths = _depth_profile(text)
+            d = depths[m.start()]
+            last_kw = None
+            for km in re.finditer(r"\b(SELECT|FROM)\b", text[: m.start()], re.I):
+                if not _in_spans(km.start(), spans) and depths[km.start()] == d:
+                    last_kw = km.group(1).upper()
+            if last_kw != "FROM":
+                scan_from = m.end()
+                continue
         args = [a.strip() for a in _split_args(text[open_idx + 1 : close])]
-        if fn == "generate_series":
+        if fn == "range":
+            # temporal range TVF (range.cpp): EXCLUSIVE stop bound over
+            # timestamp sequences — Spark's native integer range TVF
+            # keeps every other case
+            if len(args) != 3 or not any(
+                re.search(r"\b(INTERVAL|TIMESTAMP\w*|DATE)\b|::", a, re.I)
+                for a in args
+            ):
+                scan_from = m.end()
+                continue
+            seq = f"sequence({', '.join(args)})"
+            sub = (
+                f"(SELECT explode(filter({seq}, "
+                f"__rx -> __rx != ({args[1]}))) AS range)"
+            )
+        elif fn == "generate_series":
             seq = f"sequence(0, {args[0]})" if len(args) == 1 else f"sequence({', '.join(args)})"
             sub = f"(SELECT explode({seq}) AS generate_series)"
         else:
@@ -1252,12 +1283,23 @@ def _rewrite_multi_unnest(text: str) -> str:
         if not _in_spans(f.start(), spans) and depths[f.start()] == 0:
             fm = f
             break
-    sel_end = fm.start() if fm else len(text)
+    if fm:
+        sel_end = fm.start()
+    else:
+        # no FROM: the select list still ends where a top-level
+        # ORDER BY / LIMIT / OFFSET tail begins
+        sel_end = next(
+            (c.start() for c in re.finditer(
+                r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", text, re.I)
+             if not _in_spans(c.start(), spans)
+             and depths[c.start()] == 0),
+            len(text),
+        )
     items = [a.strip() for a in _split_args(text[sel_m.end(): sel_end])]
     un = []
     for i, it in enumerate(items):
         im = re.match(
-            r"^UNNEST\s*\((.*)\)(?:\s+AS\s+(\w+))?$", it, re.I | re.S
+            r"^UNNEST\s*\((.*)\)(?:\s+(?:AS\s+)?(\w+))?$", it, re.I | re.S
         )
         if im:
             # require the call's parens to close where the regex says
@@ -1294,9 +1336,25 @@ def _rewrite_multi_unnest(text: str) -> str:
                 extra += 1
             inner_items.append(it)
             outer_items.append(name)
-    tail = text[fm.start():] if fm else "FROM (SELECT 1)"
+    tail = (text[fm.start():] if fm
+            else "FROM (SELECT 1) " + text[sel_end:])
+    # ORDER BY / LIMIT / OFFSET apply to the UNNESTED output rows (the
+    # reference's LIMIT bounds rows after the unnest, and ordering after
+    # explode is not preserved) — split them off to the outer SELECT
+    outer_tail = ""
+    t_spans = _literal_spans(tail)
+    t_depths = _depth_profile(tail)
+    cut = next(
+        (c.start() for c in re.finditer(
+            r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", tail, re.I)
+         if not _in_spans(c.start(), t_spans) and t_depths[c.start()] == 0),
+        None,
+    )
+    if cut is not None:
+        tail, outer_tail = tail[:cut], " " + tail[cut:]
     inner = "SELECT " + ", ".join(inner_items + [gen]) + " " + tail
-    return "SELECT " + ", ".join(outer_items) + f" FROM ({inner}) __ut"
+    return ("SELECT " + ", ".join(outer_items)
+            + f" FROM ({inner}) __ut" + outer_tail)
 
 
 _POSITIONAL_JOIN = re.compile(
@@ -1535,6 +1593,7 @@ def _rewrite_int_casts(text: str) -> str:
                     "'^(-?[0-9]+)([-/])([0-9]{{1,2}})\\\\2([0-9]{{1,2}})', "
                     "'$1-$3-$4')"
                 )
+                py_off = r":[0-9]{2}(\.[0-9]+)? *[+-][0-9]{1,2}(:[0-9]{2})?$"
                 lm2 = re.fullmatch(r"'((?:[^']|'')*)'", argt)
                 if lm2:
                     norm = re.sub(
@@ -1542,20 +1601,37 @@ def _rewrite_int_casts(text: str) -> str:
                         r"\1-\3-\4",
                         lm2.group(1).strip(),
                     )
+                    if not is_date and re.search(py_off, norm):
+                        # trailing ±HH[:MM] offset: UTC-normalize the
+                        # instant (TryConvertTimestampTZ) — same dispatch
+                        # as the plain-CAST branch above
+                        return (
+                            head
+                            + _tz_instant_to_wall(f"('{norm}')", "'UTC'")
+                            + rest
+                        )
                     if not re.fullmatch(pat, norm):
                         return head + f"CAST(NULL AS {am.group(2)})" + rest
                     return (
                         head + f"TRY_CAST('{norm}' AS {am.group(2)})" + rest
                     )
                 norm = sep_norm.format(a=argt)
-                # three-way: full-grammar strings cast from the normalized
-                # form; date-ish-but-incomplete strings (digits/separators
+                off_re2 = (
+                    r"':[0-9]{2}(\.[0-9]+)? *[+-][0-9]{1,2}(:[0-9]{2})?$'"
+                )
+                off_when = "" if is_date else (
+                    f"WHEN {norm} RLIKE {off_re2} "
+                    f"THEN {_tz_instant_to_wall(f'({norm})', chr(39) + 'UTC' + chr(39))} "
+                )
+                # four-way: offset-suffixed strings UTC-normalize;
+                # full-grammar strings cast from the normalized form;
+                # date-ish-but-incomplete strings (digits/separators
                 # only: '1111', '1111-11', '... 11:11') are NULL; anything
-                # else (non-string operands like a DATE, tz-suffixed forms)
-                # falls through to Spark's own cast of the ORIGINAL operand
+                # else (non-string operands like a DATE) falls through to
+                # Spark's own cast of the ORIGINAL operand
                 return (
                     head
-                    + f"(CASE WHEN {norm} RLIKE '{pat}' "
+                    + f"(CASE {off_when}WHEN {norm} RLIKE '{pat}' "
                     f"THEN TRY_CAST({norm} AS {am.group(2)}) "
                     f"WHEN {norm} RLIKE '^-?[0-9][-/ T.:0-9()BCbc]*$' "
                     f"THEN NULL "
@@ -1729,6 +1805,14 @@ def _rewrite_dynamic_interval(text: str) -> str:
     and truncates it to an integer count (interval.cpp); Spark's INTERVAL
     literal grammar only takes constants. → ``make_interval`` with the
     count in the matching slot."""
+    # a trailing 'ago' inside the literal negates the whole interval
+    # (interval.cpp ParseIntervalString): INTERVAL '1 MONTH ago' →
+    # -INTERVAL '1 MONTH' (parenthesized so unary minus binds tight)
+    text = re.sub(
+        r"\bINTERVAL\s+'([^']*?)\s+ago\s*'",
+        lambda mm: f"(- INTERVAL '{mm.group(1)}')",
+        text, flags=re.I,
+    )
     while True:
         spans = _literal_spans(text)
         m = next(
@@ -3529,30 +3613,45 @@ def translate(text: str) -> str:
     # overloads epoch_ms(BIGINT) -> TIMESTAMP / to_timestamp(numeric) ->
     # TIMESTAMPTZ. Dispatch is syntactic (literal/explicit-numeric-cast =>
     # construction; anything else => extraction, the common column case).
+    def _epoch_guard(a: str, fn: str) -> str:
+        # the extraction direction was chosen SYNTACTICALLY; a numeric
+        # COLUMN slipping through would silently extract (col*1000)
+        # instead of constructing a TIMESTAMP — raise instead of
+        # returning a wrong value/type. typeof() is static per query, so
+        # the guard constant-folds for correctly-typed arguments.
+        return (
+            f"(CASE WHEN typeof(({a})) RLIKE "
+            f"'^(u?(tiny|small|big)?int|decimal|double|float)' THEN "
+            f"raise_error('{fn}: numeric argument requires the "
+            f"construction overload - cast the argument explicitly "
+            f"(e.g. {fn}(col::BIGINT))') ELSE ({a}) END)"
+        )
+
     out = _rewrite_calls(
         out, "epoch_ms",
         lambda a: None if len(a) != 1 else (
             f"CAST(timestamp_millis(CAST(({a[0]}) AS BIGINT)) AS TIMESTAMP_NTZ)"
             if _is_numeric_arg(a[0])
-            else f"unix_millis(CAST(({a[0]}) AS TIMESTAMP_LTZ))"
+            else f"unix_millis(CAST({_epoch_guard(a[0], 'epoch_ms')} AS TIMESTAMP_LTZ))"
         ),
     )
     out = _rewrite_calls(
         out, "epoch_us",
-        lambda a: f"unix_micros(CAST(({a[0]}) AS TIMESTAMP_LTZ))"
+        lambda a: f"unix_micros(CAST({_epoch_guard(a[0], 'epoch_us')} AS TIMESTAMP_LTZ))"
         if len(a) == 1 and not _is_numeric_arg(a[0]) else None,
     )
     out = _rewrite_calls(
         out, "epoch_ns",
         lambda a: (
-            f"(unix_micros(CAST(({a[0]}) AS TIMESTAMP_LTZ)) * CAST(1000 AS BIGINT))"
+            f"(unix_micros(CAST({_epoch_guard(a[0], 'epoch_ns')} AS "
+            f"TIMESTAMP_LTZ)) * CAST(1000 AS BIGINT))"
         ) if len(a) == 1 and not _is_numeric_arg(a[0]) else None,
     )
     out = _rewrite_calls(
         out, "epoch",
         lambda a: (
-            f"(CAST(unix_micros(CAST(({a[0]}) AS TIMESTAMP_LTZ)) AS DOUBLE)"
-            f" / 1000000)"
+            f"(CAST(unix_micros(CAST({_epoch_guard(a[0], 'epoch')} AS "
+            f"TIMESTAMP_LTZ)) AS DOUBLE) / 1000000)"
         ) if len(a) == 1 and not _is_numeric_arg(a[0]) else None,
     )
     out = _rewrite_calls(
@@ -6702,8 +6801,18 @@ def _bind_information_schema(spark: SparkSession, text: str) -> str:
             rf"\binformation_schema\s*\.\s*({_IS_VIEWS})\b", text, re.I,
         )
     }
-    if not used:
+    has_dc = re.search(r"\bduckdb_constraints\b", text, re.I) is not None
+    if not used and not has_dc:
         return text
+    if has_dc:
+        spark.createDataFrame(
+            ischema.duckdb_constraints_rows(),
+            ischema.DUCKDB_CONSTRAINTS_DDL,
+        ).createOrReplaceTempView("__duckdb_constraints")
+        text = re.sub(
+            r"\bduckdb_constraints\s*\(\s*\)|\bduckdb_constraints\b",
+            "__duckdb_constraints", text, flags=re.I,
+        )
     live = list(_catalog_names(spark))
     if "tables" in used:
         rows = []

@@ -133,3 +133,83 @@ def test_transform_lenient_null_on_bad_cast(spark, duck):
     q = """SELECT json_transform('{"a": "bad"}', '{"a": "INTEGER"}') AS s"""
     assert run_sql(spark, q).collect()[0].s.a is None
     assert duck.sql(q).fetchone()[0] == {"a": None}
+
+
+# ---------------------------------------------------------------- r8: the
+# python transform engine itself (compile_transform) — pure-python checks
+# against live DuckDB for the lenient-cast lattice
+
+
+def _jt(doc, structure, strict=False):
+    from myduckdb_spark.functions.jsonx import _loads, compile_transform
+
+    fn = compile_transform(json.loads(structure), strict)
+    return fn(_loads(doc))
+
+
+@pytest.mark.parametrize("doc,structure", [
+    ("2.5", '"INTEGER"'),        # JSON number: round-half-even -> 2
+    ('"2.5"', '"INTEGER"'),      # string: VARCHAR cast, half away -> 3
+    ("true", '"DECIMAL(3,1)"'),
+    ("-42", '"UINTEGER"'),       # unsigned guard -> NULL
+    ("42", '"DECIMAL(2,1)"'),    # precision overflow -> NULL
+    ("128", '"TINYINT"'),
+    ("null", '"VARCHAR"'),
+    ('"abc"', '"BOOLEAN"'),
+    ("42.5", '"BOOLEAN"'),
+    ('[{}, [42]]', '[["BIGINT"]]'),   # per-element NULL on mismatch
+    ('[1,"a",3]', '["INTEGER"]'),
+    ('{"a":2.5}', '{"a":"INTEGER"}'),
+    ('[1,2]', '{"a":"INTEGER"}'),     # non-object -> all-NULL fields
+    ('"42"', '"UUID"'),
+])
+def test_transform_matches_duckdb(duck, doc, structure):
+    want = duck.sql(
+        f"SELECT json_transform('{doc}', '{structure}')"
+    ).fetchone()[0]
+    got = _jt(doc, structure)
+    import uuid
+    from decimal import Decimal
+
+    if isinstance(want, uuid.UUID):
+        want = str(want)
+    if isinstance(got, Decimal) and isinstance(want, (int, float, Decimal)):
+        got, want = float(got), float(want)
+    if isinstance(got, dict) or isinstance(want, dict):
+        assert got == want, (doc, structure)
+    else:
+        assert got == want, (doc, structure)
+
+
+def test_transform_strict_raises():
+    from myduckdb_spark.functions.jsonx import _TransformError
+
+    with pytest.raises(_TransformError):
+        _jt('"abc"', '"INTEGER"', strict=True)
+    # JSON null is legitimate even in strict mode
+    assert _jt("null", '"INTEGER"', strict=True) is None
+
+
+def test_extract_wildcards_match_duckdb(duck):
+    cases = [
+        ('{"duck":42, "goose":43}', "$.*"),
+        ('[{"duck":42},{"duck":43}]', "$[*].duck"),
+        ('[{"duck":null},{"duck":42},{"duck":null},{}]', "$[*].*"),
+        ('{"duck":[42,43]}', "$.*[-1]"),
+    ]
+    from myduckdb_spark.functions.jsonx import json_extract_multi_py
+
+    for doc, path in cases:
+        want = duck.sql(
+            f"SELECT json_extract('{doc}', '{path}')"
+        ).fetchone()[0]
+        got = json_extract_multi_py(doc, path)
+        assert got == want, (doc, path)
+
+
+def test_extract_end_indexes(duck):
+    from myduckdb_spark.functions.jsonx import json_extract_py
+
+    for path, want in [("$[#-1]", "3"), ("$[-1]", "3"), ("$[#]", None),
+                       ("$[1]", "2")]:
+        assert json_extract_py("[1,2,3]", path) == want, path

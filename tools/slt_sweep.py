@@ -33,7 +33,7 @@ SKIP_DIRS = {
     "detach", "export", "catalog", "checkpoint", "transactions", "index",
     "alter", "create", "delete", "update", "insert", "copy", "tpch",
     "tpcds", "fuzzer", "prepared", "pg_catalog", "information_schema",
-    "upsert", "constraints", "sequence", "vacuum", "timezone",
+    "upsert", "constraints", "sequence", "vacuum",
 }
 
 
