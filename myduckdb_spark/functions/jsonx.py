@@ -668,8 +668,9 @@ def _tokenize_ext_path(path: str):
         elif m.group(0).startswith("[") and "*" in m.group(0):
             toks.append("wild_arr")
         elif m.group(1) is not None or m.group(2) is not None:
-            toks.append(("key", m.group(1) if m.group(1) is not None
-                         else m.group(2)))
+            key = (m.group(1) if m.group(1) is not None
+                   else re.sub(r"\\(.)", r"\1", m.group(2)))
+            toks.append(("key", key))
         else:
             idx = m.group(3).replace(" ", "")
             if idx == "#":
@@ -862,6 +863,135 @@ def _raise_nan():
     raise _TransformError("cannot cast NaN to JSON")
 
 
+def _json_contained(t, c) -> bool:
+    """MySQL-style local containment (json_contains.cpp JSONContains):
+    candidate object ⊆ target object per key, candidate array ⊆ target
+    array element-wise, scalar candidate matches a scalar or any element
+    of a target array."""
+    if isinstance(c, dict):
+        return isinstance(t, dict) and all(
+            k in t and _json_contained(t[k], v) for k, v in c.items()
+        )
+    if isinstance(c, list):
+        return isinstance(t, list) and all(
+            any(_json_contained(te, e) for te in t) for e in c
+        )
+    if isinstance(t, list):
+        return any(_json_contained(te, c) for te in t)
+    return type(t) is type(c) and t == c
+
+
+def json_contains_py(j, needle):
+    """json_contains(haystack, needle): local containment at any node of
+    the haystack (the reference searches the whole document tree)."""
+    if j is None or needle is None:
+        return None
+    try:
+        h, n = _loads(j), _loads(needle)
+    except (ValueError, TypeError):
+        return None
+
+    def walk(t) -> bool:
+        if _json_contained(t, n):
+            return True
+        if isinstance(t, dict):
+            return any(walk(v) for v in t.values())
+        if isinstance(t, list):
+            return any(walk(e) for e in t)
+        return False
+
+    return walk(h)
+
+
+def json_keys_multi_py(j, paths):
+    """json_keys(j, ['p1', 'p2']): one key-list per path."""
+    if j is None or paths is None:
+        return None
+    return [json_keys_py(j, p) for p in paths]
+
+
+def json_keys_py(j, path="$"):
+    """json_keys(j[, path]): keys of the object at path; [] for
+    non-objects (json_keys.cpp)."""
+    if j is None or path is None:
+        return None
+    try:
+        v = _loads(j)
+    except (ValueError, TypeError):
+        return None
+    p = str(path)
+    if not p.startswith("$"):
+        # bare key / pointer forms route through the $-grammar
+        p = "$" + "".join(
+            f"[{seg}]" if seg.isdigit() else f".{seg}"
+            for seg in p[1:].split("/")
+        ) if p.startswith("/") else f"$.{p}"
+    toks = _tokenize_ext_path(p)
+    if toks is None:
+        return None
+    out = []
+    _walk_ext(v, toks, 0, out)
+    if not out:
+        return None
+    v = out[0]
+    return list(v.keys()) if isinstance(v, dict) else []
+
+
+def json_minify_py(j):
+    """json(x) / json minify: compact re-serialization PRESERVING key
+    order (Spark's variant round-trip alphabetizes keys — wrong); a JSON
+    null document yields SQL NULL."""
+    if j is None:
+        return None
+    try:
+        v = _loads(j if isinstance(j, str) else _value_to_json_text(j))
+    except (ValueError, TypeError):
+        return None
+    return None if v is None else _dumps(v)
+
+
+def json_merge_patch_py(a, b):
+    """RFC 7386 merge patch (json_merge_patch.cpp): a null PATCH yields
+    SQL NULL; null keys delete; non-object patches replace wholesale."""
+    if b is None:
+        return None
+
+    def merge(t, p):
+        if not isinstance(p, dict):
+            return p
+        # key order matches the reference: target keys NOT in the patch
+        # first, then patch keys in patch order (verified live:
+        # {"a":1,"b":2} + {"a":3,"c":4} -> {"b":2,"a":3,"c":4})
+        t = t if isinstance(t, dict) else {}
+        r = {k: v for k, v in t.items() if k not in p}
+        for k, pv in p.items():
+            if pv is None:
+                continue
+            r[k] = merge(t.get(k), pv)
+        return r
+
+    try:
+        pa = _loads(a) if a is not None else None
+        pb = _loads(b)
+    except (ValueError, TypeError):
+        return None
+    return _dumps(merge(pa, pb))
+
+
+def json_group_structure_py(series) -> str:
+    """Aggregate structure merge over a group of JSON documents
+    (json_structure.cpp merge lattice, the group form)."""
+    merged = "NULL"
+    for s in series:
+        if s is None:
+            continue
+        try:
+            merged = _merge(merged, _structure(_loads(s)))
+        except (ValueError, TypeError):
+            continue
+    return json.dumps(merged, separators=(",", ":"))
+
+
 def json_extract_list_py(j, paths, text: bool = False):
     """Many-path form json_extract(j, ['$.a', '$.b']): one result slot
     per path (json_extract.cpp many-path bind)."""
@@ -888,6 +1018,47 @@ def register_marked_udfs(spark, translated: str) -> None:
     import pandas as pd
 
     from myduckdb_spark.functions.udf import create_scalar_function
+
+    _SIMPLE_UDFS = {
+        "__json_contains": (json_contains_py, "boolean"),
+        "__json_keys": (json_keys_py, "array<string>"),
+        "__json_keys_multi": (json_keys_multi_py, "array<array<string>>"),
+        "__json_merge2": (json_merge_patch_py, "string"),
+    }
+    if "__json_minify" in translated and \
+            (id(spark), "__json_minify") not in _MARKED:
+        def _u_minify(s):
+            return pd.Series(
+                [json_minify_py(x) for x in s], index=s.index,
+                dtype="object",
+            )
+
+        create_scalar_function(spark, "__json_minify", _u_minify, "string")
+        _MARKED.add((id(spark), "__json_minify"))
+    for name, (fn, ddl) in _SIMPLE_UDFS.items():
+        if name not in translated or (id(spark), name) in _MARKED:
+            continue
+
+        def _mk2(fn):
+            def _u(a, b):
+                return pd.Series(
+                    [fn(x, y) for x, y in zip(a, b)],
+                    index=a.index, dtype="object",
+                )
+
+            return _u
+
+        create_scalar_function(spark, name, _mk2(fn), ddl)
+        _MARKED.add((id(spark), name))
+    if "__json_group_structure" in translated and \
+            (id(spark), "__json_group_structure") not in _MARKED:
+        from myduckdb_spark.functions.udf import create_aggregate_function
+
+        create_aggregate_function(
+            spark, "__json_group_structure", json_group_structure_py,
+            "string",
+        )
+        _MARKED.add((id(spark), "__json_group_structure"))
 
     for name in set(re.findall(r"__json_cast(?:_try)?", translated)):
         key = (id(spark), name)

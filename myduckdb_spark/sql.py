@@ -347,7 +347,8 @@ _NAME_RULES: list[tuple[str, str]] = [
 _LISTY = re.compile(
     r"^\s*\[|\b(split|string_split\w*|string_to_array|regexp_extract_all|sequence|"
     r"array\w*|collect_list|collect_set|list_\w+|map_keys|map_values|transform|"
-    r"filter|slice|flatten)\s*\(",
+    r"filter|slice|flatten|json_keys|__json_keys\w*|__jx_multi\w*|"
+    r"__jx_list\w*)\s*\(",
     re.I,
 )
 
@@ -1112,6 +1113,79 @@ def _rewrite_struct_braces(text: str) -> str:
     return text
 
 
+def _rewrite_json_dot_syntax(text: str) -> str:
+    """DuckDB's JSON dot syntax — ``json(x).a[0]."q key"`` /
+    ``x::JSON.a`` / ``(x::JSON).a`` — captured BEFORE the 1-based
+    index-bracket rewrite would mangle the trailing ``[n]`` segments
+    (json_functions.cpp dot operator). Emits __jx_one over the JSON
+    value; plain json(...)/::JSON forms without a chain are left for
+    the later cast rewrites."""
+    scan = 0
+    while True:
+        m = next(
+            (c for c in re.compile(r"\bjson\s*\(", re.I).finditer(text, scan)
+             if not _in_spans(c.start(), _literal_spans(text))
+             and not re.search(r"[.$]$|::\s*$", text[: c.start()])),
+            None,
+        )
+        if m is None:
+            break
+        close = _matching_paren(text, m.end() - 1)
+        if close < 0:
+            break
+        dm = re.match(_DOT_CHAIN, text[close + 1:])
+        if not dm:
+            scan = m.end()
+            continue
+        path = "$" + re.sub(r'\s*([.\[\]])\s*', r"\1", dm.group(1))
+        inner = text[m.end():close]
+        text = (
+            text[: m.start()]
+            + f"__jx_one(__json_minify({inner}), '{path}')"
+            + text[close + 1 + dm.end():]
+        )
+    while True:
+        spans = _literal_spans(text)
+        hit = None
+        for mm in re.finditer(r"::\s*JSON\b", text, re.I):
+            if _in_spans(mm.start(), spans):
+                continue
+            after = text[mm.end():]
+            pm = re.match(r"\s*\)", after)
+            wrapped = False
+            if pm and re.match(_DOT_CHAIN, after[pm.end():]):
+                wrapped = True
+                dm = re.match(_DOT_CHAIN, after[pm.end():])
+                chain_off = mm.end() + pm.end()
+            else:
+                dm = re.match(_DOT_CHAIN, after)
+                chain_off = mm.end()
+            if not dm:
+                continue
+            hit = (mm, dm, chain_off, wrapped)
+            break
+        if hit is None:
+            return text
+        mm, dm, chain_off, wrapped = hit
+        try:
+            st = _operand_start(text, mm.start(), spans)
+        except ValueError:
+            return text
+        lo = st
+        if wrapped:
+            head = text[:st].rstrip()
+            if not head.endswith("("):
+                return text
+            lo = len(head) - 1
+        operand = text[st:mm.start()].strip()
+        path = "$" + re.sub(r'\s*([.\[\]])\s*', r"\1", dm.group(1))
+        text = (
+            text[:lo]
+            + f"__jx_one(({operand})::JSON, '{path}')"
+            + text[chain_off + dm.end():]
+        )
+
+
 def _rewrite_index_brackets(text: str) -> str:
     """DuckDB list/map indexing and slicing are 1-based
     (src/core_functions/scalar/list/ array_slice.cpp): ``a[i]`` →
@@ -1476,6 +1550,9 @@ def _rewrite_window_filter(text: str) -> str:
             return text
         text = text[:call_start] + new_call + " " + text[f_close + 1 :].lstrip()
 
+
+# JSON dot-syntax member chain: .key / ."quoted key" / [n] / [#-n]
+_DOT_CHAIN = r'((?:\s*(?:\.\s*(?:\w+|"[^"]+")|\[\s*#?\s*-?\d+\s*\]))+)'
 
 _INT_CAST_TYPES = {
     "tinyint", "smallint", "int", "integer", "bigint", "hugeint",
@@ -2636,6 +2713,7 @@ def translate(text: str) -> str:
     out = _rewrite_array_types(out)
     out = _rewrite_bracket_lists(out)
     out = _rewrite_struct_braces(out)
+    out = _rewrite_json_dot_syntax(out)
     out = _rewrite_index_brackets(out)
     out = _rewrite_table_functions(out)
     out = _rewrite_positional_join(out)
@@ -3134,8 +3212,9 @@ def translate(text: str) -> str:
             r"array_to_json|__jt_[0-9a-f]+)\s*\(", v, re.I
         ):
             # nested JSON values are MINIFIED inside constructors
-            # (json_create.cpp re-serializes) — round-trip through variant
-            return f"coalesce(to_json(try_parse_json({v})), 'null')"
+            # (json_create.cpp re-serializes, key order preserved —
+            # Spark's variant round-trip would alphabetize keys)
+            return f"coalesce(__json_minify({v}), 'null')"
         t = f"to_json(array({v}))"
         return f"substring({t}, 2, length({t}) - 2)"
 
@@ -3176,6 +3255,57 @@ def translate(text: str) -> str:
         return f"concat('[', {', '.join(pieces)}, ']')"
 
     out = _rewrite_calls(out, "json_array", _json_array)
+    # containment / keys / merge-patch: recursive tree semantics with no
+    # Spark expression form — Arrow-batched UDFs (jsonx.py)
+    out = _rewrite_calls(
+        out, "json_contains",
+        lambda a: f"__json_contains({a[0]}, {a[1]})"
+        if len(a) == 2 else None,
+    )
+    def _json_keys(a: list[str]) -> str | None:
+        if len(a) == 1:
+            return f"__json_keys({a[0]}, '$')"
+        if len(a) != 2:
+            return None
+        p1 = a[1].strip()
+        if p1.startswith("[") or re.match(
+            r"(array|list_value|list_pack)\s*\(", p1, re.I
+        ):
+            return f"__json_keys_multi({a[0]}, {a[1]})"
+        return f"__json_keys({a[0]}, {a[1]})"
+
+    out = _rewrite_calls(out, "json_keys", _json_keys)
+
+    def _json_merge(a: list[str]) -> str | None:
+        if len(a) < 2:
+            return None
+        expr = a[0]
+        for nxt in a[1:]:
+            expr = f"__json_merge2({expr}, {nxt})"
+        return expr
+
+    out = _rewrite_calls(out, "json_merge_patch", _json_merge)
+    # group aggregates (json_aggregates.cpp): array/object keep input
+    # NULLs as JSON null; structure merges the group's inferred shapes
+    out = _rewrite_calls(
+        out, "json_group_array",
+        lambda a: (
+            f"concat('[', coalesce(array_join(collect_list("
+            f"{_jfrag(a[0])}), ','), ''), ']')"
+        ) if len(a) == 1 else None,
+    )
+    out = _rewrite_calls(
+        out, "json_group_object",
+        lambda a: (
+            f"concat('{{', coalesce(array_join(collect_list(concat("
+            f"{_jfrag_key(a[0])}, {_jfrag(a[1])})), ','), ''), '}}')"
+        ) if len(a) == 2 else None,
+    )
+    out = _rewrite_calls(
+        out, "json_group_structure",
+        lambda a: f"__json_group_structure({a[0]})"
+        if len(a) == 1 else None,
+    )
     # json_quote(NULL) is SQL NULL (unlike inside constructors)
     out = _rewrite_calls(
         out, "json_quote",
@@ -3224,7 +3354,26 @@ def translate(text: str) -> str:
         except ValueError:
             continue
         operand = out[st:mm.start()].strip()
-        out = out[:st] + _json_cast(False)(operand) + out[mm.end():]
+        repl_jc = _json_cast(False)(operand)
+        # (x::JSON).key[0]."q key"… — dot-syntax extraction over the
+        # cast; the parenthesized form consumes its wrapping parens
+        end_jc = mm.end()
+        lo_jc = st
+        if re.search(r"\(\s*$", out[:st]) and re.match(
+            r"\s*\)", out[end_jc:]
+        ):
+            pm = re.match(r"\s*\)", out[end_jc:])
+            chain = re.match(_DOT_CHAIN, out[end_jc + pm.end():])
+            if chain:
+                lo_jc = out[:st].rindex("(")
+                end_jc = end_jc + pm.end()
+        dmc = re.match(_DOT_CHAIN, out[end_jc:])
+        if dmc:
+            pathc = "$" + re.sub(r'\s*([.\[\]])\s*', r"\1", dmc.group(1))
+            repl_jc = f"__jx_one({repl_jc}, '{pathc}')"
+            out = out[:lo_jc] + repl_jc + out[end_jc + dmc.end():]
+        else:
+            out = out[:lo_jc] + repl_jc + out[end_jc:]
     for cast_kw, try_form in (("TRY_CAST", True), ("CAST", False)):
         def _cast_json(a: list[str], try_form=try_form) -> str | None:
             if len(a) != 1:
@@ -3235,6 +3384,33 @@ def translate(text: str) -> str:
             return _json_cast(try_form)(m.group(1))
 
         out = _rewrite_calls(out, cast_kw, _cast_json)
+
+    # json(x) MINIFIES (unlike the text-preserving ::JSON cast) and a
+    # JSON null input yields SQL NULL; a trailing .key[.key…] chain is
+    # DuckDB's dot-syntax extraction over the JSON value
+    # (json_functions.cpp dot operator / json minify)
+    while True:
+        spans_j = _literal_spans(out)
+        mj = next(
+            (c for c in re.finditer(r"\bjson\s*\(", out, re.I)
+             if not _in_spans(c.start(), spans_j)
+             and not re.search(r"[.$]$|::\s*$", out[: c.start()])),
+            None,
+        )
+        if mj is None:
+            break
+        close_j = _matching_paren(out, mj.end() - 1)
+        if close_j < 0:
+            break
+        inner_j = out[mj.end():close_j]
+        cast_expr = f"__json_minify({inner_j})"
+        dm = re.match(_DOT_CHAIN, out[close_j + 1:])
+        if dm:
+            path = "$" + re.sub(r'\s*([.\[\]])\s*', r"\1", dm.group(1))
+            repl = f"__jx_one({cast_expr}, '{path}')"
+            out = out[: mj.start()] + repl + out[close_j + 1 + dm.end():]
+        else:
+            out = out[: mj.start()] + cast_expr + out[close_j + 1:]
 
     # json_type 1-arg form -> 2-arg UDF signature; json_typeof alias
     out = _rewrite_calls(
@@ -3304,6 +3480,14 @@ def translate(text: str) -> str:
     # size() (arrays/maps) vs length() (strings). Choose by argument shape.
     out = _rewrite_calls(
         out, "len", lambda a: f"size({a[0]})" if _LISTY.search(a[0]) else f"length({a[0]})"
+    )
+    # DuckDB's length() is list-or-string too (length.cpp overload set);
+    # dispatch only on a list-producing OUTERMOST expression (match, not
+    # search — length(to_json(array(x))) is a string length)
+    out = _rewrite_calls(
+        out, "length",
+        lambda a: f"size({a[0]})"
+        if len(a) == 1 and _LISTY.match(a[0].lstrip()) else None,
     )
     # list_sort comparator/order forms (DuckDB: list_sort(l [, 'ASC'|'DESC' [, nulls]]))
     def _list_sort(args: list[str]):
@@ -4211,8 +4395,10 @@ def translate(text: str) -> str:
             if path_has_wildcard(path):
                 # wildcard paths return LIST(JSON) — one element per match
                 return f"__jx_multi{suffix}({a[0]}, '{path}')"
-            if re.search(r"\[\s*(#|-)", path):
-                # from-the-end indexes aren't variant-get paths
+            if re.search(r"\[\s*(#|-)", path) or re.search(r'\."', path):
+                # from-the-end indexes and quoted keys (escapes, brackets,
+                # spaces inside the key) aren't variant-get/get_json_object
+                # paths — resolve in the python extractor
                 return f"__jx_one{suffix}({a[0]}, '{path}')"
             if text_form:
                 return f"get_json_object({a[0]}, '{path}')"
@@ -7561,7 +7747,7 @@ def sql(
         from myduckdb_spark.functions.jsonx import register_json_udfs
 
         register_json_udfs(spark)
-    if "__jt_" in out or "__jx_" in out or "__json_cast" in out:
+    if "__jt_" in out or "__jx_" in out or "__json_" in out:
         from myduckdb_spark.functions.jsonx import register_marked_udfs
 
         register_marked_udfs(spark, out)
