@@ -26,8 +26,18 @@ from __future__ import annotations
 import re
 
 # user-created schemas (beyond the main/information_schema/pg_catalog
-# baseline); values are bare schema names in catalog 'memory'
-SCHEMAS: set[str] = set()
+# baseline) in catalog 'memory': name -> oid. Oids are assigned once at
+# creation and never reused (pg_namespace.test: an entry's oid must not
+# change as later schemas arrive); iteration treats this as a name set.
+SCHEMAS: dict[str, int] = {}
+_NEXT_OID = [2000]
+
+
+def create_schema(name: str) -> int:
+    if name not in SCHEMAS:
+        SCHEMAS[name] = _NEXT_OID[0]
+        _NEXT_OID[0] += 1
+    return SCHEMAS[name]
 
 # lowercase object key -> row metadata. ``key`` is the engine view name
 # (schema-qualified duck tables mirror as `<schema>__<table>`).
@@ -158,7 +168,7 @@ def drop_object(key: str) -> None:
 def drop_schema(schema: str) -> list[str]:
     """Remove a schema and its objects; returns the dropped object keys
     (engine view names) so the caller can drop the temp views."""
-    SCHEMAS.discard(schema)
+    SCHEMAS.pop(schema, None)
     dropped = [
         k for k, m in TABLE_META.items() if m["schema"] == schema
     ]
@@ -379,17 +389,63 @@ CHECK_CONSTRAINTS_DDL = (
 )
 
 
+# ------------------------------------------------------- pg_catalog views
+# (reference src/catalog/default/default_views.cpp pg_catalog section)
+
+def pg_namespace_rows() -> list[tuple]:
+    rows = [(0, "main", 0, None), (1, "information_schema", 0, None),
+            (2, "pg_catalog", 0, None)]
+    rows += [(oid, s, 0, None) for s, oid in sorted(SCHEMAS.items())]
+    return rows
+
+
+PG_NAMESPACE_DDL = (
+    "oid bigint, nspname string, nspowner bigint, nspacl string"
+)
+
+
+def pg_tables_rows() -> list[tuple]:
+    return [
+        (m["schema"], m["name"], "duckdb", None, False, False, False)
+        for m in TABLE_META.values() if m["type"] != "VIEW"
+    ]
+
+
+PG_TABLES_DDL = (
+    "schemaname string, tablename string, tableowner string, tablespace "
+    "string, hasindexes boolean, hasrules boolean, hastriggers boolean"
+)
+
+
+def pg_views_rows() -> list[tuple]:
+    rows = []
+    for key, sql_text in VIEW_SQL.items():
+        m = TABLE_META.get(key, {})
+        rows.append((m.get("schema", "main"), m.get("name", key),
+                     "duckdb", sql_text))
+    return rows
+
+
+PG_VIEWS_DDL = (
+    "schemaname string, viewname string, viewowner string, "
+    "definition string"
+)
+
+PG_DATABASE_ROWS = [(0, "memory"), (1, "system"), (2, "temp")]
+PG_DATABASE_DDL = "oid bigint, datname string"
+
+
 def mirror_duckdb(con) -> None:
     """Mirror a live DuckDB connection's catalog STATE (schemas, declared
     table/column metadata, constraint structure, view SQL) into the
     registry — used by the sqllogictest harness so engine-side
     information_schema queries see the file's CREATE statements."""
     reset()
-    for (s,) in con.execute(
-        "SELECT schema_name FROM duckdb_schemas() WHERE NOT internal"
+    for s, oid in con.execute(
+        "SELECT schema_name, oid FROM duckdb_schemas() WHERE NOT internal"
     ).fetchall():
         if s != "main":
-            SCHEMAS.add(s)
+            SCHEMAS[s] = int(oid)  # mirror the oracle's stable oid
     for cat, sch, name, ttype in con.execute(
         "SELECT table_catalog, table_schema, table_name, table_type "
         "FROM information_schema.tables"

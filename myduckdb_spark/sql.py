@@ -2704,6 +2704,17 @@ def translate(text: str) -> str:
     """DuckDB dialect → Spark SQL dialect (token-aware, conservative)."""
     from myduckdb_spark.functions.macros import expand_macros
 
+    # current_query() returns the statement text AS SENT (pg_catalog
+    # system functions) — capture before any rewrite touches it
+    if re.search(r"\bcurrent_query\s*\(", text, re.I):
+        _raw_q = text.strip().replace("'", "''")
+        text = re.sub(r"\bpg_catalog\s*\.\s*(?=current_query\s*\()", "",
+                      text, flags=re.I)
+        text = _rewrite_calls(
+            text, "current_query",
+            lambda a, _q=_raw_q: f"'{_q}'" if not a or not a[0] else None,
+        )
+
     out = expand_macros(text)  # bind-time macro expansion, before all rules
     # DuckDB string literals are standard SQL (backslash is an ordinary
     # character); Spark C-escapes them. Double every backslash INSIDE
@@ -2871,6 +2882,11 @@ def translate(text: str) -> str:
             f"ELSE coalesce(element_at({m}, {t}), upper({t})) END"
         )
 
+    # pg_typeof = typeof in lowercase postgres spelling (pg_catalog)
+    out = _rewrite_calls(
+        out, "pg_typeof",
+        lambda a: f"lower(typeof({a[0]}))" if len(a) == 1 else None,
+    )
     out = _rewrite_calls(out, "typeof", _typeof_names)
 
     # ceil/ceiling/floor: the reference returns DOUBLE for every
@@ -3781,13 +3797,79 @@ def translate(text: str) -> str:
         if len(a) == 2
         else None,
     )
-    # CURRENT_USER/SESSION_USER/CURRENT_ROLE value functions -> 'duckdb'
+    # CURRENT_USER/SESSION_USER/CURRENT_ROLE/USER value functions ->
+    # 'duckdb'; CURRENT_CATALOG -> 'memory' (pg_catalog system_functions)
     spans_vf = _literal_spans(out)
+    # bare USER is the value function ONLY when no relation/alias named
+    # `user` appears in the statement (the binder prefers the relation:
+    # parser/test_value_functions.test aliases VALUES as user(x))
+    user_alt = (
+        "|user"
+        if not re.search(r"\buser\s*\(|\b(FROM|JOIN|TABLE)\s+user\b",
+                         out, re.I)
+        else ""
+    )
     out = re.sub(
-        r"\b(current_user|session_user|current_role)\b(?!\s*\()",
+        rf"(?<![.\w])(current_user|session_user|current_role{user_alt})\b"
+        r"(?!\s*\(|\s*\.)",
         lambda m: m.group(0) if _in_spans(m.start(), spans_vf) else "'duckdb'",
         out,
         flags=re.I,
+    )
+    spans_vf = _literal_spans(out)
+    out = re.sub(
+        r"\bcurrent_catalog\b(?!\s*\()",
+        lambda m: m.group(0) if _in_spans(m.start(), spans_vf) else "'memory'",
+        out,
+        flags=re.I,
+    )
+    # pg_catalog-qualified function calls resolve like unqualified ones
+    # (the pg_catalog VIEWS were bound before translate)
+    spans_pgq = _literal_spans(out)
+    out = re.sub(
+        r"\bpg_catalog\s*\.\s*(\w+\s*\()",
+        lambda m: m.group(0) if _in_spans(m.start(), spans_pgq)
+        else m.group(1),
+        out, flags=re.I,
+    )
+    out = _rewrite_calls(
+        out, "current_database", lambda a: "'memory'" if not a or not a[0] else None
+    )
+    out = _rewrite_calls(
+        out, "current_schema", lambda a: "'main'" if not a or not a[0] else None
+    )
+    # postgres-compat stub system functions (pg_catalog
+    # system_functions.test; values verified live)
+    for _pgfn, _pgval in (
+        ("inet_client_addr", "CAST(NULL AS STRING)"),
+        ("inet_client_port", "CAST(NULL AS INT)"),
+        ("inet_server_addr", "CAST(NULL AS STRING)"),
+        ("inet_server_port", "CAST(NULL AS INT)"),
+        ("pg_my_temp_schema", "CAST(0 AS BIGINT)"),
+    ):
+        out = _rewrite_calls(
+            out, _pgfn,
+            lambda a, _v=_pgval: _v if not a or not a[0] else None,
+        )
+    out = _rewrite_calls(
+        out, "pg_is_other_temp_schema",
+        lambda a: "false" if len(a) == 1 else None,
+    )
+    for _pgfn in ("col_description", "obj_description", "shobj_description"):
+        out = _rewrite_calls(
+            out, _pgfn,
+            lambda a: "CAST(NULL AS STRING)" if len(a) == 2 else None,
+        )
+    out = _rewrite_calls(
+        out, "current_schemas",
+        # implicit search path incl. catalogs when true; empty when false
+        # (verified live)
+        lambda a: (
+            "array('main', 'main', 'main', 'pg_catalog')"
+            if len(a) == 1 and a[0].strip().lower() == "true"
+            else ("array()" if len(a) == 1
+                  and a[0].strip().lower() == "false" else None)
+        ),
     )
 
     # ---- missing scalar functions (SQL front door; Column forms live in
@@ -6390,7 +6472,7 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
     if m:
         if m.group(2) in ischema.SCHEMAS and not m.group(1):
             raise ValueError(f"schema {m.group(2)} already exists")
-        ischema.SCHEMAS.add(m.group(2))
+        ischema.create_schema(m.group(2))
         return _count_df(spark, 0)
     m = _DROP_SCHEMA.match(text)
     if m:
@@ -7108,6 +7190,42 @@ def _bind_information_schema(spark: SparkSession, text: str) -> str:
     )
 
 
+_PG_VIEWS = "pg_namespace|pg_tables|pg_views|pg_database"
+
+
+def _bind_pg_catalog(spark: SparkSession, text: str) -> str:
+    """pg_catalog compatibility views (reference default_views.cpp
+    pg_catalog section), computed from the same catalog-metadata
+    registry as information_schema."""
+    from myduckdb_spark import infoschema as ischema
+
+    used = {
+        m.group(1).lower()
+        for m in re.finditer(
+            rf"\b(?:pg_catalog\s*\.\s*)?({_PG_VIEWS})\b", text, re.I,
+        )
+    }
+    if not used:
+        return text
+    builders = {
+        "pg_namespace": (ischema.pg_namespace_rows(),
+                         ischema.PG_NAMESPACE_DDL),
+        "pg_tables": (ischema.pg_tables_rows(), ischema.PG_TABLES_DDL),
+        "pg_views": (ischema.pg_views_rows(), ischema.PG_VIEWS_DDL),
+        "pg_database": (ischema.PG_DATABASE_ROWS, ischema.PG_DATABASE_DDL),
+    }
+    for name in used:
+        rows, ddl = builders[name]
+        spark.createDataFrame(rows, ddl).createOrReplaceTempView(
+            f"__pg_{name}"
+        )
+    return re.sub(
+        rf"\b(?:pg_catalog\s*\.\s*)?({_PG_VIEWS})\b",
+        lambda m: f"__pg_{m.group(1).lower()}",
+        text, flags=re.I,
+    )
+
+
 def _bind_describe_subqueries(spark: SparkSession, text: str) -> str:
     """``FROM (DESCRIBE …)`` / ``(SHOW …)`` — the reference treats
     introspection statements as table expressions (DescribeRelation is a
@@ -7736,6 +7854,7 @@ def sql(
         return cmd
     if not re.match(r"\s*(CREATE|DROP|ALTER)\b", text, re.I):
         text = _bind_information_schema(spark, text)
+        text = _bind_pg_catalog(spark, text)
         if re.search(r"\(\s*(DESCRIBE|SHOW|SUMMARIZE)\b", text, re.I):
             text = _bind_describe_subqueries(spark, text)
             cmd = _statement_command(spark, text)
