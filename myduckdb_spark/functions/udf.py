@@ -187,8 +187,12 @@ def register_numeric_udfs(spark: SparkSession) -> None:
         # NULLs are indistinguishable from NaN in a float64 batch, so the
         # SQL front door wraps the call in an IS NULL guard instead.
         # FLOAT inputs step in float32 ULPs (nextafter('inf'::FLOAT, 0)
-        # is the largest finite float32, not float64)
-        if str(a.dtype) == "float32" and str(b.dtype) == "float32":
+        # is the largest finite float32, not float64). The reference
+        # promotes mixed (INTEGER, FLOAT) arguments to FLOAT — float32
+        # applies whenever a float32 is present and no float64 is
+        # (nan_functions.test: nextafter(3, '-inf'::FLOAT))
+        dtypes = (str(a.dtype), str(b.dtype))
+        if "float32" in dtypes and "float64" not in dtypes:
             out = np.nextafter(
                 a.to_numpy(dtype="float32"), b.to_numpy(dtype="float32")
             )

@@ -4737,9 +4737,10 @@ def translate(text: str) -> str:
         )
 
     # plain-aggregate forms over a collected group (reference
-    # core_functions/aggregate/holistic): mad/product fold the group list
-    # through the SAME lattice as their list_* forms
-    for _agg in ("mad", "product"):
+    # core_functions/aggregate/holistic + algebraic/fsum.cpp): mad /
+    # product / the Kahan-sum family fold the group list through the
+    # SAME lattice as their list_* forms
+    for _agg in ("mad", "product", "fsum", "sumkahan", "kahan_sum"):
         out = _rewrite_calls(
             out, _agg,
             lambda a, _agg=_agg: _list_aggregate(

@@ -33,7 +33,7 @@ def main() -> int:
         timeout=2 * 60 * 60,
     )
     out = proc.stdout + proc.stderr
-    failed = re.findall(r"FAILED \S+::test_slt_file\[([^\]]+)\]", out)
+    failed = re.findall(r"FAILED (\S+?::\S+)", out)
     summary = ""
     for line in out.splitlines()[::-1]:
         if re.search(r"\d+ (passed|failed|deselected)", line):

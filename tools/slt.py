@@ -198,7 +198,9 @@ def _canon_float(v: float) -> str:
         return f"{v:.6f}"
     if not _FLOAT_6DP:
         s = repr(float(v))
-        return s[:-2] if s.endswith(".0") else s
+        if s.endswith(".0"):
+            s = s[:-2]
+        return "0" if s == "-0" else s
     s = f"{v:.6f}"
     if "." in s:
         s = s.rstrip("0").rstrip(".")
@@ -872,6 +874,15 @@ def run_file_dual(
                 # DuckDB no-ops every statement until ROLLBACK; mirroring
                 # means NOT running it on the engine either
                 res.skipped_statements.append((sql, "duckdb transaction aborted (statement not applied)"))
+                continue
+            if derr is None and re.search(
+                r"\b(random|uuid|gen_random_uuid|setseed)\s*\(", sql, re.I
+            ) and re.match(
+                r"\s*(CREATE|INSERT|UPDATE)\b", sql, re.I
+            ):
+                # nondeterministic state builder: the two engines would
+                # legitimately diverge — mirror DuckDB's materialized rows
+                resync(sql, "nondeterministic builder (random/uuid)")
                 continue
             _, eerr = engine_try(sql)
             if derr is None and eerr is None:
