@@ -131,8 +131,13 @@ def _resolve_path(v, path: str):
                 v = v[key]
             pos = m.end()
         return v
-    if path.startswith("/"):
-        for seg in path[1:].split("/"):
+    if "/" in path:
+        # JSON-pointer spelling — the leading '/' is optional in DuckDB
+        # ('ab/c' traverses ab then c; 'a/b' on {"a/b":1} misses)
+        segs = path.split("/")
+        if segs and segs[0] == "":
+            segs = segs[1:]
+        for seg in segs:
             if isinstance(v, list) and seg.isdigit() and int(seg) < len(v):
                 v = v[int(seg)]
             elif isinstance(v, dict) and seg in v:
@@ -140,7 +145,8 @@ def _resolve_path(v, path: str):
             else:
                 return _MISS
         return v
-    # bare key
+    # bare key: a literal single-key lookup ('.', '[' are not special —
+    # '{"a.b":1}' -> 'a.b' finds the "a.b" key)
     if isinstance(v, dict) and path in v:
         return v[path]
     return _MISS
@@ -668,8 +674,10 @@ def _tokenize_ext_path(path: str):
         elif m.group(0).startswith("[") and "*" in m.group(0):
             toks.append("wild_arr")
         elif m.group(1) is not None or m.group(2) is not None:
+            # quoted keys unescape only \" and \\ — other backslashes are
+            # literal key characters ($."\"du\ck\"" finds key "du\ck")
             key = (m.group(1) if m.group(1) is not None
-                   else re.sub(r"\\(.)", r"\1", m.group(2)))
+                   else re.sub(r'\\(["\\])', r"\1", m.group(2)))
             toks.append(("key", key))
         else:
             idx = m.group(3).replace(" ", "")

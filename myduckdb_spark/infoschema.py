@@ -86,15 +86,24 @@ def constraint_name(table: str, ctype: str, columns: list[str],
         # multi-column keys drop the column list (live: multi_pkey)
         return f"{table}_{cols}_pkey" if len(columns) == 1 else f"{table}_pkey"
     if ctype == "UNIQUE":
-        return f"{table}_{cols}_key"
+        return f"{table}_{cols}_key" if len(columns) == 1 else f"{table}_key"
     if ctype == "CHECK":
         return (f"{table}_{cols}_check" if len(columns) == 1
                 else f"{table}_check")
     if ctype == "NOT NULL":
         return f"{table}_{cols}_not_null"
     if ctype == "FOREIGN KEY":
-        return f"{table}_{cols}_fkey"
+        return (f"{table}_{cols}_fkey" if len(columns) == 1
+                else f"{table}_fkey")
     return f"{table}_{cols}_{ctype.lower().replace(' ', '_')}"
+
+
+def _kcu_name(table: str, ctype: str, columns: list[str]) -> str:
+    """key_column_usage renders multi-column keys under a FIRST-COLUMN
+    name (live oracle: UNIQUE(a1,a2) on `a` appears as `a_a1_key`) —
+    inconsistent with table_constraints' column-less `a_key`, but it is
+    what the corpus compares against."""
+    return constraint_name(table, ctype, columns[:1], "")
 
 
 def _fk_referenced(c: dict) -> tuple[str, list[str]] | None:
@@ -260,18 +269,24 @@ def referential_constraints_rows() -> list[tuple]:
     for c, name in _named_constraints():
         if c["ctype"] != "FOREIGN KEY":
             continue
-        uniq_name = None
-        uc_cat, uc_sch = c["catalog"], c["schema"]
+        # live-oracle quirks the corpus compares against: multi-column
+        # FKs are absent from this view, and the referenced table is
+        # resolved CASE-SENSITIVELY against the name as written in the
+        # DDL (`REFERENCES A` on table `a` resolves nothing), with
+        # unresolved rows omitted rather than NULL-filled
+        if len(c["columns"]) != 1:
+            continue
         ref = _fk_referenced(c)
-        if ref:
-            uc = _unique_constraint_for(*ref)
-            if uc:
-                uniq_name = constraint_name(
-                    uc["table"], uc["ctype"], uc["columns"], uc["text"]
-                )
-                uc_cat, uc_sch = uc["catalog"], uc["schema"]
+        if not ref:
+            continue
+        uc = _unique_constraint_for(*ref)
+        if not uc or uc["table"] != ref[0]:
+            continue
+        uniq_name = constraint_name(
+            uc["table"], uc["ctype"], uc["columns"], uc["text"]
+        )
         rows.append((
-            c["catalog"], c["schema"], name, uc_cat, uc_sch,
+            c["catalog"], c["schema"], name, uc["catalog"], uc["schema"],
             uniq_name, "NONE", "NO ACTION", "NO ACTION",
         ))
     return rows
@@ -286,16 +301,20 @@ REFERENTIAL_CONSTRAINTS_DDL = (
 
 
 def key_column_usage_rows() -> list[tuple]:
+    # live oracle lists ONE row per key constraint — the first column
+    # only, ordinal 1 — under the first-column name (see _kcu_name)
     rows = []
-    for c, name in _named_constraints():
-        if c["ctype"] not in ("PRIMARY KEY", "UNIQUE", "FOREIGN KEY"):
+    for c, _name in _named_constraints():
+        if c["ctype"] not in ("PRIMARY KEY", "UNIQUE", "FOREIGN KEY") \
+                or not c["columns"]:
             continue
-        for i, col in enumerate(c["columns"], 1):
-            rows.append((
-                c["catalog"], c["schema"], name,
-                c["catalog"], c["schema"], c["table"], col, i,
-                i if c["ctype"] == "FOREIGN KEY" else None,
-            ))
+        col = c["columns"][0]
+        rows.append((
+            c["catalog"], c["schema"],
+            _kcu_name(c["table"], c["ctype"], c["columns"]),
+            c["catalog"], c["schema"], c["table"], col, 1,
+            1 if c["ctype"] == "FOREIGN KEY" else None,
+        ))
     return rows
 
 
@@ -431,8 +450,35 @@ PG_VIEWS_DDL = (
     "definition string"
 )
 
-PG_DATABASE_ROWS = [(0, "memory"), (1, "system"), (2, "temp")]
 PG_DATABASE_DDL = "oid bigint, datname string"
+
+
+def database_rows() -> list[tuple]:
+    """(database_name, internal, readonly, path, type) — the base
+    memory/system/temp trio plus ATTACHed catalogs (reference
+    duckdb_databases.cpp)."""
+    rows = [("memory", False, False, None, "duckdb"),
+            ("system", True, False, None, "duckdb"),
+            ("temp", True, False, None, "duckdb")]
+    try:
+        from myduckdb_spark.storage import attached_paths, attached_readonly
+
+        ro = attached_readonly()
+        for alias, path in sorted(attached_paths().items()):
+            rows.append((alias, False, bool(ro.get(alias)), path, "duckdb"))
+    except Exception:
+        pass
+    return rows
+
+
+DUCKDB_DATABASES_DDL = (
+    "database_name string, internal boolean, readonly boolean, "
+    "path string, type string"
+)
+
+
+def pg_database_rows() -> list[tuple]:
+    return [(i, r[0]) for i, r in enumerate(database_rows())]
 
 
 def mirror_duckdb(con) -> None:

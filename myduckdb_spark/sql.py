@@ -202,8 +202,21 @@ def _rewrite_json_arrows(text: str) -> str:
             rm = re.match(
                 r"\s*'([^']*)'|\s*(-?\d+)(?![\w.])", text[m.end():]
             )
+            dyn = None
             if not rm:
-                continue
+                # non-constant RHS (a column / simple call): resolve the
+                # path at runtime in the python extractor (live oracle:
+                # j -> k with k VARCHAR/BIGINT — test_json_arrow_expr)
+                rm = re.match(
+                    r"\s*([A-Za-z_][\w.]*(?:\([^()]*\))?)(?!\s*')",
+                    text[m.end():],
+                )
+                if not rm or rm.group(1).upper() in (
+                    "AND", "OR", "NOT", "THEN", "ELSE", "END", "FROM",
+                    "WHERE", "AS", "IS", "IN", "CASE", "WHEN",
+                ):
+                    continue
+                dyn = rm.group(1)
             try:
                 st = _operand_start(text, m.start(), spans)
                 # walk back over ::TYPE cast suffixes to the real operand
@@ -218,23 +231,42 @@ def _rewrite_json_arrows(text: str) -> str:
             lhs = text[st:m.start()].strip()
             if not lhs:
                 continue
+            suffix = "_text" if m.group(0) == "->>" else ""
+            if dyn is not None:
+                # list-of-paths RHS keeps the LIST(JSON) extract form
+                fn = ("__jx_list" if re.match(
+                    r"(array|list_value|list_pack)\s*\(", dyn, re.I
+                ) else "__jx_one")
+                text = (
+                    text[:st] + f"{fn}{suffix}({lhs}, {dyn})"
+                    + text[m.end() + rm.end():]
+                )
+                replaced = True
+                break
             path = rm.group(1) if rm.group(1) is not None else rm.group(2)
             if re.fullmatch(r"-?\d+", path):
                 path = f"$[{path}]"
-            elif path.startswith("/"):
-                # JSON-pointer spelling: numeric segments index arrays
-                # (json_common.hpp)
-                path = "$" + "".join(
-                    f"[{seg}]" if seg.isdigit() else f".{seg}"
-                    for seg in path[1:].split("/")
+            elif not path.startswith("$") and (
+                "/" in path or not re.fullmatch(r"\w+", path)
+            ):
+                # pointer spelling (leading '/' optional) or a literal
+                # bare key with special chars ('a.b', 'a[0]', 'a b' are
+                # single-key lookups, live oracle) — python extractor,
+                # path passed verbatim
+                text = (
+                    text[:st] + f"__jx_one{suffix}({lhs}, '{path}')"
+                    + text[m.end() + rm.end():]
                 )
+                replaced = True
+                break
             elif not path.startswith("$"):
                 path = f"$.{path}"
-            suffix = "_text" if m.group(0) == "->>" else ""
             if ".*" in path or re.search(r"\[\s*\*\s*\]", path):
                 # wildcard paths return LIST(JSON) (json_common.cpp)
                 repl = f"__jx_multi{suffix}({lhs}, '{path}')"
-            elif re.search(r"\[\s*(#|-)", path):
+            elif re.search(r"\[\s*(#|-)", path) or re.search(r'\."', path):
+                # from-the-end indexes and quoted keys (spaces, slashes,
+                # escapes inside the key) — python extractor
                 repl = f"__jx_one{suffix}({lhs}, '{path}')"
             elif m.group(0) == "->":
                 # -> returns JSON (strings stay quoted, json_functions.cpp);
@@ -1942,7 +1974,7 @@ def _rewrite_at_time_zone(text: str) -> str:
     (from_utc_timestamp). Dispatch is syntactic on the operand's cast/
     literal spelling; bare column operands default to the naive reading
     (the engine's session default timestamp type is NTZ)."""
-    pat = re.compile(r"\sAT\s+TIME\s+ZONE\s+('(?:[^']|'')*')", re.I)
+    pat = re.compile(r"\sAT\s+TIME\s+ZONE\s+('(?:[^']|'')*'|NULL\b)", re.I)
     while True:
         spans = _literal_spans(text)
         m = next(
@@ -1962,13 +1994,22 @@ def _rewrite_at_time_zone(text: str) -> str:
                 break
         left = text[start: m.start()].strip()
         z = m.group(1)
-        if re.search(r"::\s*TIMESTAMPTZ\s*$", left, re.I) or re.match(
+        if z.upper() == "NULL":
+            # a NULL zone yields NULL (icu-datefunc null propagation)
+            rep = "CAST(NULL AS TIMESTAMP_NTZ)"
+        elif re.search(r"::\s*TIMESTAMPTZ\s*$", left, re.I) or re.match(
             r"TIMESTAMPTZ\b", left, re.I
         ):
             rep = _tz_instant_to_wall(left, z)
         else:
             rep = _tz_wall_to_instant(left, z)
         text = text[:start] + rep + text[m.end():]
+
+
+# the engine's ±infinity temporal sentinels (DuckDB pins infinite
+# timestamps to the type's range ends, timestamp.cpp)
+_TS_INF_PAIR = ("(TIMESTAMP_NTZ '0001-01-01 00:00:00', "
+                "TIMESTAMP_NTZ '9999-12-31 23:59:59.999999')")
 
 
 def _tz_wall_to_instant(x: str, z: str) -> str:
@@ -1978,7 +2019,11 @@ def _tz_wall_to_instant(x: str, z: str) -> str:
     NTZ↔LTZ casts both re-read it), so corpus files that SET TimeZone
     still compare exactly; the reference types this TIMESTAMPTZ — the
     canon treats a tz-aware value and its UTC wall as equal."""
-    return f"convert_timezone({z}, 'UTC', CAST(({x}) AS TIMESTAMP_NTZ))"
+    nn = f"CAST(({x}) AS TIMESTAMP_NTZ)"
+    # ±infinity passes through unshifted (icu-datefunc: infinite inputs
+    # are returned as-is)
+    return (f"CASE WHEN {nn} IN {_TS_INF_PAIR} THEN {nn} "
+            f"ELSE convert_timezone({z}, 'UTC', {nn}) END")
 
 
 def _tz_instant_to_wall(x: str, z: str) -> str:
@@ -1991,7 +2036,9 @@ def _tz_instant_to_wall(x: str, z: str) -> str:
         f"CAST(unix_micros(CAST({x} AS TIMESTAMP_LTZ)) AS DECIMAL(26,6)) "
         f"/ 1000000))"
     )
-    return f"convert_timezone('UTC', {z}, {wall_utc})"
+    # ±infinity passes through unshifted (icu-datefunc)
+    return (f"CASE WHEN {wall_utc} IN {_TS_INF_PAIR} THEN {wall_utc} "
+            f"ELSE convert_timezone('UTC', {z}, {wall_utc}) END")
 
 
 def _rewrite_power_operator(text: str) -> str:
@@ -2887,6 +2934,29 @@ def translate(text: str) -> str:
         out, "pg_typeof",
         lambda a: f"lower(typeof({a[0]}))" if len(a) == 1 else None,
     )
+    # JSON logical type: the carrier is STRING, so typeof(col) on a
+    # declared-JSON column resolves from the catalog registry at
+    # translate time (json/test_json_persistence.test). Narrow bind:
+    # bare-identifier argument naming a JSON column of a FROM table,
+    # with no same-named non-JSON column in scope.
+    try:
+        from myduckdb_spark import infoschema as _isch
+
+        _jc: set[str] = set()
+        _nj: set[str] = set()
+        for t in re.findall(r"\bFROM\s+\"?([A-Za-z_]\w*)\"?", out, re.I):
+            for c in _isch.COLUMN_META.get(t.lower(), []):
+                (_jc if c["dtype"] == "JSON" else _nj).add(c["name"].lower())
+        _jc -= _nj
+        if _jc:
+            out = _rewrite_calls(
+                out, "typeof",
+                lambda a: "'JSON'" if len(a) == 1 and a[0].strip()
+                .strip('"').split(".")[-1].strip('"').lower() in _jc
+                else None,
+            )
+    except Exception:
+        pass
     out = _rewrite_calls(out, "typeof", _typeof_names)
 
     # ceil/ceiling/floor: the reference returns DOUBLE for every
@@ -2978,6 +3048,11 @@ def translate(text: str) -> str:
         typ = mm.group(2).upper()
         if typ == "DATE":
             v = "'0001-01-01'" if neg else "'9999-12-31'"
+        elif typ == "TIMESTAMPTZ":
+            # the infinite INSTANT is zone-independent — anchor the pin
+            # to UTC so a SET TimeZone session parses the same instant
+            v = ("'0001-01-01 00:00:00+00:00'" if neg
+                 else "'9999-12-31 23:59:59.999999+00:00'")
         else:
             v = ("'0001-01-01 00:00:00'" if neg
                  else "'9999-12-31 23:59:59.999999'")
@@ -3359,6 +3434,14 @@ def translate(text: str) -> str:
 
         return fn
 
+    # typed literal: JSON '...' is a cast of the string literal
+    spans_jl = _literal_spans(out)
+    out = re.sub(
+        r"\bJSON\s+('(?:[^']|'')*')",
+        lambda mm: mm.group(0) if _in_spans(mm.start(), spans_jl)
+        else f"{mm.group(1)}::JSON",
+        out, flags=re.I,
+    )
     spans_jc = _literal_spans(out)
     jc_hits = []
     for mm in re.finditer(r"::\s*JSON\b", out, re.I):
@@ -5468,19 +5551,21 @@ _DDL_TYPES = {
 def _parse_column_defs(
     body: str,
 ) -> tuple[list[tuple[str, str]], list[str], list[list[str]],
-           dict[str, str], dict[str, str]]:
+           dict[str, str], dict[str, str], list[dict]]:
     """Parse `a INT PRIMARY KEY, b TEXT UNIQUE, PRIMARY KEY (a, b)` →
-    (cols, key, uniques, collations). PRIMARY KEY and UNIQUE become
-    arbiter key sets (the reference builds ART indexes for both); a
-    column-level COLLATE lands in the collation registry (comparison
-    semantics, reference bind_comparison_expression.cpp PushCollation);
-    CHECK / DEFAULT / NOT NULL / FOREIGN are accepted and dropped — the
-    managed layer stores data, it does not enforce them."""
+    (cols, key, uniques, collations, defaults, extras). PRIMARY KEY and
+    UNIQUE become arbiter key sets (the reference builds ART indexes for
+    both); a column-level COLLATE lands in the collation registry
+    (comparison semantics, reference bind_comparison_expression.cpp
+    PushCollation); CHECK / NOT NULL / FOREIGN KEY land in `extras` as
+    {ctype, columns, text} records for the information_schema registry —
+    the managed layer stores data, it does not enforce them."""
     cols: list[tuple[str, str]] = []
     key: list[str] = []
     uniques: list[list[str]] = []
     collations: dict[str, str] = {}
     defaults: dict[str, str] = {}
+    extras: list[dict] = []
     for part in _split_args(body):
         p = part.strip()
         if not p:  # trailing comma (the fork's own tests contain these)
@@ -5492,6 +5577,26 @@ def _parse_column_defs(
         m = re.match(r"^UNIQUE\s*\(([^)]*)\)$", p, re.I)
         if m:
             uniques.append([c.strip().strip('"') for c in m.group(1).split(",")])
+            continue
+        m = re.match(
+            r"^FOREIGN\s+KEY\s*\(([^)]*)\)\s*"
+            r'REFERENCES\s+("?[\w.]+"?(?:\s*\([^)]*\))?)', p, re.I,
+        )
+        if m:
+            fkcols = [c.strip().strip('"') for c in m.group(1).split(",")]
+            extras.append({
+                "ctype": "FOREIGN KEY", "columns": fkcols,
+                "text": f"FOREIGN KEY ({', '.join(fkcols)}) "
+                        f"REFERENCES {m.group(2)}",
+            })
+            continue
+        m = re.match(r"^CHECK\s*\((.*)\)$", p, re.I | re.S)
+        if m:
+            extras.append({
+                "ctype": "CHECK", "columns": [],  # resolved by caller
+                "text": f"CHECK({m.group(1).strip()})",
+                "expression": m.group(1).strip(),
+            })
             continue
         if re.match(r"^(UNIQUE|CHECK|FOREIGN)\b", p, re.I):
             continue
@@ -5528,8 +5633,26 @@ def _parse_column_defs(
         )
         if dm:
             defaults[name.lower()] = dm.group(1).strip()
+        if re.search(r"\bNOT\s+NULL\b", rest, re.I):
+            extras.append({"ctype": "NOT NULL", "columns": [name],
+                           "text": "NOT NULL"})
+        km = re.search(
+            r'\bREFERENCES\s+("?[\w.]+"?(?:\s*\([^)]*\))?)', rest, re.I,
+        )
+        if km:
+            extras.append({
+                "ctype": "FOREIGN KEY", "columns": [name],
+                "text": f"FOREIGN KEY ({name}) REFERENCES {km.group(1)}",
+            })
+        km = re.search(r"\bCHECK\s*\((.*)\)", rest, re.I | re.S)
+        if km:
+            extras.append({
+                "ctype": "CHECK", "columns": [name],
+                "text": f"CHECK({km.group(1).strip()})",
+                "expression": km.group(1).strip(),
+            })
         cols.append((name, typ))
-    return cols, key, uniques, collations, defaults
+    return cols, key, uniques, collations, defaults, extras
 
 
 def _split_off_on_conflict(source: str) -> tuple[str, str | None]:
@@ -5732,7 +5855,7 @@ def _alter_table(spark: SparkSession, exists_ok: str | None, name: str, act: str
         soft, coldef = m.group(1), m.group(2).strip()
         dm = re.search(r"\bDEFAULT\s+(.+)$", coldef, re.I | re.S)
         default = translate(dm.group(1).strip()) if dm else None
-        parsed, _k, _u, _cc, _dd = _parse_column_defs(coldef)
+        parsed, _k, _u, _cc, _dd, _x = _parse_column_defs(coldef)
         if len(parsed) != 1:
             raise ValueError(f"ALTER TABLE ADD: cannot parse {coldef!r}")
         cname, ctype = parsed[0]
@@ -5781,7 +5904,7 @@ def _alter_table(spark: SparkSession, exists_ok: str | None, name: str, act: str
         if cname.lower() not in low:
             raise KeyError(f"ALTER TABLE: column {cname} does not exist")
         src = low[cname.lower()]
-        parsed, _k, _u, _cc, _dd = _parse_column_defs(f"{src} {typetext}")
+        parsed, _k, _u, _cc, _dd, _x = _parse_column_defs(f"{src} {typetext}")
         _n, ctype = parsed[0]
         expr = translate(using.strip()) if using else f"`{src}`"
         stage = [
@@ -6216,14 +6339,19 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
                 col = F.col(f"`{c}`")
                 if t == "string":
                     tgt = tgt_types[i] if i < len(tgt_types) else "string"
-                    col = F.when(col == nullstr, F.lit(None)).otherwise(
-                        # only VARCHAR targets can hold '' - empty cells
-                        # in typed columns stay NULL, like the reference
-                        F.coalesce(col, F.lit("")) if tgt == "string"
-                        else F.when(col == "", F.lit(None)).otherwise(col)
-                    )
                     if i < len(tgt_names) and tgt_names[i] in forced:
+                        # FORCE_NOT_NULL skips the null-string conversion
+                        # entirely — a cell equal to the NULL string keeps
+                        # its raw text (sniffer/csv_reader force_not_null)
                         col = F.coalesce(col, F.lit(""))
+                    else:
+                        col = F.when(col == nullstr, F.lit(None)).otherwise(
+                            # only VARCHAR targets can hold '' - empty
+                            # cells in typed columns stay NULL
+                            F.coalesce(col, F.lit("")) if tgt == "string"
+                            else F.when(col == "", F.lit(None))
+                            .otherwise(col)
+                        )
                 projected.append(col.alias(c))
             src = src.select(*projected)
         else:
@@ -6321,7 +6449,9 @@ _DROP_SEQ = re.compile(r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$
 _SEQ_VAL = re.compile(r"^\s*SELECT\s+((?:next|curr)val\s*\(\s*'\w+'\s*\)\s*(?:AS\s+\w+\s*)?(?:,\s*(?:next|curr)val\s*\(\s*'\w+'\s*\)\s*(?:AS\s+\w+\s*)?)*);?\s*$", re.I)
 _EXPORT_DB = re.compile(r"^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(.*?\))?\s*;?\s*$", re.I)
 _IMPORT_DB = re.compile(r"^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$", re.I)
-_ATTACH = re.compile(r"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+(\w+)\s*;?\s*$", re.I)
+_ATTACH = re.compile(
+    r"^\s*ATTACH\s+(?:DATABASE\s+)?(?:IF\s+NOT\s+EXISTS\s+)?'([^']+)'"
+    r"(?:\s+AS\s+(\w+))?\s*(?:\(([^)]*)\))?\s*;?\s*$", re.I)
 _DETACH = re.compile(r"^\s*DETACH\s+(?:DATABASE\s+)?(\w+)\s*;?\s*$", re.I)
 _PREPARE = re.compile(r"^\s*PREPARE\s+(\w+)\s+AS\s+(.+?);?\s*$", re.I | re.S)
 _EXECUTE = re.compile(r"^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*;?\s*$", re.I | re.S)
@@ -6513,7 +6643,7 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
     m = _CREATE_TBL.match(text)
     if m and not _CTAS.match(text):
         replace, name, body = bool(m.group(1)), m.group(2), m.group(3)
-        cols, key, uniques, collations, defaults = _parse_column_defs(body)
+        cols, key, uniques, collations, defaults, extras = _parse_column_defs(body)
         if name in _MANAGED:
             if "IF NOT EXISTS" in text.upper():
                 return _count_df(spark, 0)
@@ -6539,8 +6669,13 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         # feed information_schema (myduckdb_spark.infoschema)
         sch, bare = _schema_of(name)
         ischema.register_table(name, "memory", sch, bare, "BASE TABLE")
+        notnull = {x["columns"][0].lower() for x in extras
+                   if x["ctype"] == "NOT NULL"}
         ischema.register_columns(name, [
-            ischema.column_row(n, i, t, nullable=n not in (key or []))
+            ischema.column_row(
+                n, i, t,
+                nullable=n not in (key or []) and n.lower() not in notnull,
+            )
             for i, (n, t) in enumerate(cols, 1)
         ])
         if key:
@@ -6548,6 +6683,32 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                 "catalog": "memory", "schema": sch, "table": bare,
                 "ctype": "PRIMARY KEY",
                 "text": f"PRIMARY KEY({', '.join(key)})", "columns": key,
+            })
+        # live oracle adds an implicit NOT NULL row per PRIMARY KEY column
+        nn_seen = set()
+        for c in (key or []):
+            nn_seen.add(c.lower())
+            ischema.CONSTRAINTS.append({
+                "catalog": "memory", "schema": sch, "table": bare,
+                "ctype": "NOT NULL", "text": "NOT NULL", "columns": [c],
+            })
+        for x in extras:
+            if x["ctype"] == "NOT NULL":
+                if x["columns"][0].lower() in nn_seen:
+                    continue
+                nn_seen.add(x["columns"][0].lower())
+            if x["ctype"] == "CHECK" and not x["columns"]:
+                # table-level CHECK: referenced columns = identifiers in
+                # the expression that name declared columns
+                names = {n.lower(): n for n, _t in cols}
+                x["columns"] = [
+                    names[w.lower()] for w in dict.fromkeys(
+                        re.findall(r'"?(\w+)"?', x.get("expression", ""))
+                    ) if w.lower() in names
+                ]
+            ischema.CONSTRAINTS.append({
+                "catalog": "memory", "schema": sch, "table": bare,
+                **{k: x[k] for k in ("ctype", "text", "columns")},
             })
         for u in uniques:
             ischema.CONSTRAINTS.append({
@@ -6900,7 +7061,14 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         return _count_df(spark, len(storage.import_database(spark, m.group(1))))
     m = _ATTACH.match(text)
     if m:
-        return _count_df(spark, len(storage.attach(spark, m.group(1), m.group(2))))
+        path, alias, opts = m.group(1), m.group(2), m.group(3) or ""
+        if not alias:
+            # default alias: the file stem (attached_database.cpp)
+            alias = re.sub(r"\.[^.]*$", "", os.path.basename(path)) or path
+        n = len(storage.attach(spark, path, alias))
+        if re.search(r"\bREAD_?ONLY\b", opts, re.I):
+            storage.attached_readonly()[alias] = True
+        return _count_df(spark, n)
     m = _DETACH.match(text)
     if m:
         storage.detach(spark, m.group(1))
@@ -6964,8 +7132,11 @@ def _describe_statement(spark: SparkSession, text: str) -> DataFrame | None:
             [(n,) for n in _catalog_names(spark)], "name string"
         )
     if re.match(r"^\s*SHOW\s+DATABASES\s*;?\s*$", text, re.I):
+        from myduckdb_spark import infoschema as ischema
+
         return spark.createDataFrame(
-            [("memory",)], "database_name string"
+            sorted((r[0],) for r in ischema.database_rows() if not r[1]),
+            "database_name string",
         )
     if _DESCRIBE_ALL.match(text) or _SHOW_ALL_TABLES.match(text):
         rows = []
@@ -7071,7 +7242,8 @@ def _bind_information_schema(spark: SparkSession, text: str) -> str:
         )
     }
     has_dc = re.search(r"\bduckdb_constraints\b", text, re.I) is not None
-    if not used and not has_dc:
+    has_db = re.search(r"\bduckdb_databases\b", text, re.I) is not None
+    if not used and not has_dc and not has_db:
         return text
     if has_dc:
         spark.createDataFrame(
@@ -7081,6 +7253,23 @@ def _bind_information_schema(spark: SparkSession, text: str) -> str:
         text = re.sub(
             r"\bduckdb_constraints\s*\(\s*\)|\bduckdb_constraints\b",
             "__duckdb_constraints", text, flags=re.I,
+        )
+    if has_db:
+        spark.createDataFrame(
+            ischema.database_rows(), ischema.DUCKDB_DATABASES_DDL,
+        ).createOrReplaceTempView("__duckdb_databases_all")
+        # the bare name is the system VIEW (default_views.cpp):
+        # SELECT * FROM duckdb_databases() WHERE NOT internal
+        spark.sql(
+            "SELECT * FROM __duckdb_databases_all WHERE NOT internal"
+        ).createOrReplaceTempView("__duckdb_databases")
+        text = re.sub(
+            r"\bduckdb_databases\s*\(\s*\)", "__duckdb_databases_all",
+            text, flags=re.I,
+        )
+        text = re.sub(
+            r"\bduckdb_databases\b(?!_)", "__duckdb_databases",
+            text, flags=re.I,
         )
     live = list(_catalog_names(spark))
     if "tables" in used:
@@ -7213,7 +7402,8 @@ def _bind_pg_catalog(spark: SparkSession, text: str) -> str:
                          ischema.PG_NAMESPACE_DDL),
         "pg_tables": (ischema.pg_tables_rows(), ischema.PG_TABLES_DDL),
         "pg_views": (ischema.pg_views_rows(), ischema.PG_VIEWS_DDL),
-        "pg_database": (ischema.PG_DATABASE_ROWS, ischema.PG_DATABASE_DDL),
+        "pg_database": (ischema.pg_database_rows(),
+                        ischema.PG_DATABASE_DDL),
     }
     for name in used:
         rows, ddl = builders[name]

@@ -795,6 +795,8 @@ def import_database(spark: SparkSession, in_dir: str) -> list[str]:
 
 # alias → {table → view}; the SQL front door rewrites alias.table
 _ATTACHED: dict[str, dict[str, str]] = {}
+# alias → the path given to ATTACH (duckdb_databases()/pg_database rows)
+_ATTACH_PATHS: dict[str, str | None] = {}
 
 
 def attach(spark: SparkSession, in_dir: str, alias: str) -> list[str]:
@@ -802,24 +804,53 @@ def attach(spark: SparkSession, in_dir: str, alias: str) -> list[str]:
     tables under ``alias.table`` names. Spark temp views are single-part,
     so views register as ``alias__table`` and ``sql.translate`` rewrites
     qualified references (mirrors how the reference resolves catalog
-    aliases in src/main/attached_database.cpp)."""
+    aliases in src/main/attached_database.cpp). A non-directory path
+    (a fresh '.db' file target, ':memory:') attaches as an EMPTY catalog
+    — the reference creates a new storage database there."""
+    if alias in _ATTACHED:
+        raise ValueError(
+            f'database with name "{alias}" already exists'
+        )
     names = []
-    for entry in sorted(os.listdir(in_dir)):
-        if entry.endswith(".parquet"):
-            name = entry[: -len(".parquet")]
-            view = f"{alias}__{name}"
-            spark.read.parquet(os.path.join(in_dir, entry)).createOrReplaceTempView(view)
-            _ATTACHED.setdefault(alias, {})[name] = view
-            names.append(name)
-    if not names:
-        raise ValueError(f"ATTACH: no parquet tables under {in_dir}")
+    if os.path.isdir(in_dir):
+        for entry in sorted(os.listdir(in_dir)):
+            if entry.endswith(".parquet"):
+                name = entry[: -len(".parquet")]
+                view = f"{alias}__{name}"
+                spark.read.parquet(
+                    os.path.join(in_dir, entry)
+                ).createOrReplaceTempView(view)
+                _ATTACHED.setdefault(alias, {})[name] = view
+                names.append(name)
+        if not names:
+            raise ValueError(f"ATTACH: no parquet tables under {in_dir}")
+        _ATTACH_PATHS[alias] = in_dir
+        return names
+    _ATTACHED.setdefault(alias, {})
+    _ATTACH_PATHS[alias] = None if in_dir == ":memory:" else in_dir
     return names
 
 
 def detach(spark: SparkSession, alias: str) -> None:
+    if alias not in _ATTACHED:
+        raise KeyError(f'database with name "{alias}" not found')
     for view in _ATTACHED.pop(alias, {}).values():
         spark.catalog.dropTempView(view)
+    _ATTACH_PATHS.pop(alias, None)
+    _ATTACH_READONLY.pop(alias, None)
 
 
 def attached_aliases() -> dict[str, dict[str, str]]:
     return _ATTACHED
+
+
+def attached_paths() -> dict[str, str | None]:
+    return _ATTACH_PATHS
+
+
+# alias → attached with (READ_ONLY)
+_ATTACH_READONLY: dict[str, bool] = {}
+
+
+def attached_readonly() -> dict[str, bool]:
+    return _ATTACH_READONLY
