@@ -243,6 +243,110 @@ def sniff_csv(
     }
 
 
+# duck type name → Spark DDL type, for explicit read_csv columns=/types=
+_DUCK2SPARK = {
+    "VARCHAR": "STRING", "TEXT": "STRING", "CHAR": "STRING",
+    "BPCHAR": "STRING", "UUID": "STRING", "JSON": "STRING",
+    "INTEGER": "INT", "INT": "INT", "INT4": "INT", "SIGNED": "INT",
+    "BIGINT": "BIGINT", "INT8": "BIGINT", "LONG": "BIGINT",
+    "SMALLINT": "SMALLINT", "INT2": "SMALLINT", "SHORT": "SMALLINT",
+    "TINYINT": "TINYINT", "INT1": "TINYINT",
+    "HUGEINT": "DECIMAL(38,0)", "UHUGEINT": "DECIMAL(38,0)",
+    "UTINYINT": "SMALLINT", "USMALLINT": "INT", "UINTEGER": "BIGINT",
+    "UBIGINT": "DECIMAL(20,0)",
+    "DOUBLE": "DOUBLE", "FLOAT8": "DOUBLE", "FLOAT": "FLOAT",
+    "FLOAT4": "FLOAT", "REAL": "FLOAT",
+    "BOOLEAN": "BOOLEAN", "BOOL": "BOOLEAN",
+    "DATE": "DATE", "TIMESTAMP": "TIMESTAMP_NTZ",
+    "DATETIME": "TIMESTAMP_NTZ", "TIMESTAMPTZ": "TIMESTAMP_LTZ",
+    "BLOB": "BINARY", "BYTEA": "BINARY",
+}
+
+
+def _duck2spark_type(t: str) -> str:
+    t = t.strip().upper()
+    if t.startswith(("DECIMAL", "NUMERIC")):
+        return t.replace("NUMERIC", "DECIMAL") if "(" in t \
+            else "DECIMAL(18,3)"
+    return _DUCK2SPARK.get(t, t)
+
+
+# SQL keywords (libpg_query grammar, duckdb_keywords()): normalize_names
+# prefixes a normalized column that collides with any of these
+_SQL_KEYWORDS = frozenset(
+    """abort absolute access action add admin after aggregate all also alter
+always analyse analyze and anti any array as asc asof assertion
+assignment asymmetric at attach attribute authorization backward
+before begin between bigint binary bit boolean both by cache call
+called cascade cascaded case cast catalog centuries century chain char
+character characteristics check checkpoint class close cluster
+coalesce collate collation column columns comment comments commit
+committed compression concurrently configuration conflict connection
+constraint constraints content continue conversion copy cost create
+cross csv cube current cursor cycle data database day days deallocate
+dec decade decades decimal declare default defaults deferrable
+deferred definer delete delimiter delimiters depends desc describe
+detach dictionary disable discard distinct do document domain double
+drop each else enable encoding encrypted end enum escape event except
+exclude excluding exclusive execute exists explain export export_state
+extension extensions external extract false family fetch filter first
+float following for force foreign forward freeze from full function
+functions generated glob global grant granted group grouping
+grouping_id groups handler having header hold hour hours identity if
+ignore ilike immediate immutable implicit import in include including
+increment index indexes inherit inherits initially inline inner inout
+input insensitive insert install instead int integer intersect
+interval into invoker is isnull isolation join json key label language
+large last lateral leading leakproof left level like limit listen load
+local location lock locked logged macro map mapping match materialized
+maxvalue method microsecond microseconds millennia millennium
+millisecond milliseconds minute minutes minvalue mode month months
+move name names national natural nchar new next no none not nothing
+notify notnull nowait null nullif nulls numeric object of off offset
+oids old on only operator option options or order ordinality others
+out outer over overlaps overlay overriding owned owner parallel parser
+partial partition passing password percent persistent pivot
+pivot_longer pivot_wider placing plans policy position positional
+pragma preceding precision prepare prepared preserve primary prior
+privileges procedural procedure program publication qualify quarter
+quarters quote range read real reassign recheck recursive ref
+references referencing refresh reindex relative release rename
+repeatable replace replica reset respect restart restrict returning
+returns revoke right role rollback rollup row rows rule sample
+savepoint schema schemas scope scroll search second seconds secret
+security select semi sequence sequences serializable server session
+set setof sets share show similar simple skip smallint snapshot some
+sql stable standalone start statement statistics stdin stdout storage
+stored strict strip struct subscription substring summarize symmetric
+sysid system table tables tablesample tablespace temp template
+temporary text then ties time timestamp to trailing transaction
+transform treat trigger trim true truncate trusted try_cast type types
+unbounded uncommitted unencrypted union unique unknown unlisten
+unlogged unpivot until update use user using vacuum valid validate
+validator value values varchar variadic varying verbose version view
+views virtual volatile week weeks when where whitespace window with
+within without work wrapper write xml xmlattributes xmlconcat
+xmlelement xmlexists xmlforest xmlnamespaces xmlparse xmlpi xmlroot
+xmlserialize xmltable year years yes zone""".split()
+)
+
+
+def _normalize_csv_name(name: str) -> str:
+    """read_csv normalize_names: lowercase, non-alnum -> '_', prefix '_'
+    when the name starts with a digit (csv sniffer NormalizeColumnNames)."""
+    import unicodedata
+
+    s = unicodedata.normalize("NFKD", name.strip())
+    s = "".join(c for c in s if not unicodedata.combining(c))
+    out = re.sub(r"[^0-9A-Za-z_]", "_", s).lower()
+    out = re.sub(r"_+", "_", out).strip("_")
+    if not out:
+        return "_"
+    if out[0].isdigit() or out in _SQL_KEYWORDS:
+        out = "_" + out
+    return out
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -258,13 +362,73 @@ def read_csv(
     the fast path for production pipelines, exactly like giving the
     reference explicit ``columns=``.
     """
-    path = _force_compression(path, options.pop("compression", None))
+    names = options.pop("names", None)
+    types = options.pop("types", None)
+    columns = options.pop("columns", None)
+    all_varchar = options.pop("all_varchar", False)
+    normalize_names = options.pop("normalize_names", False)
+    if columns:
+        # explicit name->type map (read_csv columns=): fixed schema, no
+        # type inference — exactly the reference's explicit-columns path
+        schema = ", ".join(
+            f"`{n}` {_duck2spark_type(t)}" for n, t in columns.items()
+        )
+        if len(columns) == 1 and "sep" not in options:
+            # a declared single-column file reads whole lines (the
+            # reference pins the sniffer to the declared column count, so
+            # no delimiter can split the line)
+            options["sep"] = "\x01"
+        if "header" not in options:
+            # with explicit columns= the reference detects a header row
+            # by NAME match against the declared columns, not by type
+            try:
+                ln = spark.read.text(path).limit(1).collect()
+                cells = [
+                    c.strip().strip('"')
+                    for c in ln[0][0].split(options.get("sep", ","))
+                ] if ln else []
+                options["header"] = (
+                    [c.lower() for c in cells]
+                    == [n.lower() for n in columns]
+                )
+            except Exception:
+                pass
+    if isinstance(path, str):
+        path = _force_compression(path, options.pop("compression", None))
+    else:
+        options.pop("compression", None)
     if isinstance(path, str) and "**" in path:
         import glob as _glob
 
         p = path[len("file://"):] if path.startswith("file://") else path
-        hits = sorted(f for f in _glob.glob(p, recursive=True)
-                      if not f.rsplit("/", 1)[-1].startswith((".", "_")))
+        import os as _os
+
+        # duck's ** crawl includes hidden files but not symlinks
+        # (glob.cpp crawl); Spark sink artifacts (_SUCCESS, .crc) stay out
+        hits = sorted(
+            f for f in _glob.glob(p, recursive=True, include_hidden=True)
+            if _os.path.isfile(f) and not _os.path.islink(f)
+            and not f.rsplit("/", 1)[-1].startswith("_")
+            and not f.endswith(".crc")
+        )
+        if any(h.rsplit("/", 1)[-1].startswith(".") for h in hits):
+            # Hadoop's input format silently drops dot-prefixed paths
+            # even when listed explicitly — stage hidden files under
+            # sanitized names (corpus-scale crawl oddity, not a hot path)
+            import shutil as _sh
+            import tempfile as _tf
+
+            staged = _tf.mkdtemp(prefix="mdbs_hidden_")
+            out_hits = []
+            for i, h in enumerate(hits):
+                base = h.rsplit("/", 1)[-1]
+                if base.startswith("."):
+                    dst = _os.path.join(staged, f"h{i}_{base.lstrip('.')}")
+                    _sh.copyfile(h, dst)
+                    out_hits.append(dst)
+                else:
+                    out_hits.append(h)
+            hits = out_hits
         if hits:
             path = hits
     reader = spark.read
@@ -299,8 +463,33 @@ def read_csv(
         reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
-    elif auto_detect:
+    elif auto_detect and not all_varchar:
         reader = reader.option("inferSchema", True)
+
+    def _post(df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if names:
+            cur = df.columns
+            df = df.toDF(*[
+                names[i] if i < len(names) else c
+                for i, c in enumerate(cur)
+            ])
+        if types:
+            pairs = (
+                [(c, t) for c, t in types.items()]
+                if isinstance(types, dict) else list(zip(df.columns, types))
+            )
+            low = {c.lower(): c for c in df.columns}
+            for c, t in pairs:
+                c = low.get(c.lower(), c)
+                df = df.withColumn(c, F.col(f"`{c}`").cast(
+                    _duck2spark_type(t)
+                ))
+        if normalize_names:
+            df = df.toDF(*[_normalize_csv_name(c) for c in df.columns])
+        return df
+
     if skip_rows:
         # leading junk lines (reference skip_rows): drop them from a text
         # scan, then parse the remainder with the same reader options.
@@ -312,10 +501,10 @@ def read_csv(
             .filter(lambda t: t[1] >= skip_rows)
             .map(lambda t: t[0][0])
         )
-        return _csv_refine(reader.csv(txt))
+        return _post(_csv_refine(reader.csv(txt)))
     df = reader.csv(path)
     if schema is not None or not auto_detect:
-        return df
+        return _post(df)
     if keep_varchar:
         # sniffer saw '+'-prefixed / zero-padded numerics: those columns
         # must stay VARCHAR verbatim — re-read with the inferred schema
@@ -334,7 +523,7 @@ def read_csv(
                 changed = True
         if changed:
             df = reader.schema(T.StructType(fields)).csv(path)
-    return _csv_refine(df)
+    return _post(_csv_refine(df))
 
 
 _COMP_EXT = {"gzip": ".gz", "zstd": ".zst", "bz2": ".bz2", "xz": ".xz"}
@@ -533,6 +722,8 @@ def _local_json_files(path: str, limit: int = 4) -> list[str]:
     import glob as _glob
     import os as _os
 
+    if isinstance(path, list):
+        path = path[0] if path else ""
     p = path[len("file://"):] if path.startswith("file://") else path
     out: list[str] = []
     for m in sorted(_glob.glob(p)) or [p]:

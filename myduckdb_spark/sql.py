@@ -5915,13 +5915,41 @@ def _alter_table(spark: SparkSession, exists_ok: str | None, name: str, act: str
         _refresh_view(spark, name)
         return _count_df(spark, 0)
 
-    # SET/DROP DEFAULT, SET/DROP NOT NULL: accepted, not enforced — the
-    # managed layer stores data; CREATE TABLE makes the same choice
-    if re.match(
-        r"ALTER\s+(?:COLUMN\s+)?\"?\w+\"?\s+(SET|DROP)\s+(DEFAULT|NOT\s+NULL)\b",
-        act,
-        re.I,
-    ):
+    # SET/DROP DEFAULT updates the stored default registry; SET/DROP
+    # NOT NULL updates the constraint registry (enforced on INSERT)
+    am = re.match(
+        r"ALTER\s+(?:COLUMN\s+)?\"?(\w+)\"?\s+(SET|DROP)\s+"
+        r"(DEFAULT|NOT\s+NULL)\s*(.*)$",
+        act, re.I | re.S,
+    )
+    if am:
+        cname, verb, what, rest = am.groups()
+        low = {c.lower(): c for c in tbl.scan().columns}
+        if cname.lower() not in low:
+            raise KeyError(f"ALTER TABLE: column {cname} does not exist")
+        src = low[cname.lower()]
+        if what.upper() == "DEFAULT":
+            dfl = dict(tbl.defaults)
+            if verb.upper() == "SET":
+                dfl[src.lower()] = rest.strip().rstrip(";").strip()
+            else:
+                dfl.pop(src.lower(), None)
+            tbl.set_defaults(dfl)
+        else:
+            sch, bare = _schema_of(name)
+            ischema.CONSTRAINTS[:] = [
+                c for c in ischema.CONSTRAINTS
+                if not (c["ctype"] == "NOT NULL" and c["table"] == bare
+                        and c["schema"] == sch
+                        and [x.lower() for x in c["columns"]]
+                        == [src.lower()])
+            ]
+            if verb.upper() == "SET":
+                ischema.CONSTRAINTS.append({
+                    "catalog": "memory", "schema": sch, "table": bare,
+                    "ctype": "NOT NULL", "text": "NOT NULL",
+                    "columns": [src],
+                })
         return _count_df(spark, 0)
     raise ValueError(f"ALTER TABLE: unsupported action {act!r}")
 
@@ -6649,6 +6677,35 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                 return _count_df(spark, 0)
             if not replace:
                 raise ValueError(f"table {name} already exists")
+        # DEFAULT expressions must be scalar: no aggregates, no window
+        # functions, no references to other columns (bound_default.cpp)
+        _colnames = {n.lower() for n, _t in cols}
+        for _dc, _dx in (defaults or {}).items():
+            if re.search(r"\bOVER\s*\(", _dx, re.I):
+                raise ValueError(
+                    "Binder Error: window functions are not allowed in "
+                    "DEFAULT expressions"
+                )
+            _span = _literal_spans(_dx)
+            for im in re.finditer(r"[A-Za-z_]\w*", _dx):
+                if _in_spans(im.start(), _span):
+                    continue
+                word = im.group(0).lower()
+                called = re.match(r"\s*\(", _dx[im.end():]) is not None
+                if called and word in (
+                    "sum", "count", "avg", "min", "max", "first", "last",
+                    "stddev", "variance", "var_pop", "var_samp", "median",
+                    "string_agg", "list", "bool_and", "bool_or",
+                ):
+                    raise ValueError(
+                        "Binder Error: aggregate functions are not "
+                        "allowed in DEFAULT expressions"
+                    )
+                if not called and word in _colnames:
+                    raise ValueError(
+                        "Binder Error: DEFAULT expressions cannot "
+                        "reference other columns"
+                    )
         empty = spark.sql(
             "SELECT " + ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
         ).limit(0)
@@ -6761,6 +6818,35 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                 "(reserved for the ON CONFLICT incoming row)"
             )
         tbl = _MANAGED[name]
+        if re.match(r"\s*VALUES\b", source, re.I) and re.search(
+            r"\bDEFAULT\b", source, re.I
+        ):
+            # positional DEFAULT keyword inside VALUES tuples resolves to
+            # the target column's default (or typed NULL)
+            _tdtypes = dict(tbl.scan().dtypes)
+            _order = ([c.strip().strip('"') for c in collist.split(",")]
+                      if collist else list(_tdtypes))
+            _dfl = tbl.defaults
+            vm = re.match(r"\s*VALUES\s*(.*?);?\s*$", source, re.I | re.S)
+            newt = []
+            for tup in _split_args(vm.group(1)):
+                t = tup.strip()
+                if not (t.startswith("(") and t.endswith(")")):
+                    newt.append(t)
+                    continue
+                items = _split_args(t[1:-1])
+                for i, it in enumerate(items):
+                    if re.fullmatch(r"\s*DEFAULT\s*", it, re.I):
+                        cname = _order[i] if i < len(_order) else None
+                        if cname and cname.lower() in _dfl:
+                            items[i] = f"({_dfl[cname.lower()]})"
+                        else:
+                            items[i] = (
+                                f"CAST(NULL AS {_tdtypes.get(cname, 'STRING')})"
+                                if cname else "NULL"
+                            )
+                newt.append("(" + ", ".join(x.strip() for x in items) + ")")
+            source = "VALUES " + ", ".join(newt)
         src_df = spark.sql(translate(_bind_file_scans(spark, source)))
         if collist is not None:
             names = [c.strip().strip('"') for c in collist.split(",")]
@@ -6774,15 +6860,39 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
             from pyspark.sql import functions as _F
 
             dflt = tbl.defaults
+            seq_cols: dict[str, str] = {}
 
             def _fill(c):
                 if c in by_name:
                     return _F.col(by_name[c]).alias(c)
                 if c.lower() in dflt:
+                    sm = re.fullmatch(
+                        r"\s*\(?\s*nextval\s*\(\s*'(\w+)'\s*\)\s*\)?\s*",
+                        dflt[c.lower()], re.I,
+                    )
+                    if sm:
+                        # sequence defaults: one counter reservation per
+                        # batch, values assigned below
+                        seq_cols[c] = sm.group(1)
+                        return _F.lit(None).cast("bigint").alias(c)
                     return _F.expr(translate(dflt[c.lower()])).alias(c)
                 return _F.lit(None).alias(c)
 
             src_df = src_df.select(*[_fill(c) for c in table_cols])
+            for c, sname in seq_cols.items():
+                seq = _seq_store().get(sname)
+                n_rows = src_df.count()
+                if n_rows:
+                    base = seq.reserve(n_rows)
+                    inc = _seq_store()._seqs[sname]["increment"]
+                    from pyspark.sql import Window as _W
+
+                    w = _W.orderBy(_F.monotonically_increasing_id())
+                    src_df = src_df.withColumn(
+                        c,
+                        (_F.row_number().over(w) - 1) * _F.lit(inc)
+                        + _F.lit(base),
+                    )
         if or_action or conflict is not None:
             all_keys = tbl.keys()
             key = all_keys[0] if all_keys else None
@@ -6874,6 +6984,25 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                     keyval = ", ".join(f"{k}: {row[k]}" for k in key)
                     raise ValueError(
                         f'Constraint Error: Duplicate key "{keyval}" violates primary key constraint.'
+                    )
+            # NOT NULL enforcement (physical_insert.cpp): a registered
+            # NOT NULL / PRIMARY KEY column rejects NULL rows
+            _sch, _bare = _schema_of(name)
+            nn_cols = [
+                c["columns"][0] for c in ischema.CONSTRAINTS
+                if c["ctype"] == "NOT NULL" and c["table"] == _bare
+                and c["schema"] == _sch and c["columns"]
+                and c["columns"][0] in src_df.columns
+            ]
+            if nn_cols:
+                bad = src_df.filter(
+                    " OR ".join(f"`{c}` IS NULL" for c in nn_cols)
+                ).limit(1).collect()
+                if bad:
+                    col = next(c for c in nn_cols if bad[0][c] is None)
+                    raise ValueError(
+                        f"Constraint Error: NOT NULL constraint failed: "
+                        f"{name}.{col}"
                     )
             n = tbl.insert(src_df)
         _refresh_view(spark, name)
@@ -6996,6 +7125,13 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         if name not in _MANAGED:
             raise ValueError(f"UPDATE: {name} is not a managed table (CREATE TABLE ... AS first)")
         assignments = _expand_tuple_assignment(settext)
+        # SET col = DEFAULT resolves the column's default (or NULL)
+        _udfl = _MANAGED[name].defaults
+        assignments = {
+            c: (_udfl.get(c.lower(), "NULL")
+                if re.fullmatch(r"\s*DEFAULT\s*", e, re.I) else e)
+            for c, e in assignments.items()
+        }
         assignments = {c: translate(e) for c, e in assignments.items()}
         if fromtext:
             n = _MANAGED[name].update_from(
@@ -7014,6 +7150,14 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
     if m:
         replace, name, opts = bool(m.group(1)), m.group(2), m.group(3) or ""
         kw: dict = {"replace": replace}
+        # each sequence clause may appear at most once, counting the NO
+        # form (NO MAXVALUE MAXVALUE 2 / START 13 START WITH 3 both error)
+        for clause in ("MINVALUE", "MAXVALUE", "CYCLE", "START",
+                       "INCREMENT"):
+            if len(re.findall(rf"\b{clause}\b", opts, re.I)) > 1:
+                raise ValueError(
+                    f"Parser Error: {clause} should be passed at most once"
+                )
         om = re.search(r"\bSTART\s+(?:WITH\s+)?(-?\d+)", opts, re.I)
         if om:
             kw["start"] = int(om.group(1))
@@ -7035,6 +7179,21 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
     m = _DROP_SEQ.match(text)
     if m:
         if m.group(1) in _seq_store()._seqs:
+            # dependency check (duckdb dependency manager): a table whose
+            # column DEFAULT calls nextval on this sequence blocks the drop
+            if "CASCADE" not in text.upper():
+                for tname, t in _MANAGED.items():
+                    for dexpr in t.defaults.values():
+                        if re.search(
+                            rf"nextval\s*\(\s*'(?:\w+\.)?{re.escape(m.group(1))}'",
+                            str(dexpr), re.I,
+                        ):
+                            raise ValueError(
+                                f"Dependency Error: Cannot drop entry "
+                                f'"{m.group(1)}" because there are entries '
+                                f"that depend on it. table \"{tname}\" "
+                                f"depends on \"{m.group(1)}\"."
+                            )
             _seq_store().drop(m.group(1))
         elif "IF EXISTS" not in text.upper():
             raise KeyError(f"unknown sequence: {m.group(1)}")
@@ -7781,14 +7940,49 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
     unchanged (the engine error records the gap, never a wrong result)."""
     from myduckdb_spark import io as _io
 
-    def bind(path: str, fmt_hint: str | None, opts: dict) -> str | None:
+    def _parse_sql_string_list(raw: str) -> list | None:
+        """``['a', 'b']`` / ``list_value('a')`` → python list of str."""
+        t = raw.strip()
+        m = re.fullmatch(r"\[(.*)\]", t, re.S) or re.fullmatch(
+            r"(?:list_value|array)\s*\((.*)\)", t, re.I | re.S
+        )
+        if not m:
+            return None
+        out = []
+        for item in _split_args(m.group(1)):
+            im = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", item)
+            if not im:
+                return None
+            out.append(im.group(1).replace("''", "'"))
+        return out
+
+    def _parse_sql_string_map(raw: str) -> dict | None:
+        """``{'a': 'T', "b": 'U'}`` struct literal → python dict."""
+        t = raw.strip()
+        m = re.fullmatch(r"\{(.*)\}", t, re.S)
+        if not m:
+            return None
+        out = {}
+        for item in _split_args(m.group(1)):
+            im = re.fullmatch(
+                r"\s*(?:'((?:[^']|'')*)'|\"([^\"]*)\"|(\w+))\s*:\s*"
+                r"'((?:[^']|'')*)'\s*", item,
+            )
+            if not im:
+                return None
+            key = im.group(1) or im.group(2) or im.group(3)
+            out[key] = im.group(4).replace("''", "'")
+        return out
+
+    def bind(path: str | list, fmt_hint: str | None, opts: dict) -> str | None:
         import hashlib
 
         view = "__scan_" + hashlib.md5(
-            f"{path}|{fmt_hint}|{sorted(opts.items())}".encode()
+            f"{path}|{fmt_hint}|{sorted(opts.items(), key=str)}".encode()
         ).hexdigest()[:12]
         try:
-            ext = os.path.splitext(path.rstrip("/*").removesuffix(".gz"))[1].lower()
+            p0 = path[0] if isinstance(path, list) else path
+            ext = os.path.splitext(p0.rstrip("/*").removesuffix(".gz"))[1].lower()
             fmt = fmt_hint or {
                 ".parquet": "parquet", ".json": "json", ".ndjson": "json",
                 ".jsonl": "json",
@@ -7805,21 +7999,22 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
                 # reference pre-0.10) ALSO carry the column in-file would
                 # collide with inference — fall back to a flat
                 # recursive-lookup read (in-file columns win there).
-                base = _hive_base(path)
+                base = _hive_base(path) if isinstance(path, str) else None
                 try:
                     rd = spark.read
                     if base:
                         rd = rd.option("basePath", base)
-                    df = rd.parquet(path)
+                    df = (rd.parquet(*path) if isinstance(path, list)
+                          else rd.parquet(path))
                 except Exception:
                     df = (
                         spark.read.option("recursiveFileLookup", "true")
-                        .parquet(path)
+                        .parquet(*path if isinstance(path, list) else [path])
                     )
             elif fmt == "json":
                 df = _io.read_json(spark, path)
             else:
-                base = _hive_base(path)
+                base = _hive_base(path) if isinstance(path, str) else None
                 if base:
                     try:
                         df = _io.read_csv(
@@ -7865,7 +8060,10 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
             break
         args = [a.strip() for a in _split_args(text[rm.end() : close])]
         pm = re.fullmatch(r"'([^']+)'", args[0]) if args else None
-        if pm is None:
+        path_arg: str | list | None = pm.group(1) if pm else None
+        if path_arg is None and args:
+            path_arg = _parse_sql_string_list(args[0])
+        if path_arg is None:
             break
         fn = rm.group(2).lower()
         fmt_hint = (
@@ -7873,6 +8071,7 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
         )
         opts: dict = {}
         supported = True
+        raw_path_is_list = isinstance(path_arg, list)
         for kw in args[1:]:
             km = re.fullmatch(r"(\w+)\s*(?::?=)\s*(.+)", kw, re.S)
             if km is None:
@@ -7882,6 +8081,8 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
             if raw.startswith("'") and raw.endswith("'") and len(raw) >= 2:
                 # SQL string literal: strip ONE quote pair, unescape ''
                 v = raw[1:-1].replace("''", "'")
+            elif raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+                v = raw[1:-1]
             else:
                 v = raw
             if k in ("delim", "sep", "delimiter"):
@@ -7898,14 +8099,62 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
                 opts["compression"] = v
             elif k == "comment":
                 opts["comment"] = v
+            elif k in ("null", "nullstr", "null_str") and not raw.startswith("["):
+                opts["nullValue"] = v
+            elif k == "ignore_errors":
+                if v.lower() in ("true", "1") and raw_path_is_list:
+                    # multi-file column-count mismatch is the one
+                    # ignore_errors mode Spark's DROPMALFORMED mirrors
+                    # exactly; single-file cast-error semantics differ —
+                    # those stay unsupported (skip, never wrong values)
+                    opts["mode"] = "DROPMALFORMED"
+                elif v.lower() in ("true", "1"):
+                    supported = False
+                    break
+            elif k == "all_varchar":
+                opts["all_varchar"] = v.lower() in ("true", "1")
+            elif k == "normalize_names":
+                opts["normalize_names"] = v.lower() in ("true", "1")
+            elif k == "names" or k == "column_names":
+                lst = _parse_sql_string_list(raw)
+                if lst is None:
+                    supported = False
+                    break
+                opts["names"] = lst
+            elif k == "types" or k == "dtypes" or k == "columns":
+                parsed_t = _parse_sql_string_map(raw) \
+                    if raw.lstrip().startswith("{") \
+                    else _parse_sql_string_list(raw)
+                if parsed_t is None:
+                    supported = False
+                    break
+                opts["columns" if k == "columns" else "types"] = parsed_t
+            elif k == "dateformat" and "%" in v:
+                opts["dateFormat"] = _strf_to_java(v)
+            elif k == "timestampformat" and "%" in v:
+                jf = _strf_to_java(v)
+                opts["timestampFormat"] = jf
+                opts["timestampNTZFormat"] = jf
+            elif k == "sample_size":
+                if v.strip() != "-1" and not raw_path_is_list:
+                    # a bounded sample changes duck's inferred types;
+                    # full-scan (-1) matches Spark inference exactly.
+                    # (multi-file mismatch reads tolerate it: the sample
+                    # only picks which file's schema wins, and Spark's
+                    # inference converges on the same majority schema)
+                    supported = False
+                    break
             elif k == "auto_detect":
-                pass
+                opts["auto_detect"] = v.lower() in ("true", "1")
+            elif k in ("max_line_size", "buffer_size", "parallel",
+                       "rejects_limit"):
+                pass  # perf knobs with no semantic effect here
             else:
                 supported = False
                 break
         if not supported:
             break
-        view = bind(pm.group(1), fmt_hint, opts)
+        view = bind(path_arg, fmt_hint, opts)
         if view is None:
             break
         text = text[: rm.start()] + f"{rm.group(1)} {view}" + text[close + 1 :]

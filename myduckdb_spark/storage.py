@@ -667,7 +667,7 @@ class SequenceStore:
     def create(
         self,
         name: str,
-        start: int = 1,
+        start: int | None = None,
         increment: int = 1,
         minvalue: int | None = None,
         maxvalue: int | None = None,
@@ -680,6 +680,19 @@ class SequenceStore:
             raise ValueError("increment must be non-zero")
         lo = minvalue if minvalue is not None else (1 if increment > 0 else -(2**63))
         hi = maxvalue if maxvalue is not None else (2**63 - 1 if increment > 0 else -1)
+        if start is None:
+            # default start: MINVALUE ascending, MAXVALUE descending
+            start = lo if increment > 0 else hi
+        # parameter validation (reference sequence_catalog_entry.cpp):
+        # the bounds must order and the start must fall inside them
+        if lo > hi:
+            raise ValueError(
+                "MINVALUE must be less than or equal to MAXVALUE"
+            )
+        if start > hi:
+            raise ValueError("START value cannot be greater than MAXVALUE")
+        if start < lo:
+            raise ValueError("START value cannot be less than MINVALUE")
         self._seqs[name] = {
             "next": start,
             "current": None,

@@ -24,6 +24,8 @@ HANGERS = {
     "copy/csv/test_non_unicode_header.test",
     # native duckdb crash observed mid-sweep (r7)
     "types/nested/map/map_from_entries/data_types.test",
+    # fuzzer-generated parquet corpus: kills the process natively (r8)
+    "copy/parquet/afl.test",
     # known native crashers (shared with slt_sweep.CRASHERS)
     "types/nested/list/test_list_functions_with_null_structs.test",
     "function/timestamp/test_icu_time_bucket_timestamptz.test",

@@ -795,6 +795,22 @@ def _resync_from_duck(spark, con) -> None:
                 _MANAGED[tname].set_key(list(ccols))
             else:
                 _MANAGED[tname].add_unique(list(ccols))
+    # carry column DEFAULTs too (a resynced CTAS loses them; later
+    # INSERT (cols) statements must still fill defaulted columns)
+    try:
+        drows = con.execute(
+            "SELECT table_name, column_name, column_default "
+            "FROM information_schema.columns "
+            "WHERE table_schema = 'main' AND column_default IS NOT NULL"
+        ).fetchall()
+    except Exception:
+        drows = []
+    by_tbl: dict = {}
+    for tname, cname, dexpr in drows:
+        by_tbl.setdefault(tname, {})[cname.lower()] = dexpr
+    for tname, dfl in by_tbl.items():
+        if tname in _MANAGED:
+            _MANAGED[tname].set_defaults(dfl)
 
 
 def run_file_dual(
