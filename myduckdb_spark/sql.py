@@ -5281,6 +5281,27 @@ def translate(text: str) -> str:
     # USING SAMPLE n% (bernoulli) → TABLESAMPLE
     out = re.sub(r"\bUSING\s+SAMPLE\s+(\d+)\s*%", r"TABLESAMPLE (\1 PERCENT)", out, flags=re.I)
 
+    # join USING lists bind case-insensitively: USING (hello, "HELLO")
+    # names ONE column in the reference — dedupe (Spark joins twice)
+    def _dedupe_using(mm: "re.Match[str]") -> str:
+        items = [c.strip() for c in mm.group(1).split(",")]
+        seen: set[str] = set()
+        kept = []
+        for c in items:
+            key = c.strip().strip('"').lower()
+            if key not in seen:
+                seen.add(key)
+                kept.append(c)
+        return f"USING ({', '.join(kept)})"
+
+    out = re.sub(
+        r"\bUSING\s*\(([^()]*)\)",
+        lambda mm: mm.group(0)
+        if re.search(r"\bSAMPLE\b", mm.group(1), re.I)
+        else _dedupe_using(mm),
+        out, flags=re.I,
+    )
+
     # DuckDB numeric type aliases Spark's parser rejects (postgres-style
     # intN/floatN names) — applies to both ::casts and CAST(... AS t)
     for duck_t, spark_t in (
@@ -8248,6 +8269,90 @@ def _inline_select_aliases(text: str) -> str:
     return text
 
 
+# operand of a NATURAL JOIN chain: identifier or a paren group (two
+# nesting levels — enough for (a JOIN b USING (x)) shapes)
+_NAT_OPERAND = (
+    r'(?:(?!(?:FROM|JOIN|NATURAL|ON|USING|WHERE|SELECT|AND|OR|AS)\b)'
+    r'"?\w+"?(?:\s+(?!NATURAL\b|JOIN\b|WHERE\b|GROUP\b|ORDER\b|'
+    r'LIMIT\b|ON\b|USING\b)\w+)?'
+    r"|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
+)
+_NATURAL_CHAIN = re.compile(
+    rf"(?<![\w.\"])({_NAT_OPERAND})"
+    r"((?:\s+NATURAL\s+(?:LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+|OUTER\s+)*"
+    rf"JOIN\s+{_NAT_OPERAND})+)",
+    re.I,
+)
+
+
+def _bind_natural_joins(spark: SparkSession, text: str) -> str:
+    """NATURAL JOIN matches common columns CASE-INSENSITIVELY in the
+    reference (catalog-insensitive binder) — Spark's intersection is
+    case-sensitive, so chains rewrite to JOIN ... USING with the left
+    side's spelling. Operand columns come from the catalog for bare
+    table names or a LIMIT-0 bind probe for paren groups; inner chains
+    rewrite first (innermost-out loop). Unparseable shapes pass through
+    to Spark's own NATURAL JOIN."""
+    def _cols_of(op: str) -> list[str] | None:
+        op = op.strip()
+        name = op.strip('"')
+        try:
+            if re.fullmatch(r"\w+(\s+\w+)?", name):
+                return list(spark.table(name.split()[0]).columns)
+            return list(spark.sql(
+                translate(f"SELECT * FROM {op} __natprobe LIMIT 0")
+            ).columns)
+        except Exception:
+            return None
+
+    def _inner(op: str) -> str:
+        # a paren operand with its own NATURAL chain rewrites first
+        if op.startswith("(") and re.search(r"\bNATURAL\b", op, re.I):
+            return "(" + _bind_natural_joins(spark, op[1:-1]) + ")"
+        return op
+
+    def repl(m: "re.Match[str]") -> str:
+        first = _inner(m.group(1))
+        acc = _cols_of(first)
+        if acc is None:
+            return m.group(0)
+        parts = [first]
+        for jm in re.finditer(
+            r"NATURAL\s+((?:LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+|OUTER\s+)*)"
+            rf"JOIN\s+({_NAT_OPERAND})", m.group(2), re.I,
+        ):
+            jtype, tbl = jm.group(1) or "", _inner(jm.group(2))
+            tcols = _cols_of(tbl)
+            if tcols is None:
+                return m.group(0)
+            low = {c.lower() for c in tcols}
+            common = [c for c in acc if c.lower() in low]
+            if len({c.lower() for c in common}) != len(common) or \
+                    len([c for c in tcols if c.lower() in
+                         {x.lower() for x in common}]) != len(common):
+                return m.group(0)  # duplicate key names — not expressible
+            if common:
+                usings = ", ".join('"' + c + '"' for c in common)
+                parts.append(f"{jtype}JOIN {tbl} USING ({usings})")
+            else:
+                parts.append(f"CROSS JOIN {tbl}")
+            seen = {c.lower() for c in acc}
+            acc += [c for c in tcols if c.lower() not in seen]
+        return " ".join(parts)
+
+    for _ in range(8):  # innermost-out passes over nested chains
+        spans = _literal_spans(text)
+        new = _NATURAL_CHAIN.sub(
+            lambda m: m.group(0) if _in_spans(m.start(), spans)
+            else repl(m),
+            text,
+        )
+        if new == text:
+            return text
+        text = new
+    return text
+
+
 def sql(
     spark: SparkSession,
     text: str,
@@ -8301,6 +8406,9 @@ def sql(
             if cmd is not None:  # e.g. a bare parenthesized DESCRIBE
                 return cmd
     text = _bind_file_scans(spark, text)
+    if re.search(r"\bNATURAL\s+(?:LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+|"
+                 r"OUTER\s+)*JOIN\b", text, re.I):
+        text = _bind_natural_joins(spark, text)
     out = translate(_inject_column_collations(text))
     if re.search(r"\bjson_(structure|type)\s*\(", out):
         from myduckdb_spark.functions.jsonx import register_json_udfs
