@@ -440,6 +440,36 @@ def read_csv(
         fh = options.get("header")
         if isinstance(fh, str):
             fh = fh.lower() in ("true", "1")
+        # multi-file scans sniff EACH file (the reference sniffs per
+        # file — a glob may mix dialects); heterogeneous dialects read
+        # per-file and union positionally under the first file's names.
+        # Capped at 16 files — larger fleets assume one dialect (the
+        # production case; a 100k-file lake scan must not sniff serially)
+        if "sep" not in options and schema is None:
+            try:
+                _files = _local_json_files(path, limit=16)
+            except OSError:
+                _files = []
+            if 1 < len(_files) <= 16:
+                dialects = {
+                    (s["sep"], s["header"], s["quote"], s["escape"])
+                    for s in (sniff_csv(spark, f) for f in _files)
+                }
+                if len(dialects) > 1:
+                    sub = dict(options)
+                    for kk, vv in (("names", names), ("types", types),
+                                   ("all_varchar", all_varchar),
+                                   ("normalize_names", normalize_names)):
+                        if vv:
+                            sub[kk] = vv
+                    dfs = [
+                        read_csv(spark, f, auto_detect=True, **sub)
+                        for f in _files
+                    ]
+                    out = dfs[0]
+                    for d in dfs[1:]:
+                        out = out.union(d.toDF(*out.columns))
+                    return out
         sniffed = sniff_csv(
             spark, path,
             force_sep=options.get("sep"),

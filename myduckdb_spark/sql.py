@@ -3918,8 +3918,25 @@ def translate(text: str) -> str:
     out = _rewrite_calls(
         out, "current_database", lambda a: "'memory'" if not a or not a[0] else None
     )
+    # SET search_path drives current_schema/current_schemas/
+    # current_setting (values resolve at translate time — session state)
+    out = re.sub(
+        r"\bpg_catalog\s*\.\s*"
+        r"(current_schemas?|current_setting|current_database)\b",
+        r"\1", out, flags=re.I,
+    )
+    _sp = [s for s in SETTINGS.get("search_path", "").split(",") if s]
     out = _rewrite_calls(
-        out, "current_schema", lambda a: "'main'" if not a or not a[0] else None
+        out, "current_schema",
+        lambda a: (f"'{_sp[0]}'" if _sp else "'main'")
+        if not a or not a[0] else None,
+    )
+    out = _rewrite_calls(
+        out, "current_setting",
+        lambda a: f"'{SETTINGS.get('search_path', '')}'"
+        if len(a) == 1 and re.fullmatch(
+            r"'(search_path|schema)'", a[0].strip(), re.I
+        ) else None,
     )
     # postgres-compat stub system functions (pg_catalog
     # system_functions.test; values verified live)
@@ -3943,17 +3960,19 @@ def translate(text: str) -> str:
             out, _pgfn,
             lambda a: "CAST(NULL AS STRING)" if len(a) == 2 else None,
         )
-    out = _rewrite_calls(
-        out, "current_schemas",
-        # implicit search path incl. catalogs when true; empty when false
-        # (verified live)
-        lambda a: (
-            "array('main', 'main', 'main', 'pg_catalog')"
-            if len(a) == 1 and a[0].strip().lower() == "true"
-            else ("array()" if len(a) == 1
-                  and a[0].strip().lower() == "false" else None)
-        ),
-    )
+    def _cur_schemas(a: list[str]) -> str | None:
+        if len(a) != 1 or a[0].strip().lower() not in ("true", "false"):
+            return None
+        if a[0].strip().lower() == "false":
+            # explicit search path only (verified live)
+            return ("array(" + ", ".join(f"'{s}'" for s in _sp) + ")"
+                    if _sp else "array()")
+        # implicit: main + path + main,main,pg_catalog (verified live:
+        # empty path [main,main,main,pg_catalog]; path=test inserts it)
+        full = ["main"] + _sp + ["main", "main", "pg_catalog"]
+        return "array(" + ", ".join(f"'{s}'" for s in full) + ")"
+
+    out = _rewrite_calls(out, "current_schemas", _cur_schemas)
 
     # ---- missing scalar functions (SQL front door; Column forms live in
     # functions/registry.py) ------------------------------------------------
@@ -5441,6 +5460,12 @@ def reset_dml_state(spark: SparkSession) -> None:
     from myduckdb_spark import infoschema as ischema
 
     ischema.reset()
+    SETTINGS.pop("search_path", None)
+    from myduckdb_spark.storage import _ATTACH_PATHS, _ATTACH_READONLY, _ATTACHED
+
+    _ATTACHED.clear()
+    _ATTACH_PATHS.clear()
+    _ATTACH_READONLY.clear()
     try:  # a corpus file's SET TimeZone must not leak into the next file
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
@@ -6614,9 +6639,27 @@ def _schema_of(name: str) -> tuple[str, str]:
 def _flatten_schema_refs(text: str) -> str:
     """Map ``schema.object`` references of CREATE SCHEMA-registered
     schemas to the flattened ``schema__object`` engine names (the same
-    single-part-view mapping ATTACH uses for attached catalogs)."""
+    single-part-view mapping ATTACH uses for attached catalogs); strip
+    the implicit ``main.`` qualifier; resolve bare table names through
+    SET search_path (path schemas first, then main — set_search_path
+    semantics in the reference binder)."""
     from myduckdb_spark import infoschema as ischema
 
+    spans = _literal_spans(text)
+    text = re.sub(
+        r"(?<![\w.\"])main\s*\.\s*(?=\w)",
+        lambda mm: mm.group(0) if _in_spans(mm.start(), spans) else "",
+        text, flags=re.I,
+    )
+    if not re.match(r"\s*CREATE\b", text, re.I):
+        # temp-catalog qualifier on reads/DML (CREATE keeps it so the
+        # temp-without-TEMPORARY error can fire)
+        spans = _literal_spans(text)
+        text = re.sub(
+            r"(?<![\w.\"])temp\s*\.\s*(?=\w)",
+            lambda mm: mm.group(0) if _in_spans(mm.start(), spans) else "",
+            text, flags=re.I,
+        )
     if not ischema.SCHEMAS:
         return text
     spans = _literal_spans(text)
@@ -6628,6 +6671,22 @@ def _flatten_schema_refs(text: str) -> str:
             text,
         )
         spans = _literal_spans(text)
+    sp = SETTINGS.get("search_path", "")
+    if sp:
+        order = [s for s in sp.split(",") if s and s != "main"]
+
+        def _bare(mm: "re.Match[str]") -> str:
+            if _in_spans(mm.start(), spans):
+                return mm.group(0)
+            for s in order:
+                if f"{s}__{mm.group(2)}".lower() in ischema.TABLE_META:
+                    return f"{mm.group(1)}{s}__{mm.group(2)}"
+            return mm.group(0)
+
+        text = re.sub(
+            r"\b(FROM\s+|JOIN\s+|INTO\s+|UPDATE\s+)(\w+)(?![\w]|\s*[.(])",
+            _bare, text, flags=re.I,
+        )
     return text
 
 
@@ -6677,6 +6736,30 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                 pass
         return _count_df(spark, 0)
     text = _flatten_schema_refs(text)
+    # temporary tables: same managed storage, catalog 'temp' in the
+    # registry. `CREATE TABLE temp.x` without TEMPORARY is an error;
+    # ON COMMIT PRESERVE ROWS is the only supported commit action.
+    is_temp = False
+    tm = re.match(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+(.*)$",
+        text, re.I | re.S,
+    )
+    if tm:
+        is_temp = True
+        text = f"CREATE {tm.group(1) or ''}TABLE {tm.group(2)}"
+        text = re.sub(r"\s+ON\s+COMMIT\s+PRESERVE\s+ROWS", "", text,
+                      flags=re.I)
+        text = re.sub(
+            r"^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?)temp\s*\.\s*",
+            r"\1", text, flags=re.I,
+        )
+    elif re.match(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
+                  r"(?:IF\s+NOT\s+EXISTS\s+)?temp\s*\.", text, re.I):
+        raise ValueError(
+            'Invalid Input Error: Only TEMPORARY table names can use the '
+            '"temp" catalog'
+        )
     m = _CTAS.match(text)
     if m:
         replace, name, select = bool(m.group(1)), m.group(2), m.group(3)
@@ -6687,7 +6770,10 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         _MANAGED[name] = storage.ManagedTable.create(spark, root, spark.sql(translate(select)))
         _refresh_view(spark, name)
         sch, bare = _schema_of(name)
-        ischema.register_table(name, "memory", sch, bare, "BASE TABLE")
+        ischema.register_table(
+            name, "temp" if is_temp else "memory", sch, bare,
+            "LOCAL TEMPORARY" if is_temp else "BASE TABLE",
+        )
         return _count_df(spark, _MANAGED[name].count())
     m = _CREATE_TBL.match(text)
     if m and not _CTAS.match(text):
@@ -6746,7 +6832,10 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         # catalog-metadata registry: declared columns + key constraints
         # feed information_schema (myduckdb_spark.infoschema)
         sch, bare = _schema_of(name)
-        ischema.register_table(name, "memory", sch, bare, "BASE TABLE")
+        ischema.register_table(
+            name, "temp" if is_temp else "memory", sch, bare,
+            "LOCAL TEMPORARY" if is_temp else "BASE TABLE",
+        )
         notnull = {x["columns"][0].lower() for x in extras
                    if x["ctype"] == "NOT NULL"}
         ischema.register_columns(name, [
@@ -7653,6 +7742,30 @@ def _statement_command(spark: SparkSession, text: str) -> DataFrame | None:
             SETTINGS[name.lower()] = raw.lower()
             return spark.createDataFrame(
                 [(name, raw)], "name string, value string"
+            )
+        if name.lower() in ("search_path", "schema"):
+            from myduckdb_spark import infoschema as ischema
+
+            inner = m.group(2).strip().strip("'")
+            if inner.count('"') % 2:
+                raise ValueError(
+                    "Parser Error: invalid quoted string list"
+                )
+            entries = [e.strip().strip('"').strip()
+                       for e in inner.split(",") if e.strip()]
+            if name.lower() == "schema" and len(entries) != 1:
+                raise ValueError(
+                    'Parser Error: SET schema expected a single entry'
+                )
+            for e in entries:
+                if e != "main" and e not in ischema.SCHEMAS:
+                    raise ValueError(
+                        f'Catalog Error: SET {name}: No catalog + schema '
+                        f'named "{e}" found.'
+                    )
+            SETTINGS["search_path"] = ",".join(entries)
+            return spark.createDataFrame(
+                [(name, ",".join(entries))], "name string, value string"
             )
         if name.lower() == "timezone":
             # the reference's SET TimeZone drives naive<->instant casts;
