@@ -203,3 +203,54 @@ def register_numeric_udfs(spark: SparkSession) -> None:
         return pd.Series(out.astype("float64"), index=a.index)
 
     create_scalar_function(spark, "nextafter", _nextafter, "double")
+
+
+def blob_render_py(b) -> str | None:
+    """DuckDB's BLOB -> VARCHAR rendering (blob.cpp ToString): printable
+    ASCII bytes verbatim, backslash and non-printables as \\xNN."""
+    if b is None:
+        return None
+    if isinstance(b, str):
+        b = b.encode("utf-8", "surrogateescape")
+    return "".join(
+        chr(x) if 32 <= x <= 126 and x != 92 else "\\x%02X" % x
+        for x in bytes(b)
+    )
+
+
+def register_blob_render(spark: SparkSession) -> None:
+    def _u(s):
+        return s.map(blob_render_py)
+
+    create_scalar_function(spark, "__blob_str", _u, "string")
+
+
+def blob_parse_py(s) -> bytes | None:
+    """DuckDB's VARCHAR -> BLOB cast (blob.cpp TryCastToBlob): \\xNN
+    escapes decode to bytes, everything else is taken verbatim."""
+    if s is None:
+        return None
+    if isinstance(s, (bytes, bytearray)):
+        return bytes(s)
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 3 < len(s) + 1 and s[i + 1 : i + 2] == "x" \
+                and len(s) >= i + 4:
+            try:
+                out.append(int(s[i + 2 : i + 4], 16))
+                i += 4
+                continue
+            except ValueError:
+                pass
+        out.extend(c.encode("utf-8"))
+        i += 1
+    return bytes(out)
+
+
+def register_blob_parse(spark: SparkSession) -> None:
+    def _u(s):
+        return s.map(blob_parse_py)
+
+    create_scalar_function(spark, "__blob_parse", _u, "binary")

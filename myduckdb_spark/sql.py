@@ -1758,8 +1758,24 @@ def _rewrite_int_casts(text: str) -> str:
             # Float specials render as nan/inf/-inf in the reference
             # (float→string cast, fmt grammar) vs Spark's NaN/Infinity —
             # exact-match CASE so ordinary strings pass through.
+            # BLOB operands render duck's escaped form (printable ASCII
+            # verbatim, backslash and non-printables as \xNN).
             s = f"{kw}({am.group(1)} AS STRING)"
             base = f"__rr_all({s}, " + r"'^\\+(?=\\d{5,6}-\\d{2}-\\d{2})', '')"
+            if _CAST_BLOB_HINT[0]:
+                # the statement touches blobs: dispatch binary operands
+                # to the duck-style renderer (python UDFs extract
+                # eagerly, so this branch only exists when needed)
+                return (
+                    head
+                    + f"(CASE WHEN __tof(({am.group(1)})) = 'binary' "
+                    f"THEN __blob_str({am.group(1)}) "
+                    f"WHEN {s} = 'NaN' THEN 'nan' "
+                    f"WHEN {s} = 'Infinity' THEN 'inf' "
+                    f"WHEN {s} = '-Infinity' THEN '-inf' "
+                    f"ELSE {base} END)"
+                    + rest
+                )
             return (
                 head
                 + f"(CASE {s} WHEN 'NaN' THEN 'nan' WHEN 'Infinity' THEN 'inf' "
@@ -1861,6 +1877,24 @@ def _blob_hex(lit: str) -> str:
     return out.hex().upper()
 
 
+# set per-translate: does the statement plausibly touch BLOB values?
+# (gates the runtime binary dispatch in the VARCHAR cast — python UDFs
+# extract eagerly, so it must not exist in blob-free statements)
+_CAST_BLOB_HINT = [False]
+
+
+def _statement_touches_blobs(text: str) -> bool:
+    if re.search(r"\bBLOB\b|\bBYTEA\b|\bunhex\s*\(", text, re.I):
+        return True
+    from myduckdb_spark import infoschema as ischema
+
+    for t in re.findall(r"\bFROM\s+\"?(\w+)\"?", text, re.I):
+        for c in ischema.COLUMN_META.get(t.lower(), []):
+            if c["dtype"] == "BLOB":
+                return True
+    return False
+
+
 def _rewrite_blob_literals(text: str) -> str:
     """``'...'::BLOB`` / ``CAST('...' AS BYTEA)`` with a string-literal
     operand → ``unhex('<hex>')`` so ``\\x`` escapes decode (Spark's
@@ -1888,6 +1922,31 @@ def _rewrite_blob_literals(text: str) -> str:
                 + f"unhex('{_blob_hex(m.group(1))}')"
                 + text[m.end():]
             )
+    if _CAST_BLOB_HINT[0]:
+        # non-literal VARCHAR -> BLOB casts decode \xNN escapes at
+        # runtime (blob.cpp TryCastToBlob); binary inputs pass through
+        while True:
+            spans = _literal_spans(text)
+            m = next(
+                (c for c in re.finditer(rf"::\s*{_BLOB_T}\b", text, re.I)
+                 if not _in_spans(c.start(), spans)),
+                None,
+            )
+            if m is None:
+                break
+            try:
+                start = _operand_start(text, m.start(), spans)
+            except ValueError:
+                break
+            expr = text[start: m.start()].strip()
+            text = (text[:start] + f"__blob_parse({expr})"
+                    + text[m.end():])
+        text = re.sub(
+            rf"\b(?:TRY_)?CAST\s*\(((?:[^()]|\([^()]*\))*)\s+AS\s+"
+            rf"{_BLOB_T}\s*\)",
+            lambda mm: f"__blob_parse({mm.group(1)})",
+            text, flags=re.I,
+        )
     return text
 
 
@@ -2959,6 +3018,21 @@ def translate(text: str) -> str:
         pass
     out = _rewrite_calls(out, "typeof", _typeof_names)
 
+    # abs()/unary negate on wide DECIMALs (the HUGEINT carrier): Spark's
+    # UnaryMinus/Abs round near the 38-digit edge, but decimal multiply
+    # by -1 is exact — dispatch on the static type
+    def _abs_fn(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        x = a[0]
+        return (
+            f"CASE WHEN __tof(({x})) LIKE 'decimal%' THEN "
+            f"(CASE WHEN ({x}) < 0 THEN ({x}) * -1 ELSE ({x}) END) "
+            f"ELSE __rawabs(({x})) END"
+        )
+
+    out = _rewrite_calls(out, "abs", _abs_fn)
+
     # ceil/ceiling/floor: the reference returns DOUBLE for every
     # non-DECIMAL argument (FLOAT for FLOAT) and passes NaN/±inf through
     # (function/scalar/math — ceil/floor templates); Spark's return
@@ -3039,6 +3113,7 @@ def translate(text: str) -> str:
     out = re.sub(
         r"(-\s*)?(?<![\w.'\"])(\d{19,38})(?![\w.])", _wrap_big, out
     )
+    _CAST_BLOB_HINT[0] = _statement_touches_blobs(out)
     out = _rewrite_blob_literals(out)
     # ±infinity temporal literals in postfix-cast spelling: the reference
     # pins them to the type's range ends (timestamp.cpp); the CAST(...)
@@ -3102,6 +3177,50 @@ def translate(text: str) -> str:
         out, flags=re.I,
     )
     out = _rewrite_dynamic_interval(out)
+    # unary minus on an UNSIGNED-cast chain wraps modulo 2^N (verified
+    # live: -42::TINYINT::UTINYINT = 214, -1::INTEGER::UINTEGER =
+    # 4294967295 — modular negate, numeric_cast semantics)
+    _UMOD = {"UTINYINT": ("256", "SMALLINT"),
+             "USMALLINT": ("65536", "INT"),
+             "UINTEGER": ("4294967296", "BIGINT"),
+             "UBIGINT": ("18446744073709551616", "DECIMAL(20,0)")}
+
+    def _neg_unsigned(mm: "re.Match[str]") -> str:
+        pow2, carrier = _UMOD[mm.group(2).upper()]
+        return (f"CAST(({pow2} - ({mm.group(1)})) % {pow2} "
+                f"AS {carrier})")
+
+    def _neg_dispatch(mm: "re.Match[str]") -> str:
+        if _in_spans(mm.start(), spans_nu):
+            return mm.group(0)
+        # unary only: the previous non-space token must open an operand
+        # position (start, '(', ',', an operator, or a keyword) — after
+        # an identifier/number/')' the '-' is binary subtraction
+        j = mm.start()
+        while j > 0 and out[j - 1].isspace():
+            j -= 1
+        if j > 0:
+            prev = out[j - 1]
+            if prev not in "(,=<>+-*/%|&":
+                km = re.search(r"([A-Za-z_]\w*)$", out[:j])
+                if not km or km.group(1).upper() in (
+                    "TRUE", "FALSE", "NULL", "END",
+                ) or km.group(1).upper() not in (
+                    "SELECT", "WHERE", "AND", "OR", "THEN", "WHEN",
+                    "ELSE", "BY", "RETURN", "SET", "HAVING", "ON",
+                    "VALUES", "AS", "IN", "CASE", "DISTINCT",
+                ):
+                    return mm.group(0)
+        return _neg_unsigned(mm)
+
+    spans_nu = _literal_spans(out)
+    out = re.sub(
+        r"(?<![\w)'\"])-\s*("
+        r"(?:\w+|'(?:[^']|'')*'|\([^()]*\))(?:\s*::\s*\w+)*\s*::\s*"
+        r"(UTINYINT|USMALLINT|UINTEGER|UBIGINT))\b(?!\s*::)",
+        _neg_dispatch,
+        out, flags=re.I,
+    )
     out = _rewrite_postfix_int_casts(out)
     out = _rewrite_int_casts(out)
     out = _rewrite_setop_order_alias(out)
@@ -5354,6 +5473,7 @@ def translate(text: str) -> str:
                 lambda mm: mm.group(0) if _in_spans(mm.start(), spans_a) else view, out
             )
     out = re.sub(r"\b__tof\s*\(", "typeof(", out)
+    out = re.sub(r"\b__rawabs\s*\(", "abs(", out)
     # to_json options maps emitted by the union-carrier rewrite, shielded
     # from the duck map([k],[v]) rewrite until every pass has run
     out = re.sub(r"\b__tjm\s*\(", "map(", out)
@@ -8543,6 +8663,14 @@ def sql(
         from myduckdb_spark.functions.udf import register_numeric_udfs
 
         register_numeric_udfs(spark)
+    if "__blob_str" in out:
+        from myduckdb_spark.functions.udf import register_blob_render
+
+        register_blob_render(spark)
+    if "__blob_parse" in out:
+        from myduckdb_spark.functions.udf import register_blob_parse
+
+        register_blob_parse(spark)
     if "__duck_typename" in out:
         from myduckdb_spark.functions.typenames import register_typename_udf
 
