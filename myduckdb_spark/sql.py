@@ -5205,6 +5205,25 @@ def translate(text: str) -> str:
         "regexp_extract_all",
         lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)" if len(a) == 2 else None,
     )
+    # RE2 POSIX character classes -> Java \p{...} spellings (patterns
+    # live in string literals, so the backslash doubles)
+    if "[:" in out:
+        _POSIX2J = {
+            "alpha": "Alpha", "digit": "Digit", "lower": "Lower",
+            "upper": "Upper", "alnum": "Alnum", "space": "Space",
+            "blank": "Blank", "punct": "Punct", "xdigit": "XDigit",
+            "cntrl": "Cntrl", "graph": "Graph", "print": "Print",
+        }
+
+        def _posix(mm: "re.Match[str]") -> str:
+            j = _POSIX2J.get(mm.group(1).lower())
+            if j is None:
+                return mm.group(0)
+            # surrounding class brackets stay — [[:lower:]] becomes
+            # [\p{Lower}], composing inside larger classes too
+            return "\\\\p{" + j + "}"
+
+        out = re.sub(r"\[:(\w+):\]", _posix, out)
     # 1-arg numeric trunc (math.cpp): truncate toward zero, DOUBLE
     # result, NaN/±inf pass through; Spark's trunc is the 2-arg date
     # function. DECIMAL-typed args keep Spark's semantics via CAST.
