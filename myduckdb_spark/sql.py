@@ -4982,15 +4982,17 @@ def translate(text: str) -> str:
         )
 
     out = _rewrite_calls(out, "entropy", _entropy)
-    # histogram: MAP value → count, keys sorted (histogram.cpp)
+    # histogram: MAP value → count, keys sorted; NULL (not {}) for an
+    # empty/all-NULL group (histogram.cpp finalize)
     def _histogram(a: list[str]) -> str | None:
         if len(a) != 1:
             return None
         l = f"collect_list({a[0]})"
         return (
+            f"CASE WHEN size({l}) = 0 THEN NULL ELSE "
             f"map_from_entries(transform(array_sort(array_distinct({l})), "
             f"__hv -> struct(__hv, CAST(size(filter({l}, "
-            f"__hy -> __hy = __hv)) AS BIGINT))))"
+            f"__hy -> __hy = __hv)) AS BIGINT)))) END"
         )
 
     out = _rewrite_calls(out, "histogram", _histogram)
