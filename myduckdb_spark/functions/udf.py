@@ -205,6 +205,42 @@ def register_numeric_udfs(spark: SparkSession) -> None:
     create_scalar_function(spark, "nextafter", _nextafter, "double")
 
 
+def duck_split_regex_py(s: str | None, pat: str) -> list[str] | None:
+    """The reference's regex split loop (core_functions/scalar/string/
+    string_split.cpp StringSplitter::Split): a ZERO-WIDTH match at the
+    current position consumes the next character as its own token (no
+    leading/trailing empty from zero-width matches), while a non-empty
+    match that ends at end-of-string still yields the final '' token.
+    Java's String.split differs on every zero-width edge, so the SQL
+    front door routes empty-matchable patterns here."""
+    import re as _re
+
+    if s is None:
+        return None
+    rx = _re.compile(pat)
+    out: list[str] = []
+    while len(s) > 0:
+        m = rx.search(s)
+        if m is None:
+            break
+        pos, msz = m.start(), m.end() - m.start()
+        if msz == 0 and pos == 0:
+            pos = 1  # consume one character as its own token
+            if pos == len(s):
+                break
+        out.append(s[:pos])
+        s = s[pos + msz:]
+    out.append(s)
+    return out
+
+
+def register_split_regex(spark: SparkSession) -> None:
+    def _u(s, p):
+        return s.combine(p, duck_split_regex_py)
+
+    create_scalar_function(spark, "__duck_split_regex", _u, "array<string>")
+
+
 def blob_render_py(b) -> str | None:
     """DuckDB's BLOB -> VARCHAR rendering (blob.cpp ToString): printable
     ASCII bytes verbatim, backslash and non-printables as \\xNN."""

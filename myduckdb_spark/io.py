@@ -698,12 +698,21 @@ _CSV_TS_CANDIDATES = [
 ]
 
 
+_UUID_RE = (
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
 def _detect_temporal_columns(
-    df: DataFrame, date_cands=None, ts_cands=None
+    df: DataFrame, date_cands=None, ts_cands=None, detect_uuid=False
 ) -> DataFrame:
     """Refine all-parseable string columns to DATE/TIMESTAMP on a bounded
     sample (one driver-side agg over <= _JSON_DETECT_SAMPLE rows — never a
-    full extra scan of a large input)."""
+    full extra scan of a large input). With ``detect_uuid`` (read_json:
+    the reference's json type detection includes UUID; the CSV lattice
+    does not), all-uuid string columns keep the STRING carrier but carry
+    ``duck_type: UUID`` field metadata for the typeof() registry bind."""
     from pyspark.sql import functions as F
 
     date_cands = date_cands or _JSON_DATE_CANDIDATES
@@ -724,9 +733,14 @@ def _detect_temporal_columns(
             aggs.append(
                 F.count(F.try_to_timestamp(qc, F.lit(fmt))).alias(f"c_{i}_{j}")
             )
+        if detect_uuid:
+            aggs.append(
+                F.count(F.when(qc.rlike(_UUID_RE), 1)).alias(f"u_{i}")
+            )
     row = sample.agg(*aggs).first()
     n_date = len(date_cands)
     casts: dict[str, str] = {}
+    uuids: set[str] = set()
     for i, c in enumerate(strcols):
         n = row[f"n_{i}"]
         if not n:
@@ -739,10 +753,18 @@ def _detect_temporal_columns(
         elif ts_js:
             fmt, two = cands[ts_js[-1]]
             casts[c] = _temporal_cast_sql(c, fmt, two, as_date=False)
-    if not casts:
+        elif detect_uuid and row[f"u_{i}"] == n:
+            uuids.add(c)
+    if not casts and not uuids:
         return df
-    return df.selectExpr(
-        *[casts.get(c, f"`{c}`") for c in df.columns]
+    return df.select(
+        *[
+            F.expr(casts[c]) if c in casts
+            else F.col(f"`{c}`").alias(c, metadata={"duck_type": "UUID"})
+            if c in uuids
+            else F.col(f"`{c}`")
+            for c in df.columns
+        ]
     )
 
 
@@ -878,7 +900,7 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None, **optio
             df = reader.schema(
                 _schema_with_variants(df.schema, empties)
             ).json(path)
-        df = _detect_temporal_columns(df)
+        df = _detect_temporal_columns(df, detect_uuid=True)
     return df
 
 

@@ -370,7 +370,6 @@ _NAME_RULES: list[tuple[str, str]] = [
     ("list_max", "array_max"),
     ("array_length", "size"),
     ("list_has_any", "arrays_overlap"),
-    ("string_split_regex", "split"),
     ("array_to_string", "array_join"),
     ("json_extract_string", "get_json_object"),
     ("regexp_matches", "rlike"),
@@ -796,6 +795,17 @@ def _operand_end(text: str, start: int, spans) -> int:
             return i
         i += m.end()
 
+
+# duck types whose Spark CARRIER erases the declared name (unsigned →
+# wider signed int, HUGEINT → DECIMAL(38,0), JSON/UUID → STRING): the
+# catalog registry keeps the declared dtype; typeof() binds against it
+# and COPY TO parquet persists it as field metadata so a file scan
+# round-trips the name (reference parquet writer keeps its own logical
+# types natively)
+_CARRIER_ERASED_DTYPES = {
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    "HUGEINT", "UHUGEINT", "JSON", "UUID",
+}
 
 # Spark typeof() spellings for UNION member bind-time type matching
 _SPARK_TYPEOF = {
@@ -2806,6 +2816,224 @@ def _rewrite_collate_expr(text: str) -> str:
             text = text[:s] + fold(src) + " " + text[e:]
 
 
+_DSQ_AGGS = re.compile(
+    r"\b(sum|count|min|max|avg|mean|any_value|first|last|arbitrary|"
+    r"string_agg|listagg|array_agg|list|bool_and|bool_or|median|mode|"
+    r"product|bit_and|bit_or|bit_xor|group_concat)\s*\(", re.I,
+)
+_DSQ_ALIAS_KW = {
+    "TABLESAMPLE", "USING", "ON", "ASOF", "POSITIONAL", "NATURAL",
+    "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "HAVING", "QUALIFY",
+}
+
+
+def _decorrelate_ordered_subqueries(text: str) -> str:
+    """Correlated scalar subqueries whose ORDER BY + LIMIT/OFFSET touch
+    only INNER columns pick the wrong row in Spark: its decorrelation
+    loses the sort (observed live vs the oracle on
+    subquery/scalar/test_correlated_subquery.test — ``ORDER BY i DESC
+    OFFSET 99`` returned an arbitrary row). The reference decorrelates
+    with the sort intact (subquery/flatten_dependent_join). Push the
+    sort+limit into an UNCORRELATED derived table: ordering happens
+    before the (select-list-only) correlation, which is the same
+    semantics because the order keys are outer-free. Conservative — only
+    fires for single-source FROM, no aggregation/set-ops, a correlated-
+    looking select list, and an outer-free body/ORDER BY."""
+    null_kw = (
+        "NULLS FIRST"
+        if SETTINGS.get("default_null_order", "nulls_last") == "nulls_first"
+        else "NULLS LAST"
+    )
+    spans = _literal_spans(text)
+    sites = []
+    for m in re.finditer(r"\(\s*SELECT\b", text, re.I):
+        if _in_spans(m.start(), spans):
+            continue
+        close = _matching_paren(text, m.start())
+        if close < 0:
+            continue
+        j = m.start() - 1
+        while j >= 0 and text[j].isspace():
+            j -= 1
+        if j >= 0 and text[j] == "(":
+            continue  # argument position
+        if j >= 0 and text[j] == ",":
+            # a comma separates EITHER select-list items (rewrite ok)
+            # or FROM-list sources (derived table — skip): classify by
+            # the nearest same-depth clause keyword before the comma
+            depths_t = _depth_profile(text)
+            d = depths_t[j]
+            kw = None
+            for x in re.finditer(r"\b(SELECT|FROM|WHERE|GROUP|ORDER|"
+                                 r"HAVING|SET|VALUES|RETURNING)\b",
+                                 text[:j], re.I):
+                if depths_t[x.start()] == d \
+                        and not _in_spans(x.start(), spans):
+                    kw = x.group(1).upper()
+            if kw != "SELECT":
+                continue
+        else:
+            k = j
+            while k >= 0 and (text[k].isalnum() or text[k] == "_"):
+                k -= 1
+            prev = text[k + 1: j + 1].upper()
+            if prev in ("FROM", "JOIN", "LATERAL", "UNION", "ALL",
+                        "EXCEPT", "INTERSECT", "AS", "EXISTS", "ANY",
+                        "SOME", "IN"):
+                # ANY/SOME/ALL/IN take the subquery as their operand —
+                # inlining `= ANY(SELECT 1)` to `= ANY(1)` breaks the
+                # quantifier (test_scalar_any_all.test); ALL is covered
+                # above
+                continue
+        sites.append((m.start(), close))
+    # an enclosing site's indices go stale once a nested site is
+    # rewritten — keep only sites that contain no other site
+    sites = [
+        (s, c) for s, c in sites
+        if not any(s < s2 and c2 < c for s2, c2 in sites)
+    ]
+    for start, close in reversed(sites):
+        sub = text[start + 1: close]
+        new_sub = _dsq_rewrite_one(sub, null_kw)
+        if new_sub is not None:
+            text = text[: start + 1] + new_sub + text[close:]
+    return text
+
+
+def _dsq_rewrite_one(sub: str, null_kw: str) -> str | None:
+    depths = _depth_profile(sub)
+    spans = _literal_spans(sub)
+
+    def _top(pat: str) -> list["re.Match[str]"]:
+        return [x for x in re.finditer(pat, sub, re.I)
+                if depths[x.start()] == 0 and not _in_spans(x.start(), spans)]
+
+    if _top(r"\b(GROUP\s+BY|HAVING|DISTINCT|UNION|INTERSECT|EXCEPT|"
+            r"WINDOW|QUALIFY)\b"):
+        return None
+    fm = _top(r"\bFROM\b")
+    om = _top(r"\bORDER\s+BY\b")
+    lm = _top(r"\bLIMIT\b")
+    km = _top(r"\bOFFSET\b")
+    wm = _top(r"\bWHERE\b")
+    sel_only = re.match(r"\s*SELECT\s+(.*)$", sub, re.I | re.S)
+    if sel_only and not (fm or om or lm or km or wm):
+        # no-FROM scalar subquery: ``(SELECT 100-i1.i)`` is just the
+        # expression — inline it (Spark rejects correlated scalar
+        # subqueries in ORDER BY; the reference binds them anywhere)
+        expr = sel_only.group(1).strip()
+        if (len(_split_args(expr)) == 1
+                and not _DSQ_AGGS.search(expr)
+                and not re.match(r"DISTINCT\b", expr, re.I)
+                # generators change cardinality: a scalar subquery over
+                # UNNEST([]) is NULL, an inlined explode is zero rows
+                and not re.search(
+                    r"\bOVER\b|\(\s*SELECT\b|\b(UNNEST|EXPLODE|"
+                    r"GENERATE_SERIES|RANGE)\s*\(", expr, re.I)):
+            expr = re.sub(r"\s+AS\s+\w+\s*$", "", expr, flags=re.I)
+            return expr
+        return None
+    if len(fm) != 1 or len(om) != 1 or not (lm or km):
+        return None
+    if len(lm) > 1 or len(km) > 1 or len(wm) > 1:
+        return None
+    sel_m = re.match(r"\s*SELECT\s+", sub, re.I)
+    if sel_m is None:
+        return None
+    sel = sub[sel_m.end(): fm[0].start()]
+    if _DSQ_AGGS.search(sel) or re.search(r"\bOVER\b", sel, re.I):
+        return None
+    bounds = sorted(
+        [x.start() for x in (wm + om + lm + km)] + [len(sub)]
+    )
+    from_end = next(b for b in bounds if b > fm[0].end())
+    from_seg = sub[fm[0].end(): from_end].strip()
+    if not from_seg:
+        return None
+    where_seg = ""
+    if wm:
+        w_end = next(b for b in sorted(
+            [x.start() for x in (om + lm + km)] + [len(sub)]
+        ) if b > wm[0].end())
+        where_seg = sub[wm[0].end(): w_end].strip()
+    o_end = next(b for b in sorted(
+        [x.start() for x in (lm + km)] + [len(sub)]
+    ) if b > om[0].end())
+    order_seg = sub[om[0].end(): o_end].strip()
+    lim_seg = ""
+    off_seg = ""
+    if lm:
+        l_end = next(b for b in sorted(
+            [x.start() for x in km] + [len(sub)]
+        ) if b > lm[0].end())
+        lim_seg = sub[lm[0].end(): l_end].strip()
+    if km:
+        k_end = next(b for b in sorted(
+            [x.start() for x in lm] + [len(sub)]
+        ) if b > km[0].end())
+        off_seg = sub[km[0].end(): k_end].strip()
+    if re.search(r"%|\bPERCENT\b", lim_seg, re.I):
+        return None
+    # inner name universe = every word in the FROM segment (an
+    # over-approximation that only makes the rewrite MORE conservative
+    # about what counts as an outer reference)
+    inner_words = {w.lower() for w in re.findall(r"\w+", from_seg)}
+
+    def _outer_quals(seg: str) -> set[str]:
+        sspans = _literal_spans(seg)
+        return {
+            mm.group(1).lower()
+            for mm in re.finditer(r"\b(\w+)\s*\.\s*\w", seg)
+            if not _in_spans(mm.start(), sspans)
+            and mm.group(1).lower() not in inner_words
+        }
+
+    if not _outer_quals(sel):
+        return None  # not correlated-looking: Spark handles it natively
+    if _outer_quals(from_seg) or _outer_quals(where_seg) \
+            or _outer_quals(order_seg):
+        return None
+    # ordinal / select-alias order keys resolve against the (possibly
+    # correlated) select list — bail out
+    sel_aliases = {mm.group(1).lower()
+                   for mm in re.finditer(r"\bAS\s+(\w+)", sel, re.I)}
+    for item in _split_args(order_seg):
+        it = re.sub(r"\s+(ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST)\b", "",
+                    item, flags=re.I).strip()
+        if re.fullmatch(r"\d+", it) or it.lower() in sel_aliases \
+                or it.upper() == "ALL":
+            return None
+    # single-source FROM only (SELECT * through a join could collide)
+    if _top(r"\bJOIN\b") or "," in re.sub(
+        r"\([^()]*\)", "", from_seg
+    ):
+        return None
+    alias = "__dsq"
+    am = re.match(
+        r"^(.*?)\s+(?:AS\s+)?(\w+)\s*(\(\s*\w+(?:\s*,\s*\w+)*\s*\))?\s*$",
+        from_seg, re.I | re.S,
+    )
+    if am and am.group(1).count("(") == am.group(1).count(")") \
+            and am.group(2).upper() not in _DSQ_ALIAS_KW:
+        alias = am.group(2)
+    elif re.fullmatch(r"[\w.\"]+", from_seg):
+        alias = from_seg.rsplit(".", 1)[-1].strip('"')
+    pinned = ", ".join(
+        o if re.search(r"\bNULLS\s+(FIRST|LAST)\b", o, re.I)
+        else f"{o.strip()} {null_kw}"
+        for o in _split_args(order_seg)
+    )
+    inner = f"SELECT * FROM {from_seg}"
+    if where_seg:
+        inner += f" WHERE {where_seg}"
+    inner += f" ORDER BY {pinned}"
+    if lim_seg:
+        inner += f" LIMIT {lim_seg}"
+    if off_seg:
+        inner += f" OFFSET {off_seg}"
+    return f"SELECT {sel.strip()} FROM ({inner}) {alias}"
+
+
 def translate(text: str) -> str:
     """DuckDB dialect → Spark SQL dialect (token-aware, conservative)."""
     from myduckdb_spark.functions.macros import expand_macros
@@ -2832,6 +3060,7 @@ def translate(text: str) -> str:
     out = _rewrite_struct_braces(out)
     out = _rewrite_json_dot_syntax(out)
     out = _rewrite_index_brackets(out)
+    out = _decorrelate_ordered_subqueries(out)
     out = _rewrite_table_functions(out)
     out = _rewrite_positional_join(out)
     out = _rewrite_window_filter(out)
@@ -2959,6 +3188,8 @@ def translate(text: str) -> str:
         out,
     )
 
+    # (set shared by the registry bind below and the COPY TO parquet
+    # metadata writer — duck types whose Spark carrier loses the name)
     # typeof(): DuckDB type NAMES (catalog type ids, type.cpp ToString)
     # differ from Spark's — map the scalar names, upper-case the rest.
     # Runs BEFORE the cast/list rewrites so their INTERNAL typeof()
@@ -2993,26 +3224,38 @@ def translate(text: str) -> str:
         out, "pg_typeof",
         lambda a: f"lower(typeof({a[0]}))" if len(a) == 1 else None,
     )
-    # JSON logical type: the carrier is STRING, so typeof(col) on a
-    # declared-JSON column resolves from the catalog registry at
-    # translate time (json/test_json_persistence.test). Narrow bind:
-    # bare-identifier argument naming a JSON column of a FROM table,
-    # with no same-named non-JSON column in scope.
+    # logical types whose Spark CARRIER erases the duck type name (JSON →
+    # STRING, unsigned ints → wider signed, HUGEINT → DECIMAL(38,0)):
+    # typeof(col) on a declared column of a FROM table resolves from the
+    # catalog registry at translate time (json/test_json_persistence,
+    # copy/parquet/writer/parquet_write_unsigned). Narrow bind:
+    # bare-identifier argument, no same-named differently-typed column
+    # in scope.
     try:
         from myduckdb_spark import infoschema as _isch
 
-        _jc: set[str] = set()
+        _jc: dict[str, str] = {}
         _nj: set[str] = set()
         for t in re.findall(r"\bFROM\s+\"?([A-Za-z_]\w*)\"?", out, re.I):
             for c in _isch.COLUMN_META.get(t.lower(), []):
-                (_jc if c["dtype"] == "JSON" else _nj).add(c["name"].lower())
-        _jc -= _nj
+                nm = c["name"].lower()
+                if c["dtype"] in _CARRIER_ERASED_DTYPES:
+                    if nm in _jc and _jc[nm] != c["dtype"]:
+                        _nj.add(nm)
+                    _jc[nm] = c["dtype"]
+                else:
+                    _nj.add(nm)
+        for nm in _nj:
+            _jc.pop(nm, None)
         if _jc:
             out = _rewrite_calls(
                 out, "typeof",
-                lambda a: "'JSON'" if len(a) == 1 and a[0].strip()
-                .strip('"').split(".")[-1].strip('"').lower() in _jc
-                else None,
+                lambda a: (
+                    f"'{_jc[a[0].strip().strip(chr(34)).split('.')[-1].strip(chr(34)).lower()]}'"
+                    if len(a) == 1 and a[0].strip().strip('"')
+                    .split(".")[-1].strip('"').lower() in _jc
+                    else None
+                ),
             )
     except Exception:
         pass
@@ -5207,6 +5450,31 @@ def translate(text: str) -> str:
         "regexp_extract_all",
         lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)" if len(a) == 2 else None,
     )
+
+    # string_split_regex / regexp_split_to_array: Java's split and the
+    # reference's split loop (string_split.cpp StringSplitter::Split)
+    # agree whenever the pattern cannot match "" — but every zero-width
+    # edge differs (the reference consumes one character per zero-width
+    # match; Java emits leading/trailing empties). Literal patterns that
+    # CAN match empty route through the exact-algorithm UDF; everything
+    # else keeps the native JVM split.
+    def _split_regex(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        pm = re.match(r"^\s*'((?:[^']|'')*)'\s*$", a[1], re.S)
+        if pm:
+            pat = pm.group(1).replace("''", "'").replace("\\\\", "\\")
+            try:
+                empty_ok = re.compile(pat).search("") is not None
+            except re.error:
+                empty_ok = False
+            if empty_ok:
+                return f"__duck_split_regex({a[0]}, {a[1]})"
+        return f"split({a[0]}, {a[1]})"
+
+    for _ssr in ("string_split_regex", "str_split_regex",
+                 "regexp_split_to_array"):
+        out = _rewrite_calls(out, _ssr, _split_regex)
     # RE2 POSIX character classes -> Java \p{...} spellings (patterns
     # live in string literals, so the backslash doubles)
     if "[:" in out:
@@ -5729,6 +5997,7 @@ _DDL_TYPES = {
     "UTINYINT": "SMALLINT", "USMALLINT": "INT", "UINTEGER": "BIGINT",
     "UBIGINT": "DECIMAL(20,0)", "REAL": "FLOAT", "TEXT": "STRING",
     "VARCHAR": "STRING", "BPCHAR": "STRING", "BLOB": "BINARY",
+    "BYTEA": "BINARY", "VARBINARY": "BINARY",
     "NUMERIC": "DECIMAL(18,3)", "DATETIME": "TIMESTAMP", "UUID": "STRING",
     "BOOL": "BOOLEAN", "TIME": "BIGINT",  # µs-since-midnight convention
     "TIMESTAMPTZ": "TIMESTAMP_LTZ",
@@ -5737,6 +6006,7 @@ _DDL_TYPES = {
 
 def _parse_column_defs(
     body: str,
+    declared_out: dict[str, str] | None = None,
 ) -> tuple[list[tuple[str, str]], list[str], list[list[str]],
            dict[str, str], dict[str, str], list[dict]]:
     """Parse `a INT PRIMARY KEY, b TEXT UNIQUE, PRIMARY KEY (a, b)` →
@@ -5799,6 +6069,9 @@ def _parse_column_defs(
             m.group(1).strip('"'), m.group(2), m.group(3), m.group(4),
         )
         base = re.sub(r"\s*\(.*", "", typ).upper()
+        if declared_out is not None and not brackets \
+                and base in _CARRIER_ERASED_DTYPES:
+            declared_out[name.lower()] = base
         if base in _DDL_TYPES and "(" not in typ:
             typ = _DDL_TYPES[base]
         elif base in ("VARCHAR", "CHAR", "BPCHAR"):
@@ -6265,6 +6538,47 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
                 df = df.select(
                     *[c.strip().strip('"') for c in tm.group(2).split(",")]
                 )
+            if fmt == "parquet":
+                # persist carrier-erased duck type names (UTINYINT,
+                # HUGEINT, JSON, …) as field metadata — Spark stores it
+                # in the parquet footer schema, so a later file scan can
+                # rebind typeof()/casts to the declared type
+                # (copy/parquet/writer/parquet_write_unsigned.test)
+                from myduckdb_spark import infoschema as ischema
+
+                dmap = {
+                    c["name"]: c["dtype"]
+                    for c in ischema.COLUMN_META.get(name.lower(), [])
+                    if c["dtype"] in _CARRIER_ERASED_DTYPES
+                }
+                if dmap:
+                    def _out_col(c: str):
+                        dt = dmap.get(c)
+                        if dt in ("HUGEINT", "UHUGEINT"):
+                            # parquet has no int128 — the reference's
+                            # writer degrades HUGEINT to DOUBLE
+                            # (parquet_write_hugeint.test), so the
+                            # round-trip type is DOUBLE, not HUGEINT
+                            return F.col(f"`{c}`").cast("double").alias(c)
+                        if dt:
+                            return F.col(f"`{c}`").alias(
+                                c, metadata={"duck_type": dt})
+                        return F.col(f"`{c}`")
+
+                    df = df.select(*[_out_col(c) for c in df.columns])
+        if fmt == "csv":
+            # BLOB columns write duck's \xNN text rendering (blob.cpp
+            # ToString) — Spark's BINARY→CSV would emit raw bytes
+            _bwc = [c for c, t in df.dtypes if t == "binary"]
+            if _bwc:
+                from myduckdb_spark.functions.udf import register_blob_render
+
+                register_blob_render(spark)
+                df = df.select(*[
+                    F.expr(f"__blob_str(`{c}`)").alias(c)
+                    if c in _bwc else F.col(f"`{c}`")
+                    for c in df.columns
+                ])
         n = df.count()
         part_by = [c.strip().strip('"')
                    for c in opts.get("PARTITION_BY", "").split(",") if c.strip()]
@@ -6452,14 +6766,23 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
     if fmt == "csv":
         # DuckDB's COPY FROM auto-detects dialect and header when not
         # given explicitly (csv_scanner sniffer runs by default) — use
-        # our sniffer for the unspecified knobs
-        if delim is None or "HEADER" not in opts:
+        # our sniffer for the unspecified knobs. AUTO_DETECT 0 disables
+        # the sniffer entirely: delimiter ',' and no header
+        # (copy/csv/test_blob.test reads cells containing '|' raw).
+        _autodet = opts.get("AUTO_DETECT", "true").lower() not in (
+            "false", "0",
+        )
+        if _autodet and (delim is None or "HEADER" not in opts):
             from myduckdb_spark.io import sniff_csv
 
             sniffed = sniff_csv(spark, path, force_sep=delim)
             delim = delim or sniffed["sep"]
             if "HEADER" not in opts:
                 header = sniffed["header"]
+        elif not _autodet:
+            delim = delim or ","
+            if "HEADER" not in opts:
+                header = False
         reader = (
             spark.read.option("header", header)
             .option("sep", delim)
@@ -6484,7 +6807,13 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
             if _f0:
                 with open(_f0[0], "rb") as _fh:
                     _head = _fh.read(1 << 20).decode("utf-8", "replace")
-                if any(ln.count(_qc) % 2 == 1
+                # quotes are special only at CELL START (reference CSV
+                # state machine) — a mid-cell quote with an odd line
+                # count must not trigger multiLine (test_blob.test)
+                _cellq = re.compile(
+                    "(^|" + re.escape(delim or ",") + ")" + re.escape(_qc)
+                )
+                if any(ln.count(_qc) % 2 == 1 and _cellq.search(ln)
                        for ln in _head.splitlines()[:2048]):
                     reader = reader.option("multiLine", "true")
         except OSError:
@@ -6540,6 +6869,14 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
             _wd_cols = tuple(
                 c for c, t in target_df.dtypes if t.startswith("timestamp")
             )
+        # BLOB targets: the file carries duck's \xNN TEXT rendering
+        # (blob.cpp FromString) — Spark's CSV→BINARY cast would store the
+        # UTF-8 bytes of that text. Read as STRING, parse the escapes.
+        _blob_cols = tuple(c for c, t in target_df.dtypes if t == "binary")
+        if _blob_cols:
+            from myduckdb_spark.functions.udf import register_blob_parse
+
+            register_blob_parse(spark)
         nullstr = opts.get("NULL", opts.get("NULLSTR", ""))
         if nullstr:
             # DuckDB semantics for a NON-empty null string (copy_csv.cpp):
@@ -6548,7 +6885,9 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
             # nulls unquoted-empty cells, so parse with an unmatchable
             # sentinel and apply both rules as projections.
             reader = reader.option("nullValue", "\u0007__never_null__")
-            src = _apply_copy_schema(reader, target_df, collist, _wd_cols).csv(path)
+            src = _apply_copy_schema(
+                reader, target_df, collist, _wd_cols + _blob_cols
+            ).csv(path)
             projected = []
             for i, (c, t) in enumerate(src.dtypes):
                 col = F.col(f"`{c}`")
@@ -6572,7 +6911,9 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
         else:
             if "NULL" in opts:
                 reader = reader.option("nullValue", opts["NULL"])
-            src = _apply_copy_schema(reader, target_df, collist, _wd_cols).csv(path)
+            src = _apply_copy_schema(
+                reader, target_df, collist, _wd_cols + _blob_cols
+            ).csv(path)
             if forced:
                 projected = []
                 for i, (c, t) in enumerate(src.dtypes):
@@ -6611,6 +6952,14 @@ def _copy_statement(spark: SparkSession, target: str, direction: str,
                         F.regexp_replace(F.col(f"`{c}`"), r"^[A-Za-z]+\s+", ""),
                         rest,
                     ).alias(c) if c in _wd_cols else F.col(f"`{c}`")
+                    for c in src.columns
+                ]
+            )
+        if _blob_cols:
+            src = src.select(
+                *[
+                    F.expr(f"__blob_parse(`{c}`)").alias(c)
+                    if c in _blob_cols else F.col(f"`{c}`")
                     for c in src.columns
                 ]
             )
@@ -6786,21 +7135,45 @@ def _flatten_schema_refs(text: str) -> str:
     semantics in the reference binder)."""
     from myduckdb_spark import infoschema as ischema
 
-    spans = _literal_spans(text)
-    text = re.sub(
-        r"(?<![\w.\"])main\s*\.\s*(?=\w)",
-        lambda mm: mm.group(0) if _in_spans(mm.start(), spans) else "",
-        text, flags=re.I,
-    )
+    # qualifier strip is POSITIONAL: only table-reference positions
+    # (after FROM/JOIN/TABLE/VIEW/... keywords) and schema-qualified
+    # function calls (``main.my_macro(..)``). A blanket strip rewrites
+    # column expressions too — ``SELECT main.test FROM structs, test``
+    # must stay a struct-field/qualified-column reference (the reference
+    # binder gives columns precedence over the schema qualifier;
+    # binder/test_implicit_struct_pack.test).
+    _TABLE_POS_KW = {
+        "FROM", "JOIN", "INTO", "UPDATE", "TABLE", "VIEW", "MACRO",
+        "FUNCTION", "SEQUENCE", "INDEX", "EXISTS", "ONLY", "DESCRIBE",
+    }
+
+    def _strip_qualifier(text: str, q: str) -> str:
+        spans = _literal_spans(text)
+
+        def _sub(mm: "re.Match[str]") -> str:
+            if _in_spans(mm.start(), spans):
+                return mm.group(0)
+            # schema-qualified call: main.my_macro( → my_macro(
+            if re.match(r"\w+\s*\(", text[mm.end():]):
+                return ""
+            j = mm.start() - 1
+            while j >= 0 and text[j].isspace():
+                j -= 1
+            k = j
+            while k >= 0 and (text[k].isalnum() or text[k] == "_"):
+                k -= 1
+            prev = text[k + 1: j + 1].upper()
+            return "" if prev in _TABLE_POS_KW else mm.group(0)
+
+        return re.sub(
+            rf"(?<![\w.\"]){q}\s*\.\s*(?=\w)", _sub, text, flags=re.I
+        )
+
+    text = _strip_qualifier(text, "main")
     if not re.match(r"\s*CREATE\b", text, re.I):
         # temp-catalog qualifier on reads/DML (CREATE keeps it so the
         # temp-without-TEMPORARY error can fire)
-        spans = _literal_spans(text)
-        text = re.sub(
-            r"(?<![\w.\"])temp\s*\.\s*(?=\w)",
-            lambda mm: mm.group(0) if _in_spans(mm.start(), spans) else "",
-            text, flags=re.I,
-        )
+        text = _strip_qualifier(text, "temp")
     if not ischema.SCHEMAS:
         return text
     spans = _literal_spans(text)
@@ -6919,7 +7292,9 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
     m = _CREATE_TBL.match(text)
     if m and not _CTAS.match(text):
         replace, name, body = bool(m.group(1)), m.group(2), m.group(3)
-        cols, key, uniques, collations, defaults, extras = _parse_column_defs(body)
+        declared: dict[str, str] = {}
+        cols, key, uniques, collations, defaults, extras = \
+            _parse_column_defs(body, declared_out=declared)
         if name in _MANAGED:
             if "IF NOT EXISTS" in text.upper():
                 return _count_df(spark, 0)
@@ -6981,7 +7356,7 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                    if x["ctype"] == "NOT NULL"}
         ischema.register_columns(name, [
             ischema.column_row(
-                n, i, t,
+                n, i, declared.get(n.lower(), t),
                 nullable=n not in (key or []) and n.lower() not in notnull,
             )
             for i, (n, t) in enumerate(cols, 1)
@@ -7144,6 +7519,35 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                         (_F.row_number().over(w) - 1) * _F.lit(inc)
                         + _F.lit(base),
                     )
+        # UUID columns normalize their text forms on ingest the way the
+        # reference's UUID cast does (uuid.cpp FromString: braces
+        # stripped, case folded, dashes canonical) — the carrier is
+        # STRING, so without this the raw literal spelling would leak
+        # into scans/sorts (copy/parquet/writer/parquet_write_uuid.test)
+        _tcols = tbl.scan().columns
+        if len(src_df.columns) == len(_tcols):
+            from myduckdb_spark import infoschema as _isch2
+
+            _dt = {c["name"].lower(): c["dtype"]
+                   for c in _isch2.COLUMN_META.get(name.lower(), [])}
+            _uuid_idx = [i for i, c in enumerate(_tcols)
+                         if _dt.get(c.lower()) == "UUID"]
+            if _uuid_idx:
+                _sel = list(src_df.columns)
+                for i in _uuid_idx:
+                    sc = _sel[i]
+                    t = (f"lower(regexp_replace(CAST(`{sc}` AS STRING), "
+                         f"'[{{}}]', ''))")
+                    _sel[i] = F.expr(
+                        f"CASE WHEN {t} RLIKE '^[0-9a-f]{{32}}$' THEN "
+                        f"concat(substr({t},1,8),'-',substr({t},9,4),'-',"
+                        f"substr({t},13,4),'-',substr({t},17,4),'-',"
+                        f"substr({t},21,12)) ELSE {t} END"
+                    ).alias(sc)
+                src_df = src_df.select(*[
+                    x if not isinstance(x, str) else F.col(f"`{x}`")
+                    for x in _sel
+                ])
         if or_action or conflict is not None:
             all_keys = tbl.keys()
             key = all_keys[0] if all_keys else None
@@ -8287,7 +8691,24 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
                         .parquet(*path if isinstance(path, list) else [path])
                     )
             elif fmt == "json":
-                df = _io.read_json(spark, path)
+                jcols = opts.get("columns")
+                if isinstance(jcols, dict):
+                    # columns= IS the schema: only the listed columns,
+                    # with the given duck types (read_json.cpp bind) —
+                    # an unmapped/structured type (UNION…) leaves the
+                    # call unbound (skip, never wrong values)
+                    from myduckdb_spark.io import _duck2spark_type
+
+                    if any(re.match(r"\s*UNION\s*\(", t, re.I)
+                           for t in jcols.values()):
+                        return None
+                    ddl = ", ".join(
+                        f"`{c}` {_duck2spark_type(t)}"
+                        for c, t in jcols.items()
+                    )
+                    df = _io.read_json(spark, path, schema=ddl)
+                else:
+                    df = _io.read_json(spark, path)
             else:
                 base = _hive_base(path) if isinstance(path, str) else None
                 if base:
@@ -8302,6 +8723,26 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
                 else:
                     df = _io.read_csv(spark, path, **opts)
             df.createOrReplaceTempView(view)
+            # duck_type field metadata written by COPY TO parquet
+            # round-trips through the Spark parquet footer — rebind the
+            # declared (carrier-erased) type names for typeof()
+            try:
+                from myduckdb_spark import infoschema as ischema
+
+                cols = [
+                    ischema.column_row(
+                        f.name, i + 1,
+                        f.metadata["duck_type"]
+                        if f.metadata.get("duck_type")
+                        in _CARRIER_ERASED_DTYPES
+                        else f.dataType.simpleString(),
+                    )
+                    for i, f in enumerate(df.schema.fields)
+                ]
+                if any(f.metadata.get("duck_type") for f in df.schema.fields):
+                    ischema.register_columns(view, cols)
+            except Exception:
+                pass
         except Exception:
             return None
         return view
@@ -8684,6 +9125,10 @@ def sql(
         from myduckdb_spark.functions.udf import register_numeric_udfs
 
         register_numeric_udfs(spark)
+    if "__duck_split_regex" in out:
+        from myduckdb_spark.functions.udf import register_split_regex
+
+        register_split_regex(spark)
     if "__blob_str" in out:
         from myduckdb_spark.functions.udf import register_blob_render
 

@@ -264,6 +264,14 @@ def _canon_val(v) -> str:
         return str(v.astimezone(_dt.timezone.utc).replace(tzinfo=None))
     if isinstance(v, _dt.time) and v.tzinfo is not None:
         return str(v.replace(tzinfo=None))
+    if isinstance(v, (bytes, bytearray)):
+        # render BLOBs the way DuckDB's ToString does (printable ASCII
+        # verbatim, \xNN otherwise) — str(bytes) would leak the Python
+        # b'..' repr, and a duck-VARCHAR vs engine-BINARY type divergence
+        # (parquet binary_as_string) must still compare by VALUE
+        from myduckdb_spark.functions.udf import blob_render_py
+
+        return blob_render_py(bytes(v))
     return str(v)
 
 
@@ -510,7 +518,7 @@ def _snapshot(spark, con) -> None:
             continue
         body = ddl[ddl.index("(") + 1 : ddl.rindex(")")]
         try:
-            _c, _k, _u, colls, _dd = _parse_column_defs(body)
+            _c, _k, _u, colls, _dd, _x = _parse_column_defs(body)
         except Exception:
             continue
         if colls:
@@ -811,6 +819,25 @@ def _resync_from_duck(spark, con) -> None:
     for tname, dfl in by_tbl.items():
         if tname in _MANAGED:
             _MANAGED[tname].set_defaults(dfl)
+    # carry declared duck type names (UUID, unsigned, JSON…) — the
+    # resync CTAS registers the Spark CARRIER types, which would break
+    # typeof()/ingest-normalization binds against the registry
+    try:
+        from myduckdb_spark import infoschema as ischema
+        from myduckdb_spark.sql import _CARRIER_ERASED_DTYPES
+
+        trows = con.execute(
+            "SELECT table_name, column_name, data_type "
+            "FROM information_schema.columns WHERE table_schema = 'main'"
+        ).fetchall()
+        for tname, cname, dt in trows:
+            if dt.upper() not in _CARRIER_ERASED_DTYPES:
+                continue
+            for c in ischema.COLUMN_META.get(tname.lower(), []):
+                if c["name"].lower() == cname.lower():
+                    c["dtype"] = dt.upper()
+    except Exception:
+        pass
 
 
 def run_file_dual(
@@ -892,7 +919,11 @@ def run_file_dual(
                 res.skipped_statements.append((sql, "duckdb transaction aborted (statement not applied)"))
                 continue
             if derr is None and re.search(
-                r"\b(random|uuid|gen_random_uuid|setseed)\s*\(", sql, re.I
+                # uuid() / gen_random_uuid() take no arguments — a bare
+                # `uuid (` also appears as a TABLE NAME in column-def
+                # position (parquet_write_uuid.test), so require ()
+                r"\b(random|setseed)\s*\(|\b(uuid|gen_random_uuid)\s*\(\s*\)",
+                sql, re.I
             ) and re.match(
                 r"\s*(CREATE|INSERT|UPDATE)\b", sql, re.I
             ):
