@@ -1891,18 +1891,23 @@ def _blob_hex(lit: str) -> str:
 # (gates the runtime binary dispatch in the VARCHAR cast — python UDFs
 # extract eagerly, so it must not exist in blob-free statements)
 _CAST_BLOB_HINT = [False]
+# registry-known BLOB column names referenced by the current statement
+# (set alongside the hint; drives the bare-literal comparison rewrite)
+_BLOB_COLS: list[set] = [set()]
 
 
 def _statement_touches_blobs(text: str) -> bool:
-    if re.search(r"\bBLOB\b|\bBYTEA\b|\bunhex\s*\(", text, re.I):
-        return True
     from myduckdb_spark import infoschema as ischema
 
+    cols = set()
     for t in re.findall(r"\bFROM\s+\"?(\w+)\"?", text, re.I):
         for c in ischema.COLUMN_META.get(t.lower(), []):
             if c["dtype"] == "BLOB":
-                return True
-    return False
+                cols.add(c["name"].lower())
+    _BLOB_COLS[0] = cols
+    if cols:
+        return True
+    return bool(re.search(r"\bBLOB\b|\bBYTEA\b|\bunhex\s*\(", text, re.I))
 
 
 def _rewrite_blob_literals(text: str) -> str:
@@ -1932,6 +1937,34 @@ def _rewrite_blob_literals(text: str) -> str:
                 + f"unhex('{_blob_hex(m.group(1))}')"
                 + text[m.end():]
             )
+    if _CAST_BLOB_HINT[0] and _BLOB_COLS[0]:
+        # bare string literals compared against a registry-known BLOB
+        # column bind as BLOB in the reference (implicit VARCHAR→BLOB
+        # cast decodes \xNN escapes, blob.cpp TryCastToBlob); Spark's
+        # implicit STRING→BINARY cast keeps the raw characters. Rewrite
+        # `b = '\x00'` / `'\x00' <= b` to unhex('<hex>') so a stored
+        # 1-byte NUL matches (test_art_null_bytes.test).
+        colpat = "|".join(re.escape(c) for c in sorted(_BLOB_COLS[0]))
+        qcol = rf"(?:\w+\s*\.\s*)?(?:{colpat})"
+        _op = r"(?:==|!=|<>|<=|>=|=|<|>)"
+        spans_b = _literal_spans(text)
+        text = re.sub(
+            rf"(?<![\w.'\"])({qcol})\s*({_op})\s*'((?:[^']|'')*)'",
+            lambda mm: mm.group(0)
+            if _in_spans(mm.start(), spans_b)
+            else (f"{mm.group(1)} {mm.group(2)} "
+                  f"unhex('{_blob_hex(mm.group(3))}')"),
+            text, flags=re.I,
+        )
+        spans_b = _literal_spans(text)
+        text = re.sub(
+            rf"'((?:[^']|'')*)'\s*({_op})\s*((?:\w+\s*\.\s*)?(?:{colpat}))(?![\w.])",
+            lambda mm: mm.group(0)
+            if not any(s == mm.start() for s, _e in spans_b)
+            else (f"unhex('{_blob_hex(mm.group(1))}') "
+                  f"{mm.group(2)} {mm.group(3)}"),
+            text, flags=re.I,
+        )
     if _CAST_BLOB_HINT[0]:
         # non-literal VARCHAR -> BLOB casts decode \xNN escapes at
         # runtime (blob.cpp TryCastToBlob); binary inputs pass through
@@ -3490,12 +3523,23 @@ def translate(text: str) -> str:
     out = _rewrite_json_arrows(out)
 
     # chr: full Unicode codepoints (Spark char() wraps at 256) — decode
-    # the codepoint as a single UTF-32BE unit
-    out = _rewrite_calls(
-        out,
-        "chr",
-        lambda a: f"decode(to_binary(lpad(hex({a[0]}), 8, '0'), 'hex'), 'UTF-32')",
-    )
+    # the codepoint as a single UTF-32BE unit. Constant arguments fold to
+    # a \uXXXX string literal so chr() stays usable inside inline VALUES
+    # tables (Spark rejects non-foldable expressions there, e.g. the
+    # reference's `INSERT ... VALUES ('hello' || chr(0))`,
+    # test/sql/index/art/scan/test_art_null_bytes.test).
+    def _fold_chr(a):
+        s = a[0].strip()
+        if re.fullmatch(r"\d+", s) and int(s) <= 0x10FFFF:
+            units = chr(int(s)).encode("utf-16-be")
+            esc = "".join(
+                "\\u%04X" % int.from_bytes(units[i: i + 2], "big")
+                for i in range(0, len(units), 2)
+            )
+            return f"'{esc}'"
+        return f"decode(to_binary(lpad(hex({a[0]}), 8, '0'), 'hex'), 'UTF-32')"
+
+    out = _rewrite_calls(out, "chr", _fold_chr)
 
     # regexp_replace: DuckDB's 3-arg form replaces the FIRST match only;
     # 'g' flag = replace all (Spark's only behavior), 'i' = case-fold.
@@ -7547,6 +7591,26 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                 src_df = src_df.select(*[
                     x if not isinstance(x, str) else F.col(f"`{x}`")
                     for x in _sel
+                ])
+            # BLOB columns: a STRING source binds through the reference's
+            # VARCHAR→BLOB cast, which decodes \xNN escapes
+            # (blob.cpp TryCastToBlob). Spark's STRING→BINARY cast keeps
+            # the raw characters, so `INSERT INTO blobs VALUES ('\x00')`
+            # would store 4 bytes instead of one NUL
+            # (index/art/scan/test_art_null_bytes.test).
+            _blob_idx = [
+                i for i, c in enumerate(_tcols)
+                if _dt.get(c.lower()) == "BLOB"
+                and dict(src_df.dtypes)[src_df.columns[i]] == "string"
+            ]
+            if _blob_idx:
+                from myduckdb_spark.functions.udf import register_blob_parse
+
+                register_blob_parse(spark)
+                src_df = src_df.select(*[
+                    F.expr(f"__blob_parse(`{c}`)").alias(c)
+                    if i in _blob_idx else F.col(f"`{c}`")
+                    for i, c in enumerate(src_df.columns)
                 ])
         if or_action or conflict is not None:
             all_keys = tbl.keys()
