@@ -66,7 +66,7 @@ def _try_parse(
 def sniff_csv(
     spark: SparkSession, path: str, sample_lines: int = 64,
     force_sep: str | None = None, force_quote: str | None = None,
-    force_header: bool | None = None,
+    force_header: bool | None = None, force_skip: int | None = None,
 ) -> dict:
     """Detect delimiter / quote / escape / skip-rows / header from a small
     sample, mirroring the reference's sniffer matrix
@@ -92,12 +92,26 @@ def sniff_csv(
     lines = [
         r[0] for r in spark.read.text(sniff_path).limit(sample_lines).collect()
     ]
+    # CR-only line endings (issue5077): Hadoop's text reader keeps bare
+    # \r inside the "line" — split manually and remember the separator so
+    # the CSV parse uses it too (duck's scanner treats \r as a newline)
+    cr_linesep = any("\r" in ln for ln in lines)
+    if cr_linesep:
+        lines = [p for ln in lines for p in ln.split("\r")]
+    if force_skip:
+        # an explicit skip= pins the header/data start exactly there —
+        # the dialect search must not auto-skip further (live oracle:
+        # read_csv(..., header=1, skip=3) on a ragged tab file falls back
+        # to a single column rather than skipping the header row too)
+        lines = lines[force_skip:]
     if not lines:
         return {"sep": ",", "header": False, "quote": '"', "escape": '"',
                 "skip_rows": 0, "skipinit": False, "keep_varchar": [],
-                "multiline": False, "comment": None}
+                "multiline": False, "comment": None, "linesep": None}
     best = None  # (score tuple, sep, quote, escape, skipinit, comment, skip, rows)
-    max_skip = min(_MAX_SKIP, max(0, len(lines) - 2))
+    # skipping may leave a single data row (issue5077_aligned.csv: 2
+    # lines, duck skips the first) — cap at len-1, not len-2
+    max_skip = 0 if force_skip else min(_MAX_SKIP, max(0, len(lines) - 1))
     delims = [force_sep] if force_sep else _DELIMS
     quotes = [force_quote] if force_quote else _QUOTES
     # live DuckDB does NOT auto-detect comment lines (verified against
@@ -123,6 +137,27 @@ def sniff_csv(
                         if len(counts) != 1:
                             continue
                         cols = counts.pop()
+                        if skip and cols > 1:
+                            # the reference's dialect scan starts at the
+                            # FIRST row that parses at the candidate
+                            # width and requires consistency from there
+                            # (dialect_detection.cpp rows_consistent): a
+                            # same-width row inside the skipped prefix
+                            # means the consistent region did not start
+                            # here — the candidate is invalid, not
+                            # "skippable further" (comments/empty_space)
+                            pre = _try_parse(
+                                sample[:skip], sep, quote, escape, skipinit
+                            ) or []  # unparseable prefix = skippable junk
+                            # a same-width prefix row means the region
+                            # didn't start here; a WIDER one means this
+                            # candidate under-counts columns (the oracle
+                            # keeps single-column for `1;3#5;7` over
+                            # `6;7`, test_comment_midline.test) — narrow
+                            # prose prefixes (fewer cols) are the only
+                            # legitimately skippable shape
+                            if any(len(r) >= cols for r in pre):
+                                break
                         # a parse that leaves a cell STARTING with a quote
                         # char didn't consume the quoting (space-before-
                         # quote files, wrong-quote candidates) — prefer
@@ -149,7 +184,46 @@ def sniff_csv(
     if best is None:
         return {"sep": ",", "header": False, "quote": '"', "escape": '"',
                 "skip_rows": 0, "skipinit": False, "keep_varchar": [],
-                "multiline": False, "comment": None}
+                "multiline": False, "comment": None,
+                "linesep": "\r" if cr_linesep else None}
+    drop_malformed = False
+    if len(best[7][0]) == 1 and not force_sep \
+            and force_header is None and force_skip is None:
+        # salvage only applies to fully-auto reads: an explicit header=
+        # pins the first (post-skip) row as the header, which must parse
+        # at the data width — dropping it as "malformed" contradicts the
+        # user's dialect (live oracle: header=1,skip=3 on a ragged tab
+        # file yields ONE column, test_sniffer_tab_delimiter.test)
+        # No multi-column LINE-skip candidate survived, but the
+        # reference's start_row is counted in ROWS: a quoted multi-line
+        # blob is ONE (malformed, wrong-width) row, and the scanner
+        # resumes at the first row of the eventual width, skipping the
+        # dirty prefix (csv_quoted_newline_incorrect.test: 10 prose
+        # lines fold into 2 one-column rows before `84,hello world`).
+        # Salvage: a candidate whose width-m rows form the exact tail,
+        # every prefix row a DIFFERENT width, wins over single-column.
+        salvage = None
+        for sep in delims:
+            for quote in quotes:
+                rows = _try_parse(lines, sep, quote, quote, False)
+                if not rows or len(rows) < 2:
+                    continue
+                m = len(rows[-1])
+                if m <= 1:
+                    continue
+                i0 = next(
+                    (i for i, r in enumerate(rows) if len(r) == m), None,
+                )
+                if i0 is None or i0 == 0:
+                    continue
+                if all(len(r) == m for r in rows[i0:]) and \
+                        all(len(r) < m for r in rows[:i0]):
+                    if salvage is None or m > len(salvage[3][0]):
+                        salvage = (sep, quote, quote, rows[i0:])
+        if salvage is not None:
+            best = ((), salvage[0], salvage[1], salvage[2], False,
+                    None, 0, salvage[3])
+            drop_malformed = True
     (_, best_sep, best_quote, best_escape, skipinit, best_comment,
      skip_rows, parsed) = best
     lines = lines[skip_rows:]
@@ -163,45 +237,58 @@ def sniff_csv(
             return False
 
     later_rows = parsed[1:]
-    later_numeric = any(_numeric(c) for row in later_rows for c in row)
-    first_non_numeric = bool(first) and not any(_numeric(c) for c in first)
-    if first_non_numeric and later_numeric:
-        header = True
-    elif first_non_numeric:
-        # All-string file (no numeric cell anywhere) — the reference's
-        # header_detection also falls back to name/shape heuristics here:
-        # treat a first row of distinct, non-empty cells that never repeats
-        # verbatim in the data as a header (column names are unique and
-        # don't recur as data).
-        # single-row file: header iff the row is pure VARCHAR (an
-        # all-text line IS the header for a zero-row table; a typed
-        # single line — date/time/bool — is data. header_detection.cpp
-        # types the first row against the data columns, and with no
-        # data rows VARCHAR-only wins)
-        def _typed(cell: str) -> bool:
-            c = cell.strip()
-            if c.lower() in ("true", "false"):
-                return True
-            from datetime import datetime as _dt
 
-            for f in ("%Y-%m-%d", "%m-%d-%Y", "%d-%m-%Y", "%Y/%m/%d",
-                      "%m/%d/%Y", "%d/%m/%Y", "%H:%M:%S",
-                      "%Y-%m-%d %H:%M:%S"):
-                try:
-                    _dt.strptime(c, f)
-                    return True
-                except ValueError:
-                    pass
-            return False
+    # The reference's header vote (header_detection.cpp): type the DATA
+    # rows per column, then the first row is a header iff (a) some value
+    # fails the cast to its column's detected type, or (b) every column
+    # detected VARCHAR (indistinguishable — the reference defaults to
+    # header). A first row that casts cleanly into a typed table is data.
+    # Verified against the live oracle: duplicates of the first row in
+    # the data and empty header cells do NOT veto the header.
+    def _cell_type(cell: str) -> str:
+        c = cell.strip()
+        if not c:
+            return "EMPTY"
+        if c.lower() in ("true", "false", "t", "f"):
+            # the reference's bool cast accepts t/f (type_detection.cpp)
+            return "BOOL"
+        if _numeric(c):
+            return "NUM"
+        from datetime import datetime as _dt
 
-        header = (
-            len(set(first)) == len(first)
-            and all(c.strip() for c in first)
-            and first not in later_rows
-            and (bool(later_rows) or not any(_typed(c) for c in first))
-        )
-    else:
+        for f, t in (("%Y-%m-%d", "DATE"), ("%m-%d-%Y", "DATE"),
+                     ("%d-%m-%Y", "DATE"), ("%Y/%m/%d", "DATE"),
+                     ("%m/%d/%Y", "DATE"), ("%d/%m/%Y", "DATE"),
+                     ("%H:%M:%S", "TIME"),
+                     ("%Y-%m-%d %H:%M:%S", "TS")):
+            try:
+                _dt.strptime(c, f)
+                return t
+            except ValueError:
+                pass
+        return "VARCHAR"
+
+    ncols_h = max((len(r) for r in parsed), default=0)
+    col_types = []
+    for i in range(ncols_h):
+        ts = {_cell_type(r[i]) for r in later_rows if len(r) > i}
+        ts.discard("EMPTY")
+        col_types.append(ts.pop() if len(ts) == 1 else "VARCHAR")
+    if not first:
         header = False
+    elif later_rows:
+        if all(t == "VARCHAR" for t in col_types):
+            header = True
+        else:
+            header = any(
+                col_types[i] != "VARCHAR"
+                and _cell_type(v) not in (col_types[i], "EMPTY")
+                for i, v in enumerate(first) if i < len(col_types)
+            )
+    else:
+        # single-row file: an all-text line IS the header for a zero-row
+        # table; a typed single line (number/date/bool) is data
+        header = all(_cell_type(v) in ("VARCHAR", "EMPTY") for v in first)
     if force_header is not None:
         header = force_header
     # numeric-LOOKING cells the reference's sniffer refuses to type as
@@ -238,8 +325,11 @@ def sniff_csv(
         "skip_rows": skip_rows,
         "skipinit": skipinit,
         "keep_varchar": keep_varchar,
-        "multiline": multiline,
+        "multiline": multiline or drop_malformed,
         "comment": best_comment,
+        "linesep": "\r" if cr_linesep else None,
+        "drop_malformed": drop_malformed,
+        "ncols": max((len(r) for r in parsed), default=0),
     }
 
 
@@ -433,6 +523,7 @@ def read_csv(
             path = hits
     reader = spark.read
     skip_rows = int(options.pop("skip_rows", options.pop("skip", 0)))
+    drop_mal_ncols = None
     keep_varchar: list[int] = []
     if auto_detect and ("sep" not in options or "header" not in options):
         # a caller-supplied sep constrains the dialect search (header/
@@ -475,6 +566,7 @@ def read_csv(
             force_sep=options.get("sep"),
             force_quote=options.get("quote"),
             force_header=fh if "header" in options else None,
+            force_skip=skip_rows or None,
         )
         options.setdefault("sep", sniffed["sep"])
         options.setdefault("header", sniffed["header"])
@@ -487,8 +579,21 @@ def read_csv(
             options.setdefault("multiLine", "true")
         if sniffed["comment"]:
             options.setdefault("comment", sniffed["comment"])
+        if sniffed.get("linesep"):
+            options.setdefault("lineSep", sniffed["linesep"])
         keep_varchar = sniffed["keep_varchar"]
         skip_rows = skip_rows or sniffed["skip_rows"]
+        if sniffed.get("drop_malformed") and schema is None:
+            # dirty-prefix salvage: rows at the wrong width are dropped
+            # (the reference's scanner skips malformed lines) — an
+            # all-string schema at the sniffed width replaces inference
+            # (Spark can't infer over malformed rows), types are
+            # promoted sample-side in _csv_refine
+            drop_mal_ncols = sniffed["ncols"]
+            options.setdefault("mode", "DROPMALFORMED")
+            schema = ", ".join(
+                f"_c{i} STRING" for i in range(drop_mal_ncols)
+            )
     for k, v in options.items():
         reader = reader.option(k, v)
     if schema is not None:
@@ -525,8 +630,11 @@ def read_csv(
         # scan, then parse the remainder with the same reader options.
         # zipWithIndex is per-file deterministic; skip-rows files are
         # driver-sized exports, not multi-file table scans.
+        _tr = spark.read
+        if options.get("lineSep"):
+            _tr = _tr.option("lineSep", options["lineSep"])
         txt = (
-            spark.read.text(path)
+            _tr.text(path)
             .rdd.zipWithIndex()
             .filter(lambda t: t[1] >= skip_rows)
             .map(lambda t: t[0][0])
@@ -534,6 +642,8 @@ def read_csv(
         return _post(_csv_refine(reader.csv(txt)))
     df = reader.csv(path)
     if schema is not None or not auto_detect:
+        if drop_mal_ncols:
+            return _post(_csv_refine(df, promote_numeric=True))
         return _post(df)
     if keep_varchar:
         # sniffer saw '+'-prefixed / zero-padded numerics: those columns
@@ -553,7 +663,14 @@ def read_csv(
                 changed = True
         if changed:
             df = reader.schema(T.StructType(fields)).csv(path)
-    return _post(_csv_refine(df))
+
+    def _raw():
+        r = spark.read
+        for k, v in options.items():
+            r = r.option(k, v)
+        return r.csv(path)
+
+    return _post(_csv_refine(df, _raw))
 
 
 _COMP_EXT = {"gzip": ".gz", "zstd": ".zst", "bz2": ".bz2", "xz": ".xz"}
@@ -580,18 +697,108 @@ def _force_compression(path: str, comp: str | None) -> str:
     return link
 
 
-def _csv_refine(df: DataFrame) -> DataFrame:
+def _csv_refine(df: DataFrame, raw=None, promote_numeric: bool = False) -> DataFrame:
     """Align Spark's CSV inference with the reference sniffer's type
     lattice (type_detection.cpp: SQLNULL→BOOLEAN→BIGINT→DOUBLE→TIME→DATE→
     TIMESTAMP→VARCHAR): integers are always BIGINT (never INT/SMALLINT),
     bare times stay times (not today-anchored timestamps), and slash/dot
-    date formats are detected."""
+    date formats are detected. ``raw`` (optional zero-arg callable → the
+    same parse with an all-strings schema) resolves cases where the raw
+    cell text decides the type: DATE is tried BEFORE TIMESTAMP in the
+    reference lattice, so date-only text — even with surrounding padding
+    that makes Spark infer TIMESTAMP — types as DATE
+    (copy/csv/auto/test_type_detection.test, *_trailing.csv)."""
     from pyspark.sql import functions as F
 
     df = _fix_time_columns(df)
+    tscols = [c for c, t in df.dtypes if t.startswith("timestamp")]
+    if tscols and raw is not None:
+        try:
+            rdf = raw() if callable(raw) else raw
+            pos = {c: i for i, c in enumerate(df.columns)}
+            picks = [(c, rdf.columns[pos[c]]) for c in tscols
+                     if pos[c] < len(rdf.columns)]
+            sample = rdf.select(
+                *[F.trim(F.col(f"`{rc}`")).alias(f"c_{i}")
+                  for i, (_c, rc) in enumerate(picks)]
+            ).limit(1024).collect()
+            import re as _re
+
+            _dre = _re.compile(r"^\d{4}-\d{1,2}-\d{1,2}$")
+            demote = set()
+            for i, (c, _rc) in enumerate(picks):
+                vals = [r[f"c_{i}"] for r in sample
+                        if r[f"c_{i}"] not in (None, "")]
+                if vals and all(_dre.match(v) for v in vals):
+                    demote.add(c)
+            if demote:
+                df = df.select(
+                    *[F.col(f"`{c}`").cast("date").alias(c)
+                      if c in demote else F.col(f"`{c}`")
+                      for c in df.columns]
+                )
+        except Exception:
+            pass
     df = _detect_temporal_columns(
         df, _CSV_DATE_CANDIDATES, _CSV_TS_CANDIDATES
     )
+    if promote_numeric:
+        # all-string salvage schema (DROPMALFORMED path): Spark's
+        # inference never ran, so promote numeric columns from a bounded
+        # sample the way the reference lattice does (BIGINT before
+        # DOUBLE, type_detection.cpp)
+        strcols_n = [c for c, t in df.dtypes if t == "string"]
+        if strcols_n:
+            aggs_n = []
+            for i, c in enumerate(strcols_n):
+                qc = F.trim(F.col(f"`{c}`"))
+                aggs_n.append(F.count(F.when(qc != "", 1)).alias(f"n_{i}"))
+                aggs_n.append(F.count(F.when(
+                    qc.try_cast("bigint").isNotNull(), 1)).alias(f"i_{i}"))
+                aggs_n.append(F.count(F.when(
+                    qc.try_cast("double").isNotNull(), 1)).alias(f"d_{i}"))
+            row_n = df.limit(1024).agg(*aggs_n).first()
+            promo = {}
+            for i, c in enumerate(strcols_n):
+                n = row_n[f"n_{i}"]
+                if not n:
+                    continue
+                if row_n[f"i_{i}"] == n:
+                    promo[c] = "bigint"
+                elif row_n[f"d_{i}"] == n:
+                    promo[c] = "double"
+            if promo:
+                df = df.select(
+                    *[F.col(f"`{c}`").cast(promo[c]).alias(c)
+                      if c in promo else F.col(f"`{c}`")
+                      for c in df.columns]
+                )
+    # t/f bool spellings: the reference's sniffer types a column of
+    # t/f/true/false as BOOLEAN (type_detection.cpp bool cast accepts
+    # t/f); Spark only infers true/false, leaving t/f as STRING
+    strcols_b = [c for c, t in df.dtypes if t == "string"]
+    if strcols_b:
+        sample_b = df.select(
+            *[F.lower(F.trim(F.col(f"`{c}`"))).alias(f"c_{i}")
+              for i, c in enumerate(strcols_b)]
+        ).limit(1024).collect()
+        _bool = {"t", "f", "true", "false"}
+        demote_b = set()
+        for i, c in enumerate(strcols_b):
+            vals = [r[f"c_{i}"] for r in sample_b
+                    if r[f"c_{i}"] not in (None, "")]
+            if vals and all(v in _bool for v in vals):
+                demote_b.add(c)
+        if demote_b:
+            df = df.select(
+                *[F.when(F.lower(F.trim(F.col(f"`{c}`"))).isin("t", "true"),
+                         F.lit(True))
+                  .when(F.lower(F.trim(F.col(f"`{c}`"))).isin("f", "false"),
+                        F.lit(False))
+                  .alias(c)
+                  if c in demote_b else F.col(f"`{c}`")
+                  for c in df.columns]
+            )
     ints = {c for c, t in df.dtypes if t in ("int", "smallint", "tinyint")}
     if ints:
         df = df.select(
@@ -640,7 +847,12 @@ def _fix_time_columns(df: DataFrame) -> DataFrame:
         return df
     return df.select(
         *[
-            F.date_format(F.col(f"`{c}`"), "HH:mm:ss").alias(c)
+            F.date_format(F.col(f"`{c}`"), "HH:mm:ss").alias(
+                # the declared type is TIME (reference sniffer lattice,
+                # type_detection.cpp); the carrier is STRING — field
+                # metadata lets typeof() rebind the duck name
+                # (copy/csv/auto/test_type_detection.test)
+                c, metadata={"duck_type": "TIME"})
             if c in demote else F.col(f"`{c}`")
             for c in df.columns
         ]
@@ -904,9 +1116,52 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None, **optio
     return df
 
 
+def fix_nanos_timestamps(df: DataFrame, *paths: str) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as BIGINT nanos (the
+    session sets spark.sql.legacy.parquet.nanosAsLong — Spark has no ns
+    unit); the reference's reader converts to µs timestamps
+    (parquet/column_reader.cpp, copy/parquet/parquet_4442.test). Detect
+    ns fields from one file's footer (pyarrow) and convert. Integer DIV,
+    not float division: ns epochs exceed 2^53."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        first = None
+        for p in paths:
+            if not isinstance(p, str):
+                continue
+            fl = _local_json_files(p, limit=1)
+            if fl:
+                first = fl[0]
+                break
+        if first is None:
+            return df
+        sch = pq.read_schema(first)
+        ns = {
+            f.name for f in sch
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+        dts = dict(df.dtypes)
+        conv = [c for c in df.columns if c in ns and dts.get(c) == "bigint"]
+        if not conv:
+            return df
+        from pyspark.sql import functions as F
+
+        return df.select(
+            *[F.expr(
+                f"CAST(timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT)) "
+                f"AS TIMESTAMP_NTZ)"
+            ).alias(c) if c in conv else F.col(f"`{c}`")
+              for c in df.columns]
+        )
+    except Exception:
+        return df
+
+
 def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
     """Parquet scan — row-group parallel, stats pruning, pushdown native."""
-    return spark.read.parquet(*paths)
+    return fix_nanos_timestamps(spark.read.parquet(*paths), *paths)
 
 
 def read_arrow(spark: SparkSession, table) -> DataFrame:

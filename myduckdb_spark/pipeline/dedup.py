@@ -132,6 +132,9 @@ _BITMAP_VOCAB_MAX = 4096
 # Wide-vocab corpora (real web text) never enter the bitmap path and
 # always take LSH, whose candidates are sparse there.
 _ALLPAIRS_MAX_DOCS = 200_000
+# docs above which LSH pair-verification stops broadcasting the per-doc
+# payload lookup sides and falls back to shuffle joins (scale path)
+_VERIFY_BROADCAST_MAX_DOCS = 200_000
 
 
 def minhash_lsh_pairs(
@@ -193,6 +196,16 @@ def minhash_lsh_pairs(
         docs.repartition(par)
         .select(F.col(id_col).alias("id"), char_shingles_expr(text_col, k).alias("sh"))
         .persist()
+    )
+    n_docs = sh.count()
+    # pair verification re-attaches per-doc payloads to the candidate
+    # list; the lookup side is |docs| rows, broadcastable only while the
+    # corpus is small. Above budget use plain shuffle joins — at 100 TB
+    # an unconditional broadcast hint would OOM the driver building an
+    # un-broadcastable build side (AQE can't override an explicit hint).
+    _verify_hint = (
+        F.broadcast if n_docs <= _VERIFY_BROADCAST_MAX_DOCS
+        else (lambda d: d)
     )
     exploded = sh.select("id", F.explode("sh").alias("s")).persist()
     hashed = exploded.select("id", F.xxhash64("s").alias("h"))
@@ -265,7 +278,7 @@ def minhash_lsh_pairs(
         # threshold skip signatures+banding and bitmap-verify ALL pairs —
         # a broadcast nested-loop join of pure bit-ops, with exact output
         # (no LSH miss probability at all)
-        if sh.count() <= _ALLPAIRS_MAX_DOCS:
+        if n_docs <= _ALLPAIRS_MAX_DOCS:
             return (
                 av.join(F.broadcast(bv), (F.col("id_a") < F.col("id_b")) & ratio_ok)
                 .select("id_a", "id_b", (inter / union).alias("__j"))
@@ -288,9 +301,9 @@ def minhash_lsh_pairs(
     )
     # candidate pairs carry ONLY ids through the band self-join (keeping
     # verification payloads here would multiply the shuffle ×bands);
-    # verification data is re-attached to the deduped pair list via
-    # broadcast joins (|docs|-row lookup sides — swap to shuffle joins
-    # when the doc dimension outgrows the broadcast budget).
+    # verification data is re-attached to the deduped pair list —
+    # broadcast while |docs| fits the budget, shuffle joins above it
+    # (_VERIFY_BROADCAST_MAX_DOCS gate computed on n_docs above).
     a = banded.select("band", "key", F.col("id").alias("id_a"))
     b = banded.select("band", "key", F.col("id").alias("id_b"))
     cands = (
@@ -301,8 +314,8 @@ def minhash_lsh_pairs(
     )
     if bitmap_ok:
         verified = (
-            cands.join(F.broadcast(av), "id_a")
-            .join(F.broadcast(bv), "id_b")
+            cands.join(_verify_hint(av), "id_a")
+            .join(_verify_hint(bv), "id_b")
             .select("id_a", "id_b", (inter / union).alias("__j"))
         )
     else:
@@ -313,8 +326,8 @@ def minhash_lsh_pairs(
         bv = hv.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"), F.col("n").alias("nb"))
         inter = F.size(F.array_intersect("ha", "hb"))
         verified = (
-            cands.join(F.broadcast(av), "id_a")
-            .join(F.broadcast(bv), "id_b")
+            cands.join(_verify_hint(av), "id_a")
+            .join(_verify_hint(bv), "id_b")
             .select(
                 "id_a", "id_b",
                 (inter / (F.col("na") + F.col("nb") - inter)).alias("__j"),

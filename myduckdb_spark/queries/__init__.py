@@ -80,42 +80,35 @@ def bench_queries() -> dict[str, tuple[Builder, str | None]]:
 # implementation or oracle changed since their last green row, then the
 # queries whose last green driver row is oldest so every registered
 # query re-verifies on a rotating schedule.
-R08_PRIORITY = (
-    # code paths TOUCHED this round: json_transform/json_extract UDF
-    # routing + json constructors (fn_json_battery), union-carrier
-    # to_json / ::UNION casts (fn_union_battery), epoch_* numeric guard
-    # + TRY_CAST offset normalization (fn_datetime_battery),
-    # list_histogram NULL semantics + wide-int literals (fn_list_battery)
-    "fn_json_battery", "fn_union_battery", "fn_datetime_battery",
-    "fn_list_battery",
-    # stale: every query whose latest green DRIVER row is r6 (r7
-    # verified the other 50; the judge strict-verified these in r7) —
-    # rotates the full registry through the window every two rounds.
-    # Series/interval entries also cover this round's range()-TVF and
-    # INTERVAL 'ago' changes.
-    "values_and_series", "date_series_buckets", "interval_arithmetic",
-    "collate_nocase_noaccent", "join_asof_purchase_click",
-    "dml_roundtrip", "upsert_on_conflict",
-    "agg_approx", "fn_timetz_battery",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding_cosine", "sim_topk_lsh", "sim_topk_ivf",
-    "sim_lsh_recall", "text_quality_scores", "text_lang_id_confusion",
-    "text_fingerprint", "multimodal_features", "decontam_ngram_overlap",
-    "pii_scrub_counts", "text_repetition_stats", "setop_union_distinct",
-    "setop_except_intersect", "setop_all_variants",
-    "unnest_tokens", "recursive_cte_series", "seq_bulk_ids",
-    "q02_best_supplier_per_nation", "q04_order_priority_check",
-    "q07_volume_shipping", "q08_market_share", "q09_product_type_profit",
-    "q11_important_parts", "q13_customer_order_distribution",
-    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_discounted_revenue", "q20_excess_inventory_suppliers",
-    "q21_waiting_suppliers", "q22_global_sales_opportunity",
-    "pivot_status_counts", "unpivot_part_measures",
-    "win_ranking", "limit_offset_page",
-    # overflow past the 50-query window (lowest risk: r6 driver-green,
-    # judge strict-re-verified in r7, code paths unchanged this round)
-    "sample_deterministic", "join_cross_product",
+R09_PRIORITY = (
+    # the 51 queries OUTSIDE the r8 driver window lead this round, so no
+    # query's last driver row is older than two rounds. The 5 whose last
+    # row was r6 go first.
+    "join_cross_product", "limit_offset_page", "sample_deterministic",
+    "unpivot_part_measures", "win_ranking",
+    # r7-window queries (r8 skipped them), incl. every path touched this
+    # round: fn_struct_map_battery (map-subscript list semantics),
+    # fn_blob_battery (BLOB \xNN ingest/compare), dedup_minhash_lsh
+    # (conditional verify broadcast), plus the TPC-H/window/join set.
+    "agg_distinct_and_filter", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_min_max_by", "agg_string_agg_ordered",
+    "agg_stats_exact", "agg_median_quantile", "agg_mode_deterministic",
+    "agg_bool_bit", "agg_collect_histogram", "agg_regression",
+    "agg_mad_topk",
+    "q01_pricing_summary", "q03_top_revenue_orders",
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q10_returned_items", "groupjoin_order_items", "amus_theta_join",
+    "fn_string_battery", "fn_math_battery", "fn_struct_map_battery",
+    "fn_blob_battery",
+    "join_left_outer_counts", "join_full_outer", "join_semi", "join_anti",
+    "join_mark_in_subquery", "join_single_scalar_subquery",
+    "join_positional", "join_range_theta",
+    "dedup_minhash_lsh", "sim_topk_bruteforce", "text_token_stats",
+    "tableinout_normalize", "stream_window_counts_batch",
+    "order_nulls_parity", "q12_priority_shipping",
+    "win_lead_lag", "win_running_frames", "win_range_frame",
+    "win_qualify_topk", "win_exclude_current_row",
+    "win_exclude_group_ties", "win_share_of_group",
 )
 
 R07_PRIORITY = (
@@ -216,7 +209,7 @@ R05_PRIORITY = (
 
 def _ordered_names() -> list[str]:
     names = list(REGISTRY)
-    prio = [n for n in R08_PRIORITY if n in names]
+    prio = [n for n in R09_PRIORITY if n in names]
     return prio + [n for n in names if n not in set(prio)]
 
 

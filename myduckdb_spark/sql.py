@@ -806,6 +806,11 @@ _CARRIER_ERASED_DTYPES = {
     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
     "HUGEINT", "UHUGEINT", "JSON", "UUID",
 }
+# dtypes the typeof()/scan registry bind accepts beyond the DDL set:
+# TIME only arises from the CSV sniffer's STRING-carrier demotion
+# (io.py _fix_time_columns), never from DDL (where TIME is the µs-BIGINT
+# convention), so it must not join _CARRIER_ERASED_DTYPES itself
+_SCAN_REGISTRY_DTYPES = _CARRIER_ERASED_DTYPES | {"TIME"}
 
 # Spark typeof() spellings for UNION member bind-time type matching
 _SPARK_TYPEOF = {
@@ -1253,11 +1258,24 @@ def _rewrite_index_brackets(text: str) -> str:
         parts = _split_top(inner, ":")
         if len(parts) == 1:
             idx = inner.strip()
-            # DuckDB list[0] yields NULL; Spark's try_element_at raises on 0
-            repl = (
-                f"(CASE WHEN TRY_CAST(({idx}) AS BIGINT) = 0 THEN NULL "
-                f"ELSE try_element_at({operand}, {idx}) END)"
-            )
+            if re.fullmatch(r"'(?:[^']|'')*'", idx):
+                # a STRING-literal subscript can only hit a MAP (lists
+                # index by integer; Spark-side struct['f'] never reaches
+                # here analyzable) — and DuckDB's map subscript returns
+                # the LIST of matching values ([], [v], [NULL]), not the
+                # scalar (map.cpp map_extract;
+                # copy/parquet/struct_column_reader_skip.test)
+                repl = (
+                    f"transform(filter(map_entries({operand}), "
+                    f"__e -> __e.key <=> {idx}), __e -> __e.value)"
+                )
+            else:
+                # DuckDB list[0] yields NULL; Spark's try_element_at
+                # raises on 0
+                repl = (
+                    f"(CASE WHEN TRY_CAST(({idx}) AS BIGINT) = 0 THEN NULL "
+                    f"ELSE try_element_at({operand}, {idx}) END)"
+                )
         elif len(parts) == 2:
             # negative bounds count from the end (-1 = last element,
             # array_slice.cpp); 0 behaves as 1; bounds clamp to the list
@@ -3272,7 +3290,7 @@ def translate(text: str) -> str:
         for t in re.findall(r"\bFROM\s+\"?([A-Za-z_]\w*)\"?", out, re.I):
             for c in _isch.COLUMN_META.get(t.lower(), []):
                 nm = c["name"].lower()
-                if c["dtype"] in _CARRIER_ERASED_DTYPES:
+                if c["dtype"] in _SCAN_REGISTRY_DTYPES:
                     if nm in _jc and _jc[nm] != c["dtype"]:
                         _nj.add(nm)
                     _jc[nm] = c["dtype"]
@@ -7332,6 +7350,25 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
             name, "temp" if is_temp else "memory", sch, bare,
             "LOCAL TEMPORARY" if is_temp else "BASE TABLE",
         )
+        # carrier-erased duck types survive CTAS through field metadata
+        # (e.g. the CSV sniffer's TIME demotion, io.py _fix_time_columns)
+        # — register them so typeof() binds the declared name
+        try:
+            fields = _MANAGED[name].scan().schema.fields
+            if any(f.metadata.get("duck_type") in _SCAN_REGISTRY_DTYPES
+                   for f in fields):
+                ischema.register_columns(name, [
+                    ischema.column_row(
+                        f.name, i + 1,
+                        f.metadata["duck_type"]
+                        if f.metadata.get("duck_type")
+                        in _SCAN_REGISTRY_DTYPES
+                        else f.dataType.simpleString(),
+                    )
+                    for i, f in enumerate(fields)
+                ])
+        except Exception:
+            pass
         return _count_df(spark, _MANAGED[name].count())
     m = _CREATE_TBL.match(text)
     if m and not _CTAS.match(text):
@@ -8754,6 +8791,9 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
                         spark.read.option("recursiveFileLookup", "true")
                         .parquet(*path if isinstance(path, list) else [path])
                     )
+                df = _io.fix_nanos_timestamps(
+                    df, *(path if isinstance(path, list) else [path])
+                )
             elif fmt == "json":
                 jcols = opts.get("columns")
                 if isinstance(jcols, dict):
@@ -8798,7 +8838,7 @@ def _bind_file_scans(spark: SparkSession, text: str) -> str:
                         f.name, i + 1,
                         f.metadata["duck_type"]
                         if f.metadata.get("duck_type")
-                        in _CARRIER_ERASED_DTYPES
+                        in _SCAN_REGISTRY_DTYPES
                         else f.dataType.simpleString(),
                     )
                     for i, f in enumerate(df.schema.fields)

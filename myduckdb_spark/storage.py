@@ -138,7 +138,25 @@ class ManagedTable:
         else:
             paths = [f["path"] for f in files]
             schema = self.spark.read.parquet(probe or paths[0]).schema
-            df = self.spark.read.schema(schema).parquet(*paths)
+            if len(paths) <= 64:
+                # manifest-ordered scan: Spark's multi-path read packs
+                # splits LARGEST-FIRST, so row order would drift from
+                # insertion order — observable through LIMIT without
+                # ORDER BY (the reference scans in insertion order;
+                # parquet_write_issue_5779.test COPYs `LIMIT 10`).
+                # A union of per-file reads concatenates partitions in
+                # manifest order. Bounded at 64 files: beyond that the
+                # linear plan outgrows its value and the multi-path
+                # scan (scale path) takes over.
+                from functools import reduce
+
+                df = reduce(
+                    DataFrame.union,
+                    [self.spark.read.schema(schema).parquet(p)
+                     for p in paths],
+                )
+            else:
+                df = self.spark.read.schema(schema).parquet(*paths)
         # pending ALTER stages (metadata-only schema evolution) apply as
         # projections over the pinned-schema file read
         for stage in m.get("projections", []):

@@ -168,3 +168,30 @@ def test_no_registered_query_uses_pandas_udaf(spark, sf_dir):
         if "AggregateInPandas" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_lsh_verify_broadcast_is_conditional(spark, monkeypatch):
+    """Above the doc budget, LSH pair-verification must re-attach doc
+    payloads with SHUFFLE joins: an unconditional broadcast hint would
+    OOM the driver at 100 TB (AQE cannot override an explicit hint).
+    Below budget the broadcast fast path stays."""
+    from myduckdb_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(i, ("abcdefgh"[i % 3:] + "xyzw") * 3) for i in range(12)],
+        "doc_id long, text string",
+    )
+    # force the banded path (no all-pairs early exit) + over-budget docs
+    monkeypatch.setattr(dedup, "_ALLPAIRS_MAX_DOCS", 0)
+    monkeypatch.setattr(dedup, "_VERIFY_BROADCAST_MAX_DOCS", 0)
+    out = dedup.minhash_lsh_pairs(docs, threshold=0.2)
+    # the HINT is the scale hazard (AQE may still broadcast tiny runtime
+    # stats — that's fine; it re-plans at real scale). Assert on the
+    # analyzed plan, where an explicit F.broadcast shows as ResolvedHint.
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan, "over-budget verify must not hint"
+    # below budget the hint applies
+    monkeypatch.setattr(dedup, "_VERIFY_BROADCAST_MAX_DOCS", 1_000_000)
+    out2 = dedup.minhash_lsh_pairs(docs, threshold=0.2)
+    plan2 = out2._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan2, "in-budget verify should hint broadcast"

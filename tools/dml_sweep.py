@@ -82,6 +82,7 @@ def main() -> None:
                 r = run_file_dual(spark, path, max_queries=60, collect_mismatches=True)
                 line = {
                     "checked": r.queries,
+                    "rejects": getattr(r, "rejects", 0),
                     "statements": r.statements,
                     "mismatch": len(r.mismatches),
                     "resyncs": r.resyncs,

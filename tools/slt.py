@@ -48,6 +48,8 @@ class Record:
 class RunResult:
     queries: int = 0  # queries value-checked engine-vs-DuckDB
     statements: int = 0  # state-builder statements applied
+    rejects: int = 0  # `statement error` lines BOTH engines rejected —
+    # checked error-surface parity (constraints/ files are mostly this)
     skipped_statements: list = field(default_factory=list)
     skipped_queries: list = field(default_factory=list)
 
@@ -953,6 +955,7 @@ def run_file_dual(
             _, eerr = engine_try(sql)
             if derr is not None and eerr is not None:
                 res.statements += 1  # both reject — parity
+                res.rejects += 1
             elif derr is not None:
                 resync(sql, "expected error: duckdb rejected, engine applied")
             elif eerr is not None:
