@@ -55,6 +55,21 @@ CONSTRAINTS: list[dict] = []
 # lowercase object key -> CREATE VIEW sql text
 VIEW_SQL: dict[str, str] = {}
 
+# COMMENT ON registry (reference src/parser/statement/
+# comment_on_statement; surfaced in the duckdb_*() catalog TVFs):
+# (kind, lowered key) -> comment text (None = reverted to NULL).
+# kind: table | column (key "tbl.col") | view | index | sequence |
+#       type | macro | function
+COMMENTS: dict[tuple, str | None] = {}
+
+# CREATE INDEX registry (duckdb_indexes()): lowered index name ->
+# {table, columns, unique}
+INDEXES: dict[str, dict] = {}
+
+# CREATE TYPE alias registry (duckdb_types()): lowered name -> base duck
+# type text (e.g. "INT32"); translate() rewrites ::name casts to it
+TYPE_ALIASES: dict[str, str] = {}
+
 _BASE_SCHEMAS = ("information_schema", "main", "pg_catalog")
 _BASE_CATALOGS = ("memory", "system", "temp")
 
@@ -74,6 +89,9 @@ def reset() -> None:
     COLUMN_META.clear()
     CONSTRAINTS.clear()
     VIEW_SQL.clear()
+    COMMENTS.clear()
+    INDEXES.clear()
+    TYPE_ALIASES.clear()
 
 
 def constraint_name(table: str, ctype: str, columns: list[str],

@@ -3101,6 +3101,22 @@ def translate(text: str) -> str:
         )
 
     out = expand_macros(text)  # bind-time macro expansion, before all rules
+    # CREATE TYPE aliases (reference type_catalog_entry): resolve
+    # ::alias / CAST(x AS alias) to the base type spelling BEFORE the
+    # generic type rules, so e.g. `1::test_type` with test_type AS int32
+    # binds like `1::INT32` (catalog/comment_on.test)
+    try:
+        from myduckdb_spark import infoschema as _isch_ta
+
+        for _al, _base in _isch_ta.TYPE_ALIASES.items():
+            if not re.search(rf"\b{re.escape(_al)}\b", out, re.I):
+                continue
+            out = re.sub(rf"(::\s*){re.escape(_al)}\b", rf"\g<1>{_base}",
+                         out, flags=re.I)
+            out = re.sub(rf"(\bAS\s+){re.escape(_al)}\b(\s*\))",
+                         rf"\g<1>{_base}\g<2>", out, flags=re.I)
+    except Exception:
+        pass
     # DuckDB string literals are standard SQL (backslash is an ordinary
     # character); Spark C-escapes them. Double every backslash INSIDE
     # '-literals first, so the original literal reaches the engine
@@ -5937,6 +5953,10 @@ def reset_dml_state(spark: SparkSession) -> None:
     _ATTACHED.clear()
     _ATTACH_PATHS.clear()
     _ATTACH_READONLY.clear()
+    from myduckdb_spark.functions import macros as _macros
+
+    for n in _macros.macro_names():
+        _macros.drop_macro(n)
     try:  # a corpus file's SET TimeZone must not leak into the next file
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
@@ -6044,7 +6064,7 @@ _ON_CONFLICT_CLAUSE = re.compile(
 )
 _CREATE_INDEX = re.compile(
     r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r'("?[\w]+"?)\s+ON\s+(\w+)\s*\(([^()]*)\)\s*;?\s*$',
+    r'("?[\w]+"?)\s+ON\s+(\w+)\s*(?:USING\s+\w+\s*)?\(([^()]*)\)\s*;?\s*$',
     re.I,
 )
 _DROP_INDEX = re.compile(r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?\"?(\w+)\"?\s*;?\s*$", re.I)
@@ -6345,6 +6365,17 @@ def _alter_table(spark: SparkSession, exists_ok: str | None, name: str, act: str
         _MANAGED[new] = _MANAGED.pop(name)
         if name.lower() in _COLUMN_COLLATIONS:
             _COLUMN_COLLATIONS[new.lower()] = _COLUMN_COLLATIONS.pop(name.lower())
+        # COMMENT ON entries follow the rename (comment_on.test)
+        from myduckdb_spark import infoschema as _isch_r
+
+        for (k, kk) in list(_isch_r.COMMENTS):
+            if k == "table" and kk == name.lower():
+                _isch_r.COMMENTS[(k, new.lower())] = \
+                    _isch_r.COMMENTS.pop((k, kk))
+            elif k == "column" and kk.startswith(name.lower() + "."):
+                _isch_r.COMMENTS[
+                    (k, new.lower() + kk[len(name):])
+                ] = _isch_r.COMMENTS.pop((k, kk))
         try:
             spark.catalog.dropTempView(name)
         except Exception:
@@ -6367,6 +6398,13 @@ def _alter_table(spark: SparkSession, exists_ok: str | None, name: str, act: str
         ]
         tbl.alter(stage)
         tbl.remap_constraint_cols({src: new})
+        from myduckdb_spark import infoschema as _isch_rc
+
+        ck = ("column", f"{name.lower()}.{src.lower()}")
+        if ck in _isch_rc.COMMENTS:
+            _isch_rc.COMMENTS[
+                ("column", f"{name.lower()}.{new.lower()}")
+            ] = _isch_rc.COMMENTS.pop(ck)
         _refresh_view(spark, name)
         return _count_df(spark, 0)
 
@@ -7277,6 +7315,132 @@ _DROP_SCHEMA = re.compile(
 )
 
 
+_COMMENT_ON = re.compile(
+    r"^\s*COMMENT\s+ON\s+"
+    r"(TABLE|COLUMN|VIEW|INDEX|SEQUENCE|TYPE|MACRO\s+TABLE|MACRO|"
+    r"FUNCTION|SCHEMA|DATABASE)\s+([\w.\"]+)\s+IS\s+(.+?);?\s*$",
+    re.I | re.S,
+)
+_CREATE_TYPE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TYPE\s+\"?(\w+)\"?\s+AS\s+(.+?);?\s*$",
+    re.I | re.S,
+)
+_DROP_TYPE = re.compile(
+    r"^\s*DROP\s+TYPE\s+(IF\s+EXISTS\s+)?\"?(\w+)\"?\s*;?\s*$", re.I,
+)
+_CREATE_MACRO = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
+    r"(?:MACRO|FUNCTION)\s+\"?(\w+)\"?\s*\(([^()]*)\)\s+AS\s+(.+?);?\s*$",
+    re.I | re.S,
+)
+_DROP_MACRO = re.compile(
+    r"^\s*DROP\s+(MACRO|FUNCTION)\s+(?:TABLE\s+)?(IF\s+EXISTS\s+)?"
+    r"\"?(\w+)\"?\s*;?\s*$",
+    re.I,
+)
+
+
+def _comment_on(spark: SparkSession, m: "re.Match[str]") -> DataFrame:
+    """COMMENT ON <kind> <name> IS '<text>'|NULL (reference
+    src/parser/statement + catalog_entry comment field; surfaced via the
+    duckdb_*() TVFs — test/sql/catalog/comment_on.test)."""
+    from myduckdb_spark import infoschema as ischema
+
+    kind = re.sub(r"\s+", " ", m.group(1).upper())
+    name = m.group(2).strip().strip('"')
+    val = m.group(3).strip().rstrip(";").strip()
+    if re.fullmatch(r"NULL", val, re.I):
+        comment: str | None = None
+    elif re.fullmatch(r"'(?:[^']|'')*'", val, re.S):
+        comment = val[1:-1].replace("''", "'")
+    else:
+        raise ValueError(
+            "Parser Error: syntax error — COMMENT ON takes a string "
+            "literal or NULL"
+        )
+    key = name.lower()
+    low_managed = {k.lower() for k in _MANAGED}
+    low_views = {k.lower() for k in _VIEWS}
+    if kind == "TABLE":
+        if key not in low_managed:
+            raise ValueError(
+                f"Catalog Error: Table with name {name} does not exist!"
+            )
+        ischema.COMMENTS[("table", key)] = comment
+    elif kind == "VIEW":
+        if key not in low_views:
+            raise ValueError(
+                f"Catalog Error: View with name {name} does not exist!"
+            )
+        ischema.COMMENTS[("view", key)] = comment
+    elif kind == "COLUMN":
+        parts = key.split(".")
+        if len(parts) < 2:
+            raise ValueError(
+                "Parser Error: COMMENT ON COLUMN expects table.column"
+            )
+        tbl, col = parts[-2], parts[-1]
+        if tbl in low_managed:
+            cols = {c.lower() for c in
+                    next(v for k, v in _MANAGED.items()
+                         if k.lower() == tbl).scan().columns}
+        elif tbl in low_views:
+            try:
+                cols = {c.lower() for c in spark.table(tbl).columns}
+            except Exception:
+                cols = set()
+        else:
+            raise ValueError(
+                f"Catalog Error: Table with name {tbl} does not exist!"
+            )
+        if col not in cols:
+            raise ValueError(
+                f"Binder Error: Column with name {col} does not exist!"
+            )
+        ischema.COMMENTS[("column", f"{tbl}.{col}")] = comment
+    elif kind == "INDEX":
+        if key not in ischema.INDEXES:
+            raise ValueError(
+                f"Catalog Error: Index with name {name} does not exist!"
+            )
+        ischema.COMMENTS[("index", key)] = comment
+    elif kind == "SEQUENCE":
+        if name not in _seq_store()._seqs and key not in _seq_store()._seqs:
+            raise ValueError(
+                f"Catalog Error: Sequence with name {name} does not exist!"
+            )
+        ischema.COMMENTS[("sequence", key)] = comment
+    elif kind == "TYPE":
+        if key not in ischema.TYPE_ALIASES:
+            raise ValueError(
+                f"Catalog Error: Type with name {name} does not exist!"
+            )
+        ischema.COMMENTS[("type", key)] = comment
+    elif kind in ("MACRO", "MACRO TABLE", "FUNCTION"):
+        from myduckdb_spark.functions import macros as _macros
+
+        if key not in {n.lower() for n in _macros.macro_names()}:
+            # reference: commenting on a built-in is rejected
+            raise ValueError(
+                "Catalog Error: Can not comment on System Catalog entries"
+                if kind == "FUNCTION" else
+                f"Catalog Error: Macro with name {name} does not exist!"
+            )
+        ischema.COMMENTS[("macro", key)] = comment
+    else:  # SCHEMA | DATABASE
+        if kind == "SCHEMA" and key not in ischema.SCHEMAS \
+                and key != "main":
+            raise ValueError(
+                f"Catalog Error: Schema with name {name} does not exist!"
+            )
+        if kind == "DATABASE" and key not in ("memory", "temp"):
+            raise ValueError(
+                f"Catalog Error: Database with name {name} does not exist!"
+            )
+        ischema.COMMENTS[(kind.lower(), key)] = comment
+    return _count_df(spark, 0)
+
+
 def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
     import tempfile
 
@@ -7310,6 +7474,100 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                 spark.catalog.dropTempView(k)
             except Exception:
                 pass
+        return _count_df(spark, 0)
+    m = _COMMENT_ON.match(text)
+    if m:
+        return _comment_on(spark, m)
+    m = _CREATE_TYPE.match(text)
+    if m:
+        replace, tname, deftext = bool(m.group(1)), m.group(2), m.group(3)
+        key = tname.lower()
+        if key in ischema.TYPE_ALIASES and not replace:
+            raise ValueError(
+                f"Catalog Error: Type with name \"{tname}\" already exists!"
+            )
+        d = deftext.strip().rstrip(";").strip()
+        em = re.match(r"ENUM\s*\(\s*(.*)\s*\)\s*$", d, re.I | re.S)
+        if em:
+            vals = [v.strip()[1:-1].replace("''", "'")
+                    for v in _split_args(em.group(1)) if v.strip()]
+            from myduckdb_spark.functions.registry import create_enum
+
+            create_enum(tname, vals)
+            ischema.TYPE_ALIASES[key] = "VARCHAR"
+        elif re.fullmatch(r"[\w ]+(\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
+                          r"(\s*\[\s*\])*", d):
+            # simple alias (reference type_catalog_entry: CREATE TYPE x
+            # AS int32) — translate() rewrites ::x to the base spelling.
+            # Bit-width spellings normalize to names every later rule
+            # knows (duck INT16/INT32/INT64/INT128 aliases).
+            base = {
+                "int16": "SMALLINT", "int32": "INTEGER",
+                "int64": "BIGINT", "int128": "HUGEINT",
+            }.get(d.lower(), d)
+            ischema.TYPE_ALIASES[key] = base
+        else:
+            raise ValueError(
+                f"CREATE TYPE: unsupported type definition {d!r}"
+            )
+        return _count_df(spark, 0)
+    m = _DROP_TYPE.match(text)
+    if m:
+        key = m.group(2).lower()
+        if key not in ischema.TYPE_ALIASES:
+            if m.group(1):
+                return _count_df(spark, 0)
+            raise ValueError(
+                f"Catalog Error: Type with name {m.group(2)} does not exist!"
+            )
+        ischema.TYPE_ALIASES.pop(key, None)
+        ischema.COMMENTS.pop(("type", key), None)
+        return _count_df(spark, 0)
+    m = _CREATE_MACRO.match(text)
+    if m:
+        from myduckdb_spark.functions import macros as _macros
+
+        replace, mname, params_text, body = (
+            bool(m.group(1)), m.group(2), m.group(3) or "", m.group(4),
+        )
+        if not replace and mname.lower() in {
+            n.lower() for n in _macros.macro_names()
+        }:
+            raise ValueError(
+                f"Catalog Error: Macro with name \"{mname}\" already exists!"
+            )
+        params, defaults = [], {}
+        for p in _split_args(params_text):
+            p = p.strip()
+            if not p:
+                continue
+            dm = re.match(r"(\w+)\s*:?=\s*(.+)$", p, re.S)
+            if dm:
+                params.append(dm.group(1))
+                defaults[dm.group(1)] = dm.group(2).strip()
+            else:
+                params.append(p.strip('"'))
+        body = body.strip().rstrip(";").strip()
+        tm2 = re.match(r"TABLE\s+(.+)$", body, re.I | re.S)
+        if tm2:
+            _macros.create_table_macro(mname, params, tm2.group(1))
+        else:
+            _macros.create_macro(mname, params, body, **defaults)
+        return _count_df(spark, 0)
+    m = _DROP_MACRO.match(text)
+    if m:
+        from myduckdb_spark.functions import macros as _macros
+
+        key = m.group(3)
+        if key.lower() not in {n.lower() for n in _macros.macro_names()}:
+            if m.group(2):
+                return _count_df(spark, 0)
+            raise ValueError(
+                f"Catalog Error: Macro Function with name {key} does not exist!"
+            )
+        _macros.drop_macro(key)
+        ischema.COMMENTS.pop(("macro", key.lower()), None)
+        ischema.COMMENTS.pop(("function", key.lower()), None)
         return _count_df(spark, 0)
     text = _flatten_schema_refs(text)
     # temporary tables: same managed storage, catalog 'temp' in the
@@ -7486,6 +7744,10 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         unique, _iname, name, icols = m.groups()
         if name not in _MANAGED:
             raise KeyError(f"CREATE INDEX: unknown table {name}")
+        ischema.INDEXES[_iname.strip('"').lower()] = {
+            "table": name, "unique": bool(unique),
+            "columns": [c.strip().strip('"') for c in icols.split(",")],
+        }
         if unique:
             # a unique index is an ON CONFLICT arbiter + INSERT constraint
             # (reference: ART index, physical_insert.cpp); non-unique
@@ -7499,7 +7761,9 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                 raise ValueError("CREATE UNIQUE INDEX: expression indexes unsupported")
             _MANAGED[name].add_unique(cols)
         return _count_df(spark, 0)
-    if _DROP_INDEX.match(text):
+    dm_ix = _DROP_INDEX.match(text)
+    if dm_ix:
+        ischema.INDEXES.pop(dm_ix.group(1).lower(), None)
         return _count_df(spark, 0)  # unique sets are kept — conservative
     m = _INSERT.match(text)
     if m and m.group(2) in _MANAGED:
@@ -8329,6 +8593,254 @@ def _bind_pg_catalog(spark: SparkSession, text: str) -> str:
         rf"\b(?:pg_catalog\s*\.\s*)?({_PG_VIEWS})\b",
         lambda m: f"__pg_{m.group(1).lower()}",
         text, flags=re.I,
+    )
+
+
+_DUCK_TVFS = (
+    "duckdb_tables|duckdb_columns|duckdb_views|duckdb_indexes|"
+    "duckdb_sequences|duckdb_types|duckdb_functions|pg_description"
+)
+
+
+def _bind_duckdb_tvfs(spark: SparkSession, text: str) -> str:
+    """duckdb_tables()/columns()/views()/indexes()/sequences()/types()/
+    functions() introspection TVFs + the pg_description view (reference
+    src/function/table/system/*.cpp, default_views.cpp), materialized
+    from the engine's catalog registries; column layouts match the live
+    oracle. OIDs are synthetic but CONSISTENT across the views in one
+    statement, so pg_description joins (classoid=database_oid AND
+    objoid=<x>_oid, catalog/comment_on_pg_description.test) line up."""
+    from myduckdb_spark import infoschema as ischema
+    from myduckdb_spark.functions import macros as _macros
+
+    text = re.sub(r"\bpg_catalog\s*\.\s*pg_description\b",
+                  "pg_description", text, flags=re.I)
+    used = {
+        m.group(1).lower()
+        for m in re.finditer(
+            rf"(?<![\w.])({_DUCK_TVFS})\b(?!\s*\.)", text, re.I
+        )
+        if not _in_spans(m.start(), _literal_spans(text))
+    }
+    if not used:
+        return text
+    C = ischema.COMMENTS
+    _DB_OID = 1000
+    t_oid = {n.lower(): 2000 + i
+             for i, n in enumerate(sorted(_MANAGED, key=str.lower))}
+    v_oid = {n.lower(): 3000 + i
+             for i, n in enumerate(sorted(_VIEWS, key=str.lower))}
+    i_oid = {n: 4000 + i for i, n in enumerate(sorted(ischema.INDEXES))}
+    s_oid = {n.lower(): 5000 + i
+             for i, n in enumerate(sorted(_seq_store()._seqs,
+                                          key=str.lower))}
+    ty_oid = {n: 6000 + i
+              for i, n in enumerate(sorted(ischema.TYPE_ALIASES))}
+    f_oid = {n.lower(): 7000 + i
+             for i, n in enumerate(sorted(_macros.macro_names(),
+                                          key=str.lower))}
+
+    def _colnames(n: str) -> list[str]:
+        try:
+            if n in _MANAGED:
+                return _MANAGED[n].scan().columns
+            return spark.table(n).columns
+        except Exception:
+            return []
+
+    def _reg_view(name: str, rows: list[tuple], ddl: str) -> None:
+        spark.createDataFrame(rows, ddl).createOrReplaceTempView(
+            f"__{name}"
+        )
+
+    if "duckdb_tables" in used:
+        rows = []
+        for n, tbl in sorted(_MANAGED.items()):
+            try:
+                sch = tbl.scan().schema
+                est = tbl.count()
+            except Exception:
+                continue
+            keyed = bool(tbl.keys())
+            checks = sum(
+                1 for c in ischema.CONSTRAINTS
+                if c["ctype"] == "CHECK" and c["table"].lower() == n.lower()
+            )
+            idxs = sum(1 for v in ischema.INDEXES.values()
+                       if v["table"].lower() == n.lower())
+            rows.append((
+                "memory", _DB_OID, "main", 1001, n, t_oid[n.lower()],
+                C.get(("table", n.lower())), {}, False, False, keyed,
+                est, len(sch.fields), idxs + (1 if keyed else 0), checks,
+                f"CREATE TABLE {n}(...);",
+            ))
+        _reg_view(
+            "duckdb_tables", rows,
+            "database_name string, database_oid bigint, schema_name "
+            "string, schema_oid bigint, table_name string, table_oid "
+            "bigint, comment string, tags map<string,string>, internal "
+            "boolean, temporary boolean, has_primary_key boolean, "
+            "estimated_size bigint, column_count bigint, index_count "
+            "bigint, check_constraint_count bigint, sql string",
+        )
+    if "duckdb_columns" in used:
+        rows = []
+        for n, tbl in sorted(_MANAGED.items()):
+            try:
+                sch = tbl.scan().schema
+            except Exception:
+                continue
+            dts = {c["name"].lower(): c["dtype"]
+                   for c in ischema.COLUMN_META.get(n.lower(), [])}
+            for i, f in enumerate(sch.fields):
+                dt = dts.get(f.name.lower()) or _duck_field_type(f)
+                rows.append((
+                    "memory", _DB_OID, "main", 1001, n,
+                    t_oid[n.lower()], f.name, i + 1,
+                    C.get(("column", f"{n.lower()}.{f.name.lower()}")),
+                    False, None, f.nullable, dt, 0, None, None, None,
+                    None,
+                ))
+        for n in sorted(_VIEWS):
+            try:
+                sch = spark.table(n).schema
+            except Exception:
+                continue
+            for i, f in enumerate(sch.fields):
+                rows.append((
+                    "memory", _DB_OID, "main", 1001, n,
+                    v_oid[n.lower()], f.name, i + 1,
+                    C.get(("column", f"{n.lower()}.{f.name.lower()}")),
+                    False, None, f.nullable, _duck_field_type(f), 0,
+                    None, None, None, None,
+                ))
+        _reg_view(
+            "duckdb_columns", rows,
+            "database_name string, database_oid bigint, schema_name "
+            "string, schema_oid bigint, table_name string, table_oid "
+            "bigint, column_name string, column_index int, comment "
+            "string, internal boolean, column_default string, "
+            "is_nullable boolean, data_type string, data_type_id bigint, "
+            "character_maximum_length int, numeric_precision int, "
+            "numeric_precision_radix int, numeric_scale int",
+        )
+    if "duckdb_views" in used:
+        rows = [
+            ("memory", _DB_OID, "main", 1001, n, v_oid[n.lower()],
+             C.get(("view", n.lower())), {}, False, False,
+             None, f"CREATE VIEW {n} AS {sel};")
+            for n, (sel, _cols) in sorted(_VIEWS.items())
+        ]
+        _reg_view(
+            "duckdb_views", rows,
+            "database_name string, database_oid bigint, schema_name "
+            "string, schema_oid bigint, view_name string, view_oid "
+            "bigint, comment string, tags map<string,string>, internal "
+            "boolean, temporary boolean, column_count bigint, sql string",
+        )
+    if "duckdb_indexes" in used:
+        rows = [
+            ("memory", _DB_OID, "main", 1001, n, i_oid[n], v["table"],
+             t_oid.get(v["table"].lower()),
+             C.get(("index", n)), {}, v["unique"], False, None, None)
+            for n, v in sorted(ischema.INDEXES.items())
+        ]
+        _reg_view(
+            "duckdb_indexes", rows,
+            "database_name string, database_oid bigint, schema_name "
+            "string, schema_oid bigint, index_name string, index_oid "
+            "bigint, table_name string, table_oid bigint, comment "
+            "string, tags map<string,string>, is_unique boolean, "
+            "is_primary boolean, expressions string, sql string",
+        )
+    if "duckdb_sequences" in used:
+        rows = [
+            ("memory", _DB_OID, "main", 1001, n, s_oid[n.lower()],
+             C.get(("sequence", n.lower())), {}, False,
+             s.get("start", s.get("next")), s["min"], s["max"],
+             s["increment"], s.get("cycle", False), s.get("current"),
+             f"CREATE SEQUENCE {n};")
+            for n, s in sorted(_seq_store()._seqs.items())
+        ]
+        _reg_view(
+            "duckdb_sequences", rows,
+            "database_name string, database_oid bigint, schema_name "
+            "string, schema_oid bigint, sequence_name string, "
+            "sequence_oid bigint, comment string, tags "
+            "map<string,string>, temporary boolean, start_value bigint, "
+            "min_value bigint, max_value bigint, increment_by bigint, "
+            "cycle boolean, last_value bigint, sql string",
+        )
+    if "duckdb_types" in used:
+        rows = [
+            ("memory", _DB_OID, "main", 1001, ty_oid[n], n, None,
+             ischema.TYPE_ALIASES[n], None, C.get(("type", n)), {},
+             False, [])
+            for n in sorted(ischema.TYPE_ALIASES)
+        ]
+        _reg_view(
+            "duckdb_types", rows,
+            "database_name string, database_oid bigint, schema_name "
+            "string, schema_oid bigint, type_oid bigint, type_name "
+            "string, type_size bigint, logical_type string, "
+            "type_category string, comment string, tags "
+            "map<string,string>, internal boolean, labels array<string>",
+        )
+    if "duckdb_functions" in used:
+        rows = [
+            ("memory", str(_DB_OID), "main", n,
+             "table_macro" if n.lower() in _macros._TABLE else "macro",
+             None, C.get(("macro", n.lower())), {}, None, [], [], None,
+             None, False, False, f_oid[n.lower()], None, None)
+            for n in sorted(_macros.macro_names())
+        ]
+        _reg_view(
+            "duckdb_functions", rows,
+            "database_name string, database_oid string, schema_name "
+            "string, function_name string, function_type string, "
+            "description string, comment string, tags "
+            "map<string,string>, return_type string, parameters "
+            "array<string>, parameter_types array<string>, varargs "
+            "string, macro_definition string, has_side_effects boolean, "
+            "internal boolean, function_oid bigint, example string, "
+            "stability string",
+        )
+    if "pg_description" in used:
+        rows = []
+        for (kind, key), txt in C.items():
+            if txt is None:
+                continue
+            if kind == "table" and key in t_oid:
+                rows.append((t_oid[key], _DB_OID, 0, txt))
+            elif kind == "view" and key in v_oid:
+                rows.append((v_oid[key], _DB_OID, 0, txt))
+            elif kind == "column":
+                tblk, colk = key.rsplit(".", 1)
+                oid = t_oid.get(tblk, v_oid.get(tblk))
+                names = [c.lower() for c in _colnames(
+                    next((n for n in list(_MANAGED) + list(_VIEWS)
+                          if n.lower() == tblk), tblk))]
+                if oid is not None and colk in names:
+                    rows.append((oid, _DB_OID, names.index(colk) + 1, txt))
+            elif kind == "index" and key in i_oid:
+                rows.append((i_oid[key], _DB_OID, 0, txt))
+            elif kind == "sequence" and key in s_oid:
+                rows.append((s_oid[key], _DB_OID, 0, txt))
+            elif kind == "type" and key in ty_oid:
+                rows.append((ty_oid[key], _DB_OID, 0, txt))
+            elif kind == "macro" and key in f_oid:
+                rows.append((f_oid[key], _DB_OID, 0, txt))
+        _reg_view(
+            "pg_description", rows,
+            "objoid bigint, classoid bigint, objsubid int, "
+            "description string",
+        )
+    spans_tvf = _literal_spans(text)
+    return re.sub(
+        rf"\b({_DUCK_TVFS})\b(\s*\(\s*\))?",
+        lambda m: m.group(0)
+        if _in_spans(m.start(), spans_tvf)
+        else f"__{m.group(1).lower()}", text, flags=re.I,
     )
 
 
@@ -9199,6 +9711,7 @@ def sql(
     if not re.match(r"\s*(CREATE|DROP|ALTER)\b", text, re.I):
         text = _bind_information_schema(spark, text)
         text = _bind_pg_catalog(spark, text)
+        text = _bind_duckdb_tvfs(spark, text)
         if re.search(r"\(\s*(DESCRIBE|SHOW|SUMMARIZE)\b", text, re.I):
             text = _bind_describe_subqueries(spark, text)
             cmd = _statement_command(spark, text)
