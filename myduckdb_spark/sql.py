@@ -6064,8 +6064,8 @@ _ON_CONFLICT_CLAUSE = re.compile(
 )
 _CREATE_INDEX = re.compile(
     r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r'("?[\w]+"?)\s+ON\s+(\w+)\s*(?:USING\s+\w+\s*)?\(([^()]*)\)\s*;?\s*$',
-    re.I,
+    r'("?[\w]+"?)\s+ON\s+(\w+)\s*(?:USING\s+\w+\s*)?\((.+)\)\s*;?\s*$',
+    re.I | re.S,
 )
 _DROP_INDEX = re.compile(r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?\"?(\w+)\"?\s*;?\s*$", re.I)
 
@@ -7108,7 +7108,7 @@ _UPDATE = re.compile(
     r"(?:\s+FROM\s+(.+?))?(?:\s+WHERE\s+(.+?))?;?\s*$",
     re.I | re.S,
 )
-_CREATE_SEQ = re.compile(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(.*?);?\s*$", re.I | re.S)
+_CREATE_SEQ = re.compile(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(.*?);?\s*$", re.I | re.S)
 _DROP_SEQ = re.compile(r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I)
 _SEQ_VAL = re.compile(r"^\s*SELECT\s+((?:next|curr)val\s*\(\s*'\w+'\s*\)\s*(?:AS\s+\w+\s*)?(?:,\s*(?:next|curr)val\s*\(\s*'\w+'\s*\)\s*(?:AS\s+\w+\s*)?)*);?\s*$", re.I)
 _EXPORT_DB = re.compile(r"^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(.*?\))?\s*;?\s*$", re.I)
@@ -7697,6 +7697,7 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
             ischema.column_row(
                 n, i, declared.get(n.lower(), t),
                 nullable=n not in (key or []) and n.lower() not in notnull,
+                default=defaults.get(n.lower()) if defaults else None,
             )
             for i, (n, t) in enumerate(cols, 1)
         ])
@@ -7746,7 +7747,8 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
             raise KeyError(f"CREATE INDEX: unknown table {name}")
         ischema.INDEXES[_iname.strip('"').lower()] = {
             "table": name, "unique": bool(unique),
-            "columns": [c.strip().strip('"') for c in icols.split(",")],
+            "columns": [c.strip().strip('"')
+                        for c in _split_args(icols)],
         }
         if unique:
             # a unique index is an ON CONFLICT arbiter + INSERT constraint
@@ -8041,11 +8043,34 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         )
         df = sql(spark, sel)
         if cols:
+            # the alias list may name a PREFIX of the columns; the rest
+            # keep their own names (reference bind_create_view —
+            # CREATE VIEW v1 (a, b) AS SELECT i, j, k → a, b, k)
+            if len(cols) < len(df.columns):
+                cols = cols + df.columns[len(cols):]
             df = df.toDF(*cols)
         df.createOrReplaceTempView(name)
         _VIEWS[name] = (sel, cols)
         sch, bare = _schema_of(name)
-        ischema.register_table(name, "memory", sch, bare, "VIEW")
+        _is_temp_view = bool(re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+VIEW",
+            text, re.I,
+        ))
+        ischema.register_table(
+            name, "temp" if _is_temp_view else "memory", sch, bare,
+            "VIEW",
+        )
+        # snapshot the view's column layout: the reference freezes it at
+        # CREATE (a later base-table rename is NOT reflected in
+        # duckdb_columns — table_function/duckdb_columns.test)
+        try:
+            ischema.register_columns(name, [
+                ischema.column_row(f.name, i + 1,
+                                   f.dataType.simpleString())
+                for i, f in enumerate(df.schema.fields)
+            ])
+        except Exception:
+            pass
         ischema.VIEW_SQL[name.lower()] = text.strip().rstrip(";")
         return _count_df(spark, 0)
     m = _DROP_VIEW.match(text)
@@ -8054,6 +8079,12 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         if name in _VIEWS:
             _VIEWS.pop(name)
             ischema.drop_object(name)
+            for k in list(ischema.COMMENTS):
+                if (k[0] == "view" and k[1] == name.lower()) or (
+                    k[0] == "column"
+                    and k[1].startswith(name.lower() + ".")
+                ):
+                    ischema.COMMENTS.pop(k)
             try:
                 spark.catalog.dropTempView(name)
             except Exception:
@@ -8097,6 +8128,17 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                 c for c in ischema.CONSTRAINTS
                 if not (c["schema"] == _sch and c["table"] == _bare)
             ]
+            # a re-created same-named table must not inherit comments
+            for k in list(ischema.COMMENTS):
+                if (k[0] == "table" and k[1] == name.lower()) or (
+                    k[0] == "column"
+                    and k[1].startswith(name.lower() + ".")
+                ):
+                    ischema.COMMENTS.pop(k)
+            for n in [n for n, v in ischema.INDEXES.items()
+                      if v["table"].lower() == name.lower()]:
+                ischema.INDEXES.pop(n)
+                ischema.COMMENTS.pop(("index", n), None)
             spark.catalog.dropTempView(name)
         elif not m.group(1):
             raise KeyError(f"DROP TABLE: unknown table {name}")
@@ -8168,8 +8210,8 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         return _count_df(spark, n)
     m = _CREATE_SEQ.match(text)
     if m:
-        replace, name, opts = bool(m.group(1)), m.group(2), m.group(3) or ""
-        kw: dict = {"replace": replace}
+        replace, name, opts = bool(m.group(1)), m.group(3), m.group(4) or ""
+        kw: dict = {"replace": replace, "temp": bool(m.group(2))}
         # each sequence clause may appear at most once, counting the NO
         # form (NO MAXVALUE MAXVALUE 2 / START 13 START WITH 3 both error)
         for clause in ("MINVALUE", "MAXVALUE", "CYCLE", "START",
@@ -8648,6 +8690,20 @@ def _bind_duckdb_tvfs(spark: SparkSession, text: str) -> str:
         except Exception:
             return []
 
+    def _obj_meta(n: str) -> tuple[str, str, str, bool]:
+        """(database_name, schema_name, bare_name, temporary) — engine
+        keys flatten schema-qualified objects to `<schema>__<name>`; the
+        registry keeps the real split (duckdb_views.test)."""
+        meta = ischema.TABLE_META.get(n.lower(), {})
+        temp = meta.get("type") == "LOCAL TEMPORARY" \
+            or meta.get("catalog") == "temp"
+        return (
+            "temp" if temp else "memory",
+            meta.get("schema", "main"),
+            meta.get("name", n),
+            temp,
+        )
+
     def _reg_view(name: str, rows: list[tuple], ddl: str) -> None:
         spark.createDataFrame(rows, ddl).createOrReplaceTempView(
             f"__{name}"
@@ -8668,11 +8724,12 @@ def _bind_duckdb_tvfs(spark: SparkSession, text: str) -> str:
             )
             idxs = sum(1 for v in ischema.INDEXES.values()
                        if v["table"].lower() == n.lower())
+            db, schn, bare, temp = _obj_meta(n)
             rows.append((
-                "memory", _DB_OID, "main", 1001, n, t_oid[n.lower()],
-                C.get(("table", n.lower())), {}, False, False, keyed,
+                db, _DB_OID, schn, 1001, bare, t_oid[n.lower()],
+                C.get(("table", n.lower())), {}, False, temp, keyed,
                 est, len(sch.fields), idxs + (1 if keyed else 0), checks,
-                f"CREATE TABLE {n}(...);",
+                f"CREATE TABLE {bare}(...);",
             ))
         _reg_view(
             "duckdb_tables", rows,
@@ -8690,25 +8747,52 @@ def _bind_duckdb_tvfs(spark: SparkSession, text: str) -> str:
                 sch = tbl.scan().schema
             except Exception:
                 continue
-            dts = {c["name"].lower(): c["dtype"]
-                   for c in ischema.COLUMN_META.get(n.lower(), [])}
+            cmeta = {c["name"].lower(): c
+                     for c in ischema.COLUMN_META.get(n.lower(), [])}
+            db, schn, bare, _tmp = _obj_meta(n)
             for i, f in enumerate(sch.fields):
-                dt = dts.get(f.name.lower()) or _duck_field_type(f)
+                cm = cmeta.get(f.name.lower(), {})
+                dt = cm.get("dtype") or _duck_field_type(f)
+                prec, scale = cm.get("prec"), cm.get("scale")
+                radix = (10 if dt.startswith(("DECIMAL", "NUMERIC"))
+                         else 2) if prec is not None else None
+                dflt = cm.get("default")
                 rows.append((
-                    "memory", _DB_OID, "main", 1001, n,
+                    db, _DB_OID, schn, 1001, bare,
                     t_oid[n.lower()], f.name, i + 1,
                     C.get(("column", f"{n.lower()}.{f.name.lower()}")),
-                    False, None, f.nullable, dt, 0, None, None, None,
-                    None,
+                    False,
+                    str(dflt) if dflt is not None else None,
+                    cm.get("nullable", f.nullable), dt, 0, None,
+                    prec, radix, scale,
                 ))
         for n in sorted(_VIEWS):
+            db, schn, bare, _tmp = _obj_meta(n)
+            cmeta = ischema.COLUMN_META.get(n.lower())
+            if cmeta:
+                # the CREATE-time snapshot (base-table renames don't
+                # propagate into view metadata, matching the reference)
+                for c in cmeta:
+                    rows.append((
+                        db, _DB_OID, schn, 1001, bare,
+                        v_oid[n.lower()], c["name"], c["ordinal"],
+                        C.get(("column",
+                               f"{n.lower()}.{c['name'].lower()}")),
+                        False, None, c["nullable"], c["dtype"], 0,
+                        None, c["prec"],
+                        (10 if str(c["dtype"]).startswith(
+                            ("DECIMAL", "NUMERIC")) else 2)
+                        if c["prec"] is not None else None,
+                        c["scale"],
+                    ))
+                continue
             try:
                 sch = spark.table(n).schema
             except Exception:
                 continue
             for i, f in enumerate(sch.fields):
                 rows.append((
-                    "memory", _DB_OID, "main", 1001, n,
+                    db, _DB_OID, schn, 1001, bare,
                     v_oid[n.lower()], f.name, i + 1,
                     C.get(("column", f"{n.lower()}.{f.name.lower()}")),
                     False, None, f.nullable, _duck_field_type(f), 0,
@@ -8725,12 +8809,14 @@ def _bind_duckdb_tvfs(spark: SparkSession, text: str) -> str:
             "numeric_precision_radix int, numeric_scale int",
         )
     if "duckdb_views" in used:
-        rows = [
-            ("memory", _DB_OID, "main", 1001, n, v_oid[n.lower()],
-             C.get(("view", n.lower())), {}, False, False,
-             None, f"CREATE VIEW {n} AS {sel};")
-            for n, (sel, _cols) in sorted(_VIEWS.items())
-        ]
+        rows = []
+        for n, (sel, _cols) in sorted(_VIEWS.items()):
+            db, schn, bare, temp = _obj_meta(n)
+            rows.append(
+                (db, _DB_OID, schn, 1001, bare, v_oid[n.lower()],
+                 C.get(("view", n.lower())), {}, False, temp,
+                 None, f"CREATE VIEW {bare} AS {sel};")
+            )
         _reg_view(
             "duckdb_views", rows,
             "database_name string, database_oid bigint, schema_name "
@@ -8755,8 +8841,9 @@ def _bind_duckdb_tvfs(spark: SparkSession, text: str) -> str:
         )
     if "duckdb_sequences" in used:
         rows = [
-            ("memory", _DB_OID, "main", 1001, n, s_oid[n.lower()],
-             C.get(("sequence", n.lower())), {}, False,
+            ("temp" if s.get("temp") else "memory", _DB_OID, "main",
+             1001, n, s_oid[n.lower()],
+             C.get(("sequence", n.lower())), {}, bool(s.get("temp")),
              s.get("start", s.get("next")), s["min"], s["max"],
              s["increment"], s.get("cycle", False), s.get("current"),
              f"CREATE SEQUENCE {n};")

@@ -691,6 +691,7 @@ class SequenceStore:
         maxvalue: int | None = None,
         cycle: bool = False,
         replace: bool = False,
+        temp: bool = False,
     ) -> Sequence:
         if name in self._seqs and not replace:
             raise ValueError(f"sequence {name} already exists")
@@ -718,6 +719,8 @@ class SequenceStore:
             "min": lo,
             "max": hi,
             "cycle": cycle,
+            "start": start,
+            "temp": temp,
         }
         self._save()
         return Sequence(self, name)
