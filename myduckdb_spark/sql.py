@@ -9667,6 +9667,23 @@ def _inline_select_aliases(text: str) -> str:
     return text
 
 
+def _insert_join_lateral(text: str) -> str:
+    """The reference binds joined derived tables laterally without the
+    LATERAL keyword (binder/tableref/bind_joinref.cpp — a subquery on a
+    join's right side may reference columns of earlier FROM items);
+    Spark requires the explicit keyword. Error-driven retry only: insert
+    LATERAL after JOIN when the operand is a parenthesized subquery, so
+    working queries never change."""
+    spans = _literal_spans(text)
+    return re.sub(
+        r"\b(JOIN)(\s*)\((?=\s*(?:SELECT|WITH|VALUES)\b)",
+        lambda m: m.group(0) if _in_spans(m.start(), spans)
+        else f"{m.group(1)} LATERAL (",
+        text,
+        flags=re.I,
+    )
+
+
 # operand of a NATURAL JOIN chain: identifier or a paren group (two
 # nesting levels — enough for (a JOIN b USING (x)) shapes)
 _NAT_OPERAND = (
@@ -9855,9 +9872,18 @@ def sql(
             if "UNRESOLVED_COLUMN" not in str(e):
                 raise
             retry = _inline_select_aliases(out)
-            if retry == out:
+            if retry != out:
+                try:
+                    return spark.sql(retry)
+                except Exception:
+                    pass
+            lateral = _insert_join_lateral(out)
+            if lateral == out:
                 raise
-            return spark.sql(retry)
+            try:
+                return spark.sql(lateral)
+            except Exception:
+                raise e
     spans = _literal_spans(out)
     dollars = [m for m in re.finditer(r"\$([A-Za-z_]\w*|\d+)", out) if not _in_spans(m.start(), spans)]
     if dollars:
