@@ -197,7 +197,8 @@ def drop_schema(schema: str) -> list[str]:
     (engine view names) so the caller can drop the temp views."""
     SCHEMAS.pop(schema, None)
     dropped = [
-        k for k, m in TABLE_META.items() if m["schema"] == schema
+        k for k, m in TABLE_META.items()
+        if m["schema"] == schema or k.startswith(schema.lower() + "__")
     ]
     for k in dropped:
         drop_object(k)

@@ -4356,7 +4356,9 @@ def translate(text: str) -> str:
         out, flags=re.I,
     )
     out = _rewrite_calls(
-        out, "current_database", lambda a: "'memory'" if not a or not a[0] else None
+        out, "current_database",
+        lambda a: f"'{SETTINGS.get('current_database', 'memory')}'"
+        if not a or not a[0] else None,
     )
     # SET search_path drives current_schema/current_schemas/
     # current_setting (values resolve at translate time — session state)
@@ -4366,9 +4368,17 @@ def translate(text: str) -> str:
         r"\1", out, flags=re.I,
     )
     _sp = [s for s in SETTINGS.get("search_path", "").split(",") if s]
+    # an attached-catalog schema's flat name ('db1__s1') reports its
+    # inner name ('s1') — the catalog half lives in current_database()
+    _sp_disp = [
+        (s.partition("__")[2]
+         if s.partition("__")[0].lower() in _attached_lower() else s)
+        or s
+        for s in _sp
+    ]
     out = _rewrite_calls(
         out, "current_schema",
-        lambda a: (f"'{_sp[0]}'" if _sp else "'main'")
+        lambda a: (f"'{_sp_disp[0]}'" if _sp_disp else "'main'")
         if not a or not a[0] else None,
     )
     out = _rewrite_calls(
@@ -5948,6 +5958,7 @@ def reset_dml_state(spark: SparkSession) -> None:
 
     ischema.reset()
     SETTINGS.pop("search_path", None)
+    SETTINGS.pop("current_database", None)
     from myduckdb_spark.storage import _ATTACH_PATHS, _ATTACH_READONLY, _ATTACHED
 
     _ATTACHED.clear()
@@ -6496,7 +6507,7 @@ def _alter_table(spark: SparkSession, exists_ok: str | None, name: str, act: str
                 dfl.pop(src.lower(), None)
             tbl.set_defaults(dfl)
         else:
-            sch, bare = _schema_of(name)
+            cat, sch, bare = _cat_schema_of(name)
             ischema.CONSTRAINTS[:] = [
                 c for c in ischema.CONSTRAINTS
                 if not (c["ctype"] == "NOT NULL" and c["table"] == bare
@@ -6506,7 +6517,7 @@ def _alter_table(spark: SparkSession, exists_ok: str | None, name: str, act: str
             ]
             if verb.upper() == "SET":
                 ischema.CONSTRAINTS.append({
-                    "catalog": "memory", "schema": sch, "table": bare,
+                    "catalog": cat, "schema": sch, "table": bare,
                     "ctype": "NOT NULL", "text": "NOT NULL",
                     "columns": [src],
                 })
@@ -7216,14 +7227,42 @@ def _split_assignments(settext: str) -> dict[str, str]:
 
 def _schema_of(name: str) -> tuple[str, str]:
     """Recover (schema, bare_name) from a flattened ``schema__table``
-    engine object name (CREATE SCHEMA front door)."""
+    engine object name (CREATE SCHEMA front door). Longest registered
+    flat-schema prefix wins — attached-catalog schemas register as
+    ``alias__schema`` and their objects as ``alias__schema__table``."""
     from myduckdb_spark import infoschema as ischema
 
     if "__" in name:
-        s, _, bare = name.partition("__")
-        if s in ischema.SCHEMAS:
-            return s, bare
+        low = name.lower()
+        for s in sorted(ischema.SCHEMAS, key=len, reverse=True):
+            if low.startswith(s.lower() + "__"):
+                return s, name[len(s) + 2:]
     return "main", name
+
+
+def _cat_schema_of(name: str) -> tuple[str, str, str]:
+    """(database, schema, bare_name) for a flattened engine object name
+    (reference: src/main/attached_database.cpp catalog/schema split):
+    ``db1__s1__t1`` → ('db1','s1','t1') for an attached catalog's
+    schema, ``db1__t1`` → ('db1','main','t1') for an attached catalog's
+    default schema, ``s__t`` → ('memory','s','t'), ``t`` →
+    ('memory','main','t')."""
+    sch, bare = _schema_of(name)
+    if sch != "main" and "__" in sch:
+        db, _, inner = sch.partition("__")
+        if db.lower() in _attached_lower():
+            return db, inner, bare
+    if sch == "main" and "__" in name:
+        db, _, rest = name.partition("__")
+        if db.lower() in _attached_lower():
+            return db, "main", rest
+    return "memory", sch, bare
+
+
+def _attached_lower() -> set[str]:
+    from myduckdb_spark.storage import _ATTACHED
+
+    return {a.lower() for a in _ATTACHED}
 
 
 def _flatten_schema_refs(text: str) -> str:
@@ -7274,16 +7313,83 @@ def _flatten_schema_refs(text: str) -> str:
         # temp-catalog qualifier on reads/DML (CREATE keeps it so the
         # temp-without-TEMPORARY error can fire)
         text = _strip_qualifier(text, "temp")
-    if not ischema.SCHEMAS:
+    atts = _attached_lower()
+    if not ischema.SCHEMAS and not atts:
         return text
     spans = _literal_spans(text)
+    _inner_counts: dict[str, int] = {}
     for s in ischema.SCHEMAS:
-        pat = re.compile(rf"\b{re.escape(s)}\s*\.\s*(\w+)", re.I)
+        if "__" in s:
+            inner = s.partition("__")[2].lower()
+            _inner_counts[inner] = _inner_counts.get(inner, 0) + 1
+    for s in ischema.SCHEMAS:
+        # attached-catalog schemas register flattened ('db1__s1'); their
+        # dotted spelling 'db1.s1.obj' must resolve to the same objects
+        alt = re.escape(s)
+        if "__" in s:
+            db, _, inner = s.partition("__")
+            alt = rf"(?:{alt}|{re.escape(db)}\s*\.\s*{re.escape(inner)})"
+            # a bare 'inner.obj' resolves through the catalog search
+            # path (current database first, else unambiguous)
+            cur = SETTINGS.get("current_database", "memory")
+            if inner.lower() not in {
+                x.lower() for x in ischema.SCHEMAS
+            } and (cur.lower() == db.lower()
+                   or _inner_counts[inner.lower()] == 1):
+                alt = rf"(?:{alt}|{re.escape(inner)})"
+        pat = re.compile(rf"\b{alt}\s*\.\s*(\w+)", re.I)
         text = pat.sub(
             lambda mm: mm.group(0)
             if _in_spans(mm.start(), spans) else f"{s}__{mm.group(1)}",
             text,
         )
+        spans = _literal_spans(text)
+    if atts:
+        # two-part `alias.obj` of an attached catalog: resolve through
+        # the alias's schemas (reference binder catalog search,
+        # src/catalog/catalog.cpp::LookupEntry) — existing object wins,
+        # else the alias's default 'main' schema (creation target)
+        from myduckdb_spark.storage import attached_aliases
+
+        amap = attached_aliases()
+        sp = [e for e in SETTINGS.get("search_path", "").split(",") if e]
+
+        def _alias_sub(mm: "re.Match[str]") -> str:
+            if _in_spans(mm.start(), spans):
+                return mm.group(0)
+            alias, obj = mm.group(1), mm.group(2)
+            if re.match(r"\s*\(", text[mm.end():]):
+                return mm.group(0)  # alias.fn(...) call, not a table
+            trailing_dot = bool(re.match(r"\s*\.", text[mm.end():]))
+            flat = f"{alias}__{obj}"
+            known = {
+                t.lower()
+                for a, ts in amap.items()
+                if a.lower() == alias.lower()
+                for t in ts
+            }
+            if flat.lower() in ischema.TABLE_META or obj.lower() in known:
+                return flat  # alias.table(.col) → alias__table(.col)
+            if trailing_dot:
+                # alias.unknown.x — an unregistered schema path; leave
+                return mm.group(0)
+            pref = [e for e in sp
+                    if e.lower().startswith(alias.lower() + "__")]
+            rest = sorted(
+                s for s in ischema.SCHEMAS
+                if s.lower().startswith(alias.lower() + "__")
+            )
+            for s in pref + rest:
+                if f"{s}__{obj}".lower() in ischema.TABLE_META:
+                    return f"{s}__{obj}"
+            return flat
+
+        alias_pat = re.compile(
+            rf"(?<![\w.\"])({'|'.join(re.escape(a) for a in amap)})"
+            rf"\s*\.\s*(\w+)",
+            re.I,
+        )
+        text = alias_pat.sub(_alias_sub, text)
         spans = _literal_spans(text)
     sp = SETTINGS.get("search_path", "")
     if sp:
@@ -7305,14 +7411,30 @@ def _flatten_schema_refs(text: str) -> str:
 
 
 _CREATE_SCHEMA = re.compile(
-    r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?\"?(\w+)\"?\s*;?\s*$",
+    r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:\"?(\w+)\"?\s*\.\s*)?\"?(\w+)\"?\s*;?\s*$",
     re.I,
 )
 _DROP_SCHEMA = re.compile(
-    r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?\"?(\w+)\"?\s*"
+    r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?"
+    r"(?:\"?(\w+)\"?\s*\.\s*)?\"?(\w+)\"?\s*"
     r"(CASCADE|RESTRICT)?\s*;?\s*$",
     re.I,
 )
+
+
+def _flat_schema_name(qualifier: str | None, name: str) -> str:
+    """CREATE/DROP/USE schema target → flattened engine schema name.
+    A qualifier naming an attached catalog prefixes (``db1.s1`` →
+    ``db1__s1``, src/main/attached_database.cpp schema entries); the
+    default catalog 'memory' is a no-op prefix."""
+    if not qualifier or qualifier.lower() in ("memory", "temp"):
+        return name
+    if qualifier.lower() in _attached_lower():
+        return f"{qualifier}__{name}"
+    raise ValueError(
+        f"Catalog Error: Catalog with name {qualifier} does not exist!"
+    )
 
 
 _COMMENT_ON = re.compile(
@@ -7361,25 +7483,45 @@ def _comment_on(spark: SparkSession, m: "re.Match[str]") -> DataFrame:
     key = name.lower()
     low_managed = {k.lower() for k in _MANAGED}
     low_views = {k.lower() for k in _VIEWS}
+
+    def _resolve(k: str, pool: set[str]) -> str | None:
+        """Bare object name → flattened key via the session search path
+        (reference binder schema search; USE db.schema sets the path)."""
+        if k in pool:
+            return k
+        sp = [e for e in SETTINGS.get("search_path", "").split(",") if e]
+        for s in sp:
+            if f"{s}__{k}".lower() in pool:
+                return f"{s}__{k}".lower()
+        return None
+
     if kind == "TABLE":
-        if key not in low_managed:
+        key = _resolve(key, low_managed)
+        if key is None:
             raise ValueError(
                 f"Catalog Error: Table with name {name} does not exist!"
             )
         ischema.COMMENTS[("table", key)] = comment
     elif kind == "VIEW":
-        if key not in low_views:
+        key = _resolve(key, low_views)
+        if key is None:
             raise ValueError(
                 f"Catalog Error: View with name {name} does not exist!"
             )
         ischema.COMMENTS[("view", key)] = comment
     elif kind == "COLUMN":
         parts = key.split(".")
+        if len(parts) > 4:
+            raise ValueError(
+                f"Parser Error: Invalid column reference: '{name}', "
+                "too many dots"
+            )
         if len(parts) < 2:
             raise ValueError(
-                "Parser Error: COMMENT ON COLUMN expects table.column"
+                f"Parser Error: Invalid column reference: '{name}'"
             )
         tbl, col = parts[-2], parts[-1]
+        tbl = _resolve(tbl, low_managed | low_views) or tbl
         if tbl in low_managed:
             cols = {c.lower() for c in
                     next(v for k, v in _MANAGED.items()
@@ -7399,11 +7541,20 @@ def _comment_on(spark: SparkSession, m: "re.Match[str]") -> DataFrame:
             )
         ischema.COMMENTS[("column", f"{tbl}.{col}")] = comment
     elif kind == "INDEX":
-        if key not in ischema.INDEXES:
+        ikey = _resolve(key, set(ischema.INDEXES))
+        if ikey is None and "__" in key:
+            # 'db2__test_index' (alias-default flat) → the index may
+            # live in any of the alias's schemas: db2__s2__test_index
+            db, _, bare_ix = key.partition("__")
+            cands = [k for k in ischema.INDEXES
+                     if k.startswith(db + "__")
+                     and k.rsplit("__", 1)[-1] == bare_ix]
+            ikey = cands[0] if len(cands) == 1 else None
+        if ikey is None:
             raise ValueError(
                 f"Catalog Error: Index with name {name} does not exist!"
             )
-        ischema.COMMENTS[("index", key)] = comment
+        ischema.COMMENTS[("index", ikey)] = comment
     elif kind == "SEQUENCE":
         if name not in _seq_store()._seqs and key not in _seq_store()._seqs:
             raise ValueError(
@@ -7449,21 +7600,23 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
 
     m = _CREATE_SCHEMA.match(text)
     if m:
-        if m.group(2) in ischema.SCHEMAS and not m.group(1):
-            raise ValueError(f"schema {m.group(2)} already exists")
-        ischema.create_schema(m.group(2))
+        flat = _flat_schema_name(m.group(2), m.group(3))
+        if flat in ischema.SCHEMAS and not m.group(1):
+            raise ValueError(f"schema {flat} already exists")
+        ischema.create_schema(flat)
         return _count_df(spark, 0)
     m = _DROP_SCHEMA.match(text)
     if m:
-        name = m.group(2)
+        name = _flat_schema_name(m.group(2), m.group(3))
         if name not in ischema.SCHEMAS:
             if m.group(1):
                 return _count_df(spark, 0)
             raise KeyError(f"DROP SCHEMA: unknown schema {name}")
         members = [
-            k for k, t in ischema.TABLE_META.items() if t["schema"] == name
+            k for k, t in ischema.TABLE_META.items()
+            if t["schema"] == name or k.startswith(name.lower() + "__")
         ]
-        if members and (m.group(3) or "").upper() != "CASCADE":
+        if members and (m.group(4) or "").upper() != "CASCADE":
             raise ValueError(
                 f"DROP SCHEMA: schema {name} is not empty (use CASCADE)"
             )
@@ -7603,9 +7756,9 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         select = _bind_file_scans(spark, select)
         _MANAGED[name] = storage.ManagedTable.create(spark, root, spark.sql(translate(select)))
         _refresh_view(spark, name)
-        sch, bare = _schema_of(name)
+        cat, sch, bare = _cat_schema_of(name)
         ischema.register_table(
-            name, "temp" if is_temp else "memory", sch, bare,
+            name, "temp" if is_temp else cat, sch, bare,
             "LOCAL TEMPORARY" if is_temp else "BASE TABLE",
         )
         # carrier-erased duck types survive CTAS through field metadata
@@ -7686,9 +7839,9 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         _refresh_view(spark, name)
         # catalog-metadata registry: declared columns + key constraints
         # feed information_schema (myduckdb_spark.infoschema)
-        sch, bare = _schema_of(name)
+        cat, sch, bare = _cat_schema_of(name)
         ischema.register_table(
-            name, "temp" if is_temp else "memory", sch, bare,
+            name, "temp" if is_temp else cat, sch, bare,
             "LOCAL TEMPORARY" if is_temp else "BASE TABLE",
         )
         notnull = {x["columns"][0].lower() for x in extras
@@ -7703,7 +7856,7 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         ])
         if key:
             ischema.CONSTRAINTS.append({
-                "catalog": "memory", "schema": sch, "table": bare,
+                "catalog": cat, "schema": sch, "table": bare,
                 "ctype": "PRIMARY KEY",
                 "text": f"PRIMARY KEY({', '.join(key)})", "columns": key,
             })
@@ -7712,7 +7865,7 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         for c in (key or []):
             nn_seen.add(c.lower())
             ischema.CONSTRAINTS.append({
-                "catalog": "memory", "schema": sch, "table": bare,
+                "catalog": cat, "schema": sch, "table": bare,
                 "ctype": "NOT NULL", "text": "NOT NULL", "columns": [c],
             })
         for x in extras:
@@ -7730,12 +7883,12 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
                     ) if w.lower() in names
                 ]
             ischema.CONSTRAINTS.append({
-                "catalog": "memory", "schema": sch, "table": bare,
+                "catalog": cat, "schema": sch, "table": bare,
                 **{k: x[k] for k in ("ctype", "text", "columns")},
             })
         for u in uniques:
             ischema.CONSTRAINTS.append({
-                "catalog": "memory", "schema": sch, "table": bare,
+                "catalog": cat, "schema": sch, "table": bare,
                 "ctype": "UNIQUE", "text": f"UNIQUE({', '.join(u)})",
                 "columns": u,
             })
@@ -7745,7 +7898,15 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         unique, _iname, name, icols = m.groups()
         if name not in _MANAGED:
             raise KeyError(f"CREATE INDEX: unknown table {name}")
-        ischema.INDEXES[_iname.strip('"').lower()] = {
+        # indexes on attached-catalog tables key by their flat schema
+        # prefix so the same index name can exist per catalog/schema
+        # (catalog/comment_on_extended.test); memory-catalog indexes
+        # keep bare names (status quo for DROP INDEX by name)
+        _icat, _isch, _ibare = _cat_schema_of(name)
+        _ikey = _iname.strip('"').lower()
+        if _icat not in ("memory", "temp"):
+            _ikey = f"{name[: len(name) - len(_ibare) - 2]}__{_ikey}".lower()
+        ischema.INDEXES[_ikey] = {
             "table": name, "unique": bool(unique),
             "columns": [c.strip().strip('"')
                         for c in _split_args(icols)],
@@ -7765,7 +7926,14 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
         return _count_df(spark, 0)
     dm_ix = _DROP_INDEX.match(text)
     if dm_ix:
-        ischema.INDEXES.pop(dm_ix.group(1).lower(), None)
+        _dk = dm_ix.group(1).lower()
+        if ischema.INDEXES.pop(_dk, None) is None:
+            # qualified (attached-catalog) index keys: drop by suffix
+            # when the bare name is unambiguous
+            _cands = [k for k in ischema.INDEXES
+                      if k.rsplit("__", 1)[-1] == _dk]
+            if len(_cands) == 1:
+                ischema.INDEXES.pop(_cands[0])
         return _count_df(spark, 0)  # unique sets are kept — conservative
     m = _INSERT.match(text)
     if m and m.group(2) in _MANAGED:
@@ -8051,13 +8219,13 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
             df = df.toDF(*cols)
         df.createOrReplaceTempView(name)
         _VIEWS[name] = (sel, cols)
-        sch, bare = _schema_of(name)
+        cat, sch, bare = _cat_schema_of(name)
         _is_temp_view = bool(re.match(
             r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+VIEW",
             text, re.I,
         ))
         ischema.register_table(
-            name, "temp" if _is_temp_view else "memory", sch, bare,
+            name, "temp" if _is_temp_view else cat, sch, bare,
             "VIEW",
         )
         # snapshot the view's column layout: the reference freezes it at
@@ -8298,6 +8466,11 @@ def _dml_statement(spark: SparkSession, text: str) -> DataFrame | None:
 
 
 _SET_STMT = re.compile(r"^\s*SET\s+(\w[\w.]*)\s*(?:=|TO)\s*(.+?)\s*;?\s*$", re.I)
+# USE db | USE schema | USE db.schema (reference: SET schema / catalog
+# sugar, src/parser/statement/set_statement.cpp USE path)
+_USE_STMT = re.compile(
+    r"^\s*USE\s+(?:\"?(\w+)\"?\s*\.\s*)?\"?(\w+)\"?\s*;?\s*$", re.I,
+)
 _PRAGMA_TI = re.compile(r"^\s*PRAGMA\s+table_info\s*\(\s*'([\w.]+)'\s*\)\s*;?\s*$", re.I)
 _EXPLAIN = re.compile(r"^\s*EXPLAIN\s+(.*)$", re.I | re.S)
 
@@ -8698,7 +8871,7 @@ def _bind_duckdb_tvfs(spark: SparkSession, text: str) -> str:
         temp = meta.get("type") == "LOCAL TEMPORARY" \
             or meta.get("catalog") == "temp"
         return (
-            "temp" if temp else "memory",
+            "temp" if temp else meta.get("catalog", "memory"),
             meta.get("schema", "main"),
             meta.get("name", n),
             temp,
@@ -8825,12 +8998,14 @@ def _bind_duckdb_tvfs(spark: SparkSession, text: str) -> str:
             "boolean, temporary boolean, column_count bigint, sql string",
         )
     if "duckdb_indexes" in used:
-        rows = [
-            ("memory", _DB_OID, "main", 1001, n, i_oid[n], v["table"],
-             t_oid.get(v["table"].lower()),
-             C.get(("index", n)), {}, v["unique"], False, None, None)
-            for n, v in sorted(ischema.INDEXES.items())
-        ]
+        rows = []
+        for n, v in sorted(ischema.INDEXES.items()):
+            icat, isch, itbl = _cat_schema_of(v["table"])
+            rows.append((
+                icat, _DB_OID, isch, 1001, n.rsplit("__", 1)[-1],
+                i_oid[n], itbl, t_oid.get(v["table"].lower()),
+                C.get(("index", n)), {}, v["unique"], False, None, None,
+            ))
         _reg_view(
             "duckdb_indexes", rows,
             "database_name string, database_oid bigint, schema_name "
@@ -8978,6 +9153,32 @@ def _statement_command(spark: SparkSession, text: str) -> DataFrame | None:
         if _PREPARED.pop(m.group(1).lower(), None) is None:
             raise KeyError(f"DEALLOCATE: unknown prepared statement {m.group(1)}")
         return _count_df(spark, 0)
+    m = _USE_STMT.match(text)
+    if m:
+        from myduckdb_spark import infoschema as ischema
+
+        q, name = m.group(1), m.group(2)
+        if q:  # USE db.schema
+            flat = _flat_schema_name(q, name)
+            if flat not in ischema.SCHEMAS and name.lower() != "main":
+                raise ValueError(
+                    f"Catalog Error: SET schema: No catalog + schema "
+                    f'named "{q}.{name}" found.'
+                )
+            SETTINGS["current_database"] = q
+            SETTINGS["search_path"] = "" if name.lower() == "main" else flat
+        elif name.lower() in ("memory", "temp") \
+                or name.lower() in _attached_lower():
+            SETTINGS["current_database"] = name
+            SETTINGS["search_path"] = ""
+        elif name in ischema.SCHEMAS:
+            SETTINGS["search_path"] = name
+        else:
+            raise ValueError(
+                f"Catalog Error: SET schema: No catalog + schema named "
+                f'"{name}" found.'
+            )
+        return _count_df(spark, 0)
     m = _SET_STMT.match(text)
     if m:
         name, raw = m.group(1), m.group(2).strip().strip("'\"")
@@ -9002,6 +9203,13 @@ def _statement_command(spark: SparkSession, text: str) -> DataFrame | None:
                 raise ValueError(
                     'Parser Error: SET schema expected a single entry'
                 )
+            entries = [
+                e.replace(".", "__")
+                if "." in e
+                and e.split(".")[0].lower() in _attached_lower()
+                else e
+                for e in entries
+            ]
             for e in entries:
                 if e != "main" and e not in ischema.SCHEMAS:
                     raise ValueError(
