@@ -72,9 +72,12 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     duck_cap = float(os.environ.get("SPARK_GRAFT_BENCH_DUCK_CAP", "120"))
+    # local-iteration subset (unset → full headline list, the driver path)
+    only = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
+    headline = [q for q in HEADLINE if not only or q in only]
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         samples = []
         for _ in range(runs):
             t0 = time.time()
@@ -100,7 +103,7 @@ def main() -> None:
             p = f"{p}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     duck: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         sql = oracles.get(name)
         if sql is None:
             continue

@@ -65,6 +65,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# On-disk cap below which a dimension-table broadcast HINT is attached.
+# A hard F.broadcast hint overrides AQE forever — correct while the dim is
+# small, an executor/driver OOM once it is not (e.g. customer at sf100+).
+# 256 MB of compressed parquet ≈ 1-2 GB hashed relation: inside Spark's
+# 8 GB broadcast cap with headroom, and past it AQE/autoBroadcastThreshold
+# make the call from runtime sizes instead. Env-tunable for clusters.
+BROADCAST_HINT_CAP_BYTES = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_HINT_CAP_BYTES", str(256 << 20))
+)
+
+
+def source_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of one catalog table (file or directory of parts)."""
+    p = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _dirs, fs in os.walk(p)
+                for f in fs
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return 1 << 60  # unknown size → never hint
+
+
+def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Broadcast hint gated on the source table's on-disk size.
+
+    The hint is kept while the table is provably small (same plans as the
+    old hard hints at every bench scale); above the cap the planner/AQE
+    picks the strategy from runtime statistics — the behaviour a 100 TB
+    run needs. Filters applied on top of the scan only shrink the side,
+    so the on-disk size is a conservative upper bound."""
+    from pyspark.sql import functions as F
+
+    if source_bytes(sf_dir, name) <= BROADCAST_HINT_CAP_BYTES:
+        return F.broadcast(df)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register every table as a temp view so ``spark.sql`` queries see the
     same names the DuckDB oracle uses."""

@@ -192,12 +192,27 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = (
+    # Only the EXPLODED (id, shingle) rows are cached — every downstream
+    # branch (probes, bitmap build, signatures, hashed-array verify)
+    # derives from them. Caching the pre-explode shingle ARRAYS as well
+    # (the r8 layout) doubled the cache writes for no reader.
+    exploded = (
         docs.repartition(par)
-        .select(F.col(id_col).alias("id"), char_shingles_expr(text_col, k).alias("sh"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(char_shingles_expr(text_col, k)).alias("s"),
+        )
         .persist()
     )
-    n_docs = sh.count()
+    # ONE probe job for both policy inputs (doc count + vocabulary size)
+    # instead of r8's two (sh.count() then distinct-limit-collect), and
+    # without materializing the shingle-array cache the old count walked.
+    # n_docs counts docs with ≥1 shingle — shingle-less docs can never
+    # pair, so the policy thresholds see the same effective corpus.
+    probe = exploded.agg(
+        F.count_distinct("id").alias("nd"), F.count_distinct("s").alias("nv")
+    ).first()
+    n_docs, n_vocab = probe["nd"], probe["nv"]
     # pair verification re-attaches per-doc payloads to the candidate
     # list; the lookup side is |docs| rows, broadcastable only while the
     # corpus is small. Above budget use plain shuffle joins — at 100 TB
@@ -207,36 +222,51 @@ def minhash_lsh_pairs(
         F.broadcast if n_docs <= _VERIFY_BROADCAST_MAX_DOCS
         else (lambda d: d)
     )
-    exploded = sh.select("id", F.explode("sh").alias("s")).persist()
     hashed = exploded.select("id", F.xxhash64("s").alias("h"))
 
-    vocab = [
-        row[0]
-        for row in exploded.select("s").distinct().limit(_BITMAP_VOCAB_MAX + 1).collect()
-    ]
-    bitmap_ok = len(vocab) <= _BITMAP_VOCAB_MAX
+    if n_vocab == 0:  # no doc has a shingle → no pair can exist
+        return docs.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("jacc"),
+        ).limit(0)
+    bitmap_ok = n_vocab <= _BITMAP_VOCAB_MAX
     if bitmap_ok:
-        nwords = (len(vocab) + 63) // 64
-        # shingle -> bit index. A literal-map lookup (element_at on a
-        # create_map constant) beats the broadcast-join formulation on
-        # first execution by ~2s — it skips the broadcast-exchange job
-        # and one codegen stage; the map is ≤ _BITMAP_VOCAB_MAX entries
-        # and ships inside the serialized plan (≤ ~64 KiB). Above 1024
-        # entries the plan-embedded literal gets bulky, so fall back to
-        # the broadcast join (identical output).
-        sorted_vocab = sorted(vocab)
-        if len(sorted_vocab) <= 1024:
+        # vocabulary fits the bitmap budget: collect it (≤4096 strings,
+        # cheap from the cached exploded rows) with its xxhash64 values.
+        vocab_rows = (
+            exploded.select("s").distinct()
+            .select("s", F.xxhash64("s").alias("h"))
+            .collect()
+        )
+        sorted_vocab = sorted(r["s"] for r in vocab_rows)
+        nwords = (n_vocab + 63) // 64
+        # shingle -> bit index. element_at on a plan-literal map is a
+        # LINEAR scan of the keys per probed row; with ≤4096 STRING keys
+        # that scan dominated the r8 bitmap build (~V/2 UTF8 compares ×
+        # every exploded row). Key the literal map by xxhash64(s) instead:
+        # the probe stays a linear scan but over 8-byte longs (one codegen
+        # comparison each), measured far cheaper, and the map constant
+        # ships inside the plan with no broadcast-exchange job. Hash
+        # collisions inside a ≤4096-string vocabulary are ~2⁻⁴⁰-probable;
+        # the collected hashes prove injectivity, with the string-keyed
+        # map as the (never-expected) fallback.
+        hash_by_s = {r["s"]: r["h"] for r in vocab_rows}
+        if len(set(hash_by_s.values())) == n_vocab:
             kv: list = []
+            for i, s in enumerate(sorted_vocab):
+                kv += [F.lit(hash_by_s[s]), F.lit(i)]
+            idxed = exploded.select(
+                "id", F.element_at(F.create_map(*kv), F.xxhash64("s")).alias("idx")
+            )
+        else:  # pragma: no cover - astronomically unlikely
+            kv = []
             for i, s in enumerate(sorted_vocab):
                 kv += [F.lit(s), F.lit(i)]
             idxed = exploded.select(
                 "id", F.element_at(F.create_map(*kv), F.col("s")).alias("idx")
             )
-        else:
-            vocab_df = docs.sparkSession.createDataFrame(
-                [(s, i) for i, s in enumerate(sorted_vocab)], "s string, idx int"
-            )
-            idxed = exploded.join(F.broadcast(vocab_df), "s").select("id", "idx")
+        setsize_w = sum(F.bit_count(F.col(f"w{w}")) for w in range(nwords))
         bm = (
             idxed.groupBy("id")
             .agg(
@@ -251,9 +281,13 @@ def minhash_lsh_pairs(
                     for w in range(nwords)
                 ]
             )
+            .withColumn("n", setsize_w)
+            # BOTH join sides read the per-doc bitmaps; without a cache
+            # the whole index-lookup + groupBy subtree runs twice (the r8
+            # plan had two full HashAggregate trees — no exchange reuse
+            # across a BroadcastExchange). |docs| rows × (nwords+2) longs.
+            .persist()
         )
-        setsize = sum(F.bit_count(F.col(f"w{w}")) for w in range(nwords))
-        bm = bm.withColumn("n", setsize)
         av = bm.select(
             F.col("id").alias("id_a"),
             F.col("n").alias("n_a"),
@@ -279,11 +313,21 @@ def minhash_lsh_pairs(
         # a broadcast nested-loop join of pure bit-ops, with exact output
         # (no LSH miss probability at all)
         if n_docs <= _ALLPAIRS_MAX_DOCS:
+            # conjunct ORDER matters: the BNLJ evaluates the condition
+            # left-to-right per candidate pair, so the 1-comparison
+            # id ordering and 2-comparison size-ratio prefilters must
+            # run BEFORE the 4·nwords-bit-op Jaccard. The threshold
+            # check lives IN the join condition — a post-join .filter()
+            # gets pushed in FRONT of the cheap conjuncts (the r8 plan
+            # paid the full Jaccard on all n² ordered pairs).
+            cond = (
+                (F.col("id_a") < F.col("id_b"))
+                & ratio_ok
+                & ((inter / union) >= threshold)
+            )
             return (
-                av.join(F.broadcast(bv), (F.col("id_a") < F.col("id_b")) & ratio_ok)
-                .select("id_a", "id_b", (inter / union).alias("__j"))
-                .filter(F.col("__j") >= threshold)
-                .select("id_a", "id_b", F.round(F.col("__j"), 6).alias("jacc"))
+                av.join(F.broadcast(bv), cond)
+                .select("id_a", "id_b", F.round(inter / union, 6).alias("jacc"))
             )
 
     sig = hashed.groupBy("id").agg(

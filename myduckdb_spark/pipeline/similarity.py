@@ -46,37 +46,37 @@ def brute_force_topk(
     faster on the 32M-row aggregation at sf0.1, same rounded-6 output,
     and the oracle uses the identical formulation."""
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    pn = probes.select(
+    # Norms ride ALONG the exploded streams (computed once per VECTOR in
+    # the projection below the Generate, then duplicated per dimension
+    # row) and come out of the aggregation via first() — r8 instead
+    # re-scanned probes and corpus to build two norm lookup sides and
+    # broadcast-joined them onto the pair scores: two extra scans, two
+    # extra broadcast-exchange jobs, two extra joins for the same values.
+    pe = probes.select(
         F.col(id_col).alias("probe_id"),
         F.sqrt(norm_sq_dec_expr(vec_col)).alias("p_norm"),
-    )
-    cn = corpus.select(
+        F.posexplode(vec_col).alias("pos", "px"),
+    ).select("probe_id", "p_norm", "pos", F.col("px").cast("double").alias("px"))
+    ce = corpus.repartition(par).select(
         F.col(id_col).alias("neighbor_id"),
         F.sqrt(norm_sq_dec_expr(vec_col)).alias("c_norm"),
-    )
-    pe = probes.select(
-        F.col(id_col).alias("probe_id"), F.posexplode(vec_col).alias("pos", "px")
-    ).select("probe_id", "pos", F.col("px").cast("double").alias("px"))
-    ce = corpus.repartition(par).select(
-        F.col(id_col).alias("neighbor_id"), F.posexplode(vec_col).alias("pos", "cx")
-    ).select("neighbor_id", "pos", F.col("cx").cast("double").alias("cx"))
+        F.posexplode(vec_col).alias("pos", "cx"),
+    ).select("neighbor_id", "c_norm", "pos", F.col("cx").cast("double").alias("cx"))
     dots = (
         ce.join(F.broadcast(pe), "pos")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .groupBy("probe_id", "neighbor_id")
         .agg(
             (F.sum(F.round(F.col("px") * F.col("cx") * 1e15).cast("bigint")) / 1e15)
-            .alias("dot")
+            .alias("dot"),
+            F.first("p_norm").alias("p_norm"),
+            F.first("c_norm").alias("c_norm"),
         )
     )
-    scored = (
-        dots.join(F.broadcast(pn), "probe_id")
-        .join(F.broadcast(cn), "neighbor_id")
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.round(F.col("dot") / (F.col("p_norm") * F.col("c_norm")), 6).alias("cos_sim"),
-        )
+    scored = dots.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(F.col("dot") / (F.col("p_norm") * F.col("c_norm")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -160,36 +160,35 @@ def lsh_bucketed_topk(
     if tables > 1:  # a pair colliding in several tables must score once
         cands = cands.dropDuplicates(["probe_id", "neighbor_id"])
 
+    # norms ride along the candidate/exploded streams (one eval per
+    # vector, ducted through the aggregation via first()) — see
+    # brute_force_topk: this removes the two norm lookup scans/joins.
     pe = probes.select(
-        F.col(id_col).alias("probe_id"), F.posexplode(vec_col).alias("pos", "px")
-    ).select("probe_id", "pos", F.col("px").cast("double").alias("px"))
-    cvec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        F.col(id_col).alias("probe_id"),
+        F.sqrt(norm_sq_dec_expr(vec_col)).alias("p_norm"),
+        F.posexplode(vec_col).alias("pos", "px"),
+    ).select("probe_id", "p_norm", "pos", F.col("px").cast("double").alias("px"))
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(norm_sq_dec_expr(vec_col)).alias("c_norm"),
+    )
     dots = (
         cands.join(cvec, "neighbor_id")
-        .select("probe_id", "neighbor_id", F.posexplode("cv").alias("pos", "cx"))
+        .select("probe_id", "neighbor_id", "c_norm", F.posexplode("cv").alias("pos", "cx"))
         .join(F.broadcast(pe), ["probe_id", "pos"])
         .groupBy("probe_id", "neighbor_id")
         .agg(
             (F.sum(F.round(F.col("px") * F.col("cx").cast("double") * 1e15).cast("bigint")) / 1e15)
-            .alias("dot")
+            .alias("dot"),
+            F.first("p_norm").alias("p_norm"),
+            F.first("c_norm").alias("c_norm"),
         )
     )
-    pn = probes.select(
-        F.col(id_col).alias("probe_id"), F.sqrt(norm_sq_dec_expr(vec_col)).alias("p_norm")
-    )
-    cn = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.sqrt(norm_sq_dec_expr(vec_col)).alias("c_norm")
-    )
-    # probe norms broadcast (probes are the small side by construction);
-    # corpus norms join on neighbor_id and AQE picks broadcast when they fit
-    scored = (
-        dots.join(F.broadcast(pn), "probe_id")
-        .join(cn, "neighbor_id")
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.round(F.col("dot") / (F.col("p_norm") * F.col("c_norm")), 6).alias("cos_sim"),
-        )
+    scored = dots.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(F.col("dot") / (F.col("p_norm") * F.col("c_norm")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -362,34 +361,34 @@ def ivf_topk(
         .select("probe_id", "neighbor_id")
         .distinct()
     )
+    # norms ride along the candidate/exploded streams — see
+    # brute_force_topk: removes the two norm lookup scans/joins.
     pe = probes.select(
-        F.col(id_col).alias("probe_id"), F.posexplode(vec_col).alias("pos", "px")
-    ).select("probe_id", "pos", F.col("px").cast("double").alias("px"))
-    cvec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        F.col(id_col).alias("probe_id"),
+        F.sqrt(norm_sq_dec_expr(vec_col)).alias("p_norm"),
+        F.posexplode(vec_col).alias("pos", "px"),
+    ).select("probe_id", "p_norm", "pos", F.col("px").cast("double").alias("px"))
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(norm_sq_dec_expr(vec_col)).alias("c_norm"),
+    )
     dots = (
         cands.join(cvec, "neighbor_id")
-        .select("probe_id", "neighbor_id", F.posexplode("cv").alias("pos", "cx"))
+        .select("probe_id", "neighbor_id", "c_norm", F.posexplode("cv").alias("pos", "cx"))
         .join(F.broadcast(pe), ["probe_id", "pos"])
         .groupBy("probe_id", "neighbor_id")
         .agg(
             (F.sum(F.round(F.col("px") * F.col("cx").cast("double") * 1e15).cast("bigint")) / 1e15)
-            .alias("dot")
+            .alias("dot"),
+            F.first("p_norm").alias("p_norm"),
+            F.first("c_norm").alias("c_norm"),
         )
     )
-    pn = probes.select(
-        F.col(id_col).alias("probe_id"), F.sqrt(norm_sq_dec_expr(vec_col)).alias("p_norm")
-    )
-    cn = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.sqrt(norm_sq_dec_expr(vec_col)).alias("c_norm")
-    )
-    scored = (
-        dots.join(F.broadcast(pn), "probe_id")
-        .join(cn, "neighbor_id")
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.round(F.col("dot") / (F.col("p_norm") * F.col("c_norm")), 6).alias("cos_sim"),
-        )
+    scored = dots.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(F.col("dot") / (F.col("p_norm") * F.col("c_norm")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from myduckdb_spark.catalog import load_table
+from myduckdb_spark.catalog import maybe_broadcast as _mb
 from myduckdb_spark.functions.compat import DEC, dsum, dsum_sql
 from myduckdb_spark.queries import register
 
@@ -159,7 +160,7 @@ def agg_string_agg_ordered(spark, sf_dir):
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        nation.join(_mb(region, sf_dir, "region"), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
         .orderBy("r_name")

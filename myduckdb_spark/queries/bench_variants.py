@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from myduckdb_spark.catalog import load_table
+from myduckdb_spark.catalog import maybe_broadcast as _mb
 from myduckdb_spark.operators.groupjoin import group_join
 from myduckdb_spark.queries import register_bench
 
@@ -90,7 +91,7 @@ def q03_bench(spark, sf_dir):
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_mb(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -126,14 +127,14 @@ def q05_bench(spark, sf_dir):
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_mb(supplier, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(customer),
+            _mb(customer, sf_dir, "customer"),
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(_mb(nation, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_mb(region, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.sum(rev).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
@@ -191,8 +192,8 @@ def q10_bench(spark, sf_dir):
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(_mb(customer, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_mb(nation, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(rev).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -229,6 +230,34 @@ def groupjoin_bench(spark, sf_dir):
     return out.select(
         "o_orderkey", "o_totalprice", "n_items", "total_qty"
     ).orderBy("o_orderkey")
+
+
+@register_bench(
+    "join_range_theta",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(*) AS n_lines, SUM(l.l_quantity) AS qty
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def join_range_theta_bench(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 60 DAY"))
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("l_quantity").alias("qty"))
+        .orderBy("o_orderstatus")
+    )
 
 
 @register_bench(

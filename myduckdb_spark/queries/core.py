@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from myduckdb_spark.catalog import load_table
+from myduckdb_spark.catalog import maybe_broadcast as _mb
 from myduckdb_spark.functions.compat import (
     DEC,
     REVENUE_SQL,
@@ -104,7 +105,7 @@ def q03_top_revenue_orders(spark, sf_dir):
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_mb(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -144,14 +145,14 @@ def q05_local_supplier_volume(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_mb(supplier, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(customer),
+            _mb(customer, sf_dir, "customer"),
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(_mb(nation, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_mb(region, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
@@ -218,8 +219,8 @@ def q10_returned_items(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(_mb(customer, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_mb(nation, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")

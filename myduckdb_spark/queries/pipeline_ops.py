@@ -112,9 +112,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     all-pairs result (the oracle) while doing O(candidates) work —
     the 100 TB path."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs, k=3, num_hashes=128, bands=32, threshold=0.7
-    ).orderBy("id_a", "id_b")
+    pairs = minhash_lsh_pairs(docs, k=3, num_hashes=128, bands=32, threshold=0.7)
+    # persist BEFORE the global sort: the range exchange otherwise computes
+    # its child twice (bounds-sampling pass + shuffle map pass), and here
+    # the child is the whole pair-verification join — not a reusable
+    # shuffle stage. The cached set is the final answer (tiny vs input).
+    return pairs.persist().orderBy("id_a", "id_b")
 
 
 @register(

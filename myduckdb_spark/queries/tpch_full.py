@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from myduckdb_spark.catalog import load_table
+from myduckdb_spark.catalog import maybe_broadcast as _mb
 from myduckdb_spark.functions.compat import DEC, davg_sql, dsum, dsum_sql, revenue_col
 from myduckdb_spark.queries import register
 
@@ -59,8 +60,8 @@ def q02_best_supplier_per_nation(spark, sf_dir):
         F.max("s_acctbal").alias("mx_acctbal")
     )
     return (
-        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        sup.join(_mb(nat, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_mb(reg, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(
             F.broadcast(mx),
             (F.col("s_nationkey") == F.col("mx_nationkey"))
@@ -147,10 +148,10 @@ def q07_volume_shipping(spark, sf_dir):
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(_mb(sup, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_mb(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_mb(n1, sf_dir, "nation"), F.col("s_nationkey") == F.col("n1_key"))
+        .join(_mb(n2, sf_dir, "nation"), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -204,12 +205,12 @@ def q08_market_share(spark, sf_dir):
     zero = F.lit(0).cast(DEC)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(reg), F.col("n1_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(_mb(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_mb(sup, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_mb(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_mb(n1, sf_dir, "nation"), F.col("c_nationkey") == F.col("n1_key"))
+        .join(_mb(reg, sf_dir, "region"), F.col("n1_regionkey") == F.col("r_regionkey"))
+        .join(_mb(n2, sf_dir, "nation"), F.col("s_nationkey") == F.col("n2_key"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             revenue_col().alias("volume_dec"),
@@ -262,9 +263,9 @@ def q09_product_type_profit(spark, sf_dir):
     ).cast(DEC)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_mb(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_mb(sup, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_mb(nat, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
@@ -398,7 +399,7 @@ def q14_promo_effect(spark, sf_dir):
     rev = revenue_col()
     zero = F.lit(0).cast(DEC)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(_mb(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -444,7 +445,7 @@ def q15_top_supplier(spark, sf_dir):
     sup = load_table(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
-        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(_mb(sup, sf_dir, "supplier"), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -479,7 +480,7 @@ def q16_supplier_part_counts(spark, sf_dir):
     bad_sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(_mb(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -514,7 +515,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         ).alias("__thr")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(_mb(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(per_part), F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("__thr"))
         .agg(
@@ -560,7 +561,7 @@ def q18_large_volume_customers(spark, sf_dir):
     return (
         li.join(big, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_mb(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", "total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -595,7 +596,7 @@ def q19_discounted_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#16") & sz.between(1, 35) & (q >= 20) & (q <= 30))
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(_mb(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
     )
@@ -630,13 +631,13 @@ def q20_excess_inventory_suppliers(spark, sf_dir):
         (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
     )
     qualifying = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(_mb(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("__sq"))
         .filter(F.col("__sq") > 50)
     )
     return (
-        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        sup.join(_mb(nat, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", F.col("s_acctbal").alias("acctbal"))
         .orderBy("s_name")
@@ -692,8 +693,8 @@ def q21_waiting_suppliers(spark, sf_dir):
             "left_anti",
         )
         .join(orders, F.col("l1.l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(sup), F.col("l1.l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_mb(sup, sf_dir, "supplier"), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(_mb(nat, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
