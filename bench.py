@@ -84,6 +84,9 @@ def main() -> None:
             df = all_q[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             samples.append(time.time() - t0)
+            # queries that persist() intermediates (dedup) must not hand
+            # them to the next run: every sample computes from parquet
+            spark.catalog.clearCache()
         samples.sort()
         timings[name] = _median(samples)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
@@ -167,6 +170,7 @@ def main() -> None:
                 df = all_q[name](spark, sf1_dir)
                 df.write.mode("overwrite").format("noop").save()
                 samples.append(time.time() - t0)
+                spark.catalog.clearCache()
                 if samples[0] > 45:  # one slow pass is measurement enough
                     break
             t1[name] = _median(samples)

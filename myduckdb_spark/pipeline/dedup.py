@@ -192,8 +192,16 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     par = docs.sparkSession.sparkContext.defaultParallelism
+    # n_docs drives POLICY only (all-pairs vs banded LSH; verify-hint
+    # broadcast gate). The raw doc-row count is a metadata-cheap job
+    # (column-pruned count, parquet row-group stats when docs is a bare
+    # scan) and upper-bounds the shingled-doc count, so the thresholds
+    # see the same corpus scale WITHOUT a count_distinct pass over every
+    # (id, shingle) row (was: an Expand×2 aggregation job over the whole
+    # exploded set, ~0.6s of the sf0.1 query).
+    n_docs = docs.count()
     # Only the EXPLODED (id, shingle) rows are cached — every downstream
-    # branch (probes, bitmap build, signatures, hashed-array verify)
+    # branch (vocab probe, bitmap build, signatures, hashed-array verify)
     # derives from them. Caching the pre-explode shingle ARRAYS as well
     # (the r8 layout) doubled the cache writes for no reader.
     exploded = (
@@ -204,15 +212,6 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
-    # ONE probe job for both policy inputs (doc count + vocabulary size)
-    # instead of r8's two (sh.count() then distinct-limit-collect), and
-    # without materializing the shingle-array cache the old count walked.
-    # n_docs counts docs with ≥1 shingle — shingle-less docs can never
-    # pair, so the policy thresholds see the same effective corpus.
-    probe = exploded.agg(
-        F.count_distinct("id").alias("nd"), F.count_distinct("s").alias("nv")
-    ).first()
-    n_docs, n_vocab = probe["nd"], probe["nv"]
     # pair verification re-attaches per-doc payloads to the candidate
     # list; the lookup side is |docs| rows, broadcastable only while the
     # corpus is small. Above budget use plain shuffle joins — at 100 TB
@@ -224,6 +223,17 @@ def minhash_lsh_pairs(
     )
     hashed = exploded.select("id", F.xxhash64("s").alias("h"))
 
+    # ONE probe job answers the bitmap-budget question and (when it fits)
+    # returns the vocabulary itself with its xxhash64 values: distinct
+    # shingles capped at budget+1 — a row count of budget+1 proves the
+    # vocabulary exceeds the bitmap budget without enumerating it.
+    vocab_rows = (
+        exploded.select("s").distinct()
+        .limit(_BITMAP_VOCAB_MAX + 1)
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    )
+    n_vocab = len(vocab_rows)
     if n_vocab == 0:  # no doc has a shingle → no pair can exist
         return docs.select(
             F.col(id_col).alias("id_a"),
@@ -232,13 +242,6 @@ def minhash_lsh_pairs(
         ).limit(0)
     bitmap_ok = n_vocab <= _BITMAP_VOCAB_MAX
     if bitmap_ok:
-        # vocabulary fits the bitmap budget: collect it (≤4096 strings,
-        # cheap from the cached exploded rows) with its xxhash64 values.
-        vocab_rows = (
-            exploded.select("s").distinct()
-            .select("s", F.xxhash64("s").alias("h"))
-            .collect()
-        )
         sorted_vocab = sorted(r["s"] for r in vocab_rows)
         nwords = (n_vocab + 63) // 64
         # shingle -> bit index. element_at on a plan-literal map is a

@@ -22,6 +22,25 @@ from pyspark.sql import functions as F
 from myduckdb_spark.pipeline.dedup import dot_dec_expr, norm_sq_dec_expr
 
 
+def dot_scaled_long_expr(a: str, b: str) -> F.Column:
+    """Pair-level exact dot product of two float-array columns.
+
+    Per-element products round to SCALED BIGINTs (round(x·y·1e15) — the
+    same long in both engines while |scaled| < 2^53) and integer-sum via
+    zip_with + aggregate: order-independent, so engine-reproducible.
+    Mirrors the oracle's `_DOT_LONG_SQL` (queries/pipeline_ops.py) term
+    for term. The HOF is interpreted (no codegen), but it is ONE eval per
+    pair row with no ×dim row blowup: measured 2× faster end-to-end than
+    the explode→broadcast-join-on-dim→codegen-sum formulation at sf0.1
+    (0.45s vs 0.95s full query), identical output. Requires equal-length
+    vectors (zip_with NULL-pads otherwise; ANN cosine assumes one dim)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e15) AS BIGINT)), "
+        "0L, (acc, v) -> acc + v) / 1e15"
+    )
+
+
 def brute_force_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -31,52 +50,35 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe (excluding self).
 
-    The P·N dot products run as explode → broadcast-join on dim index →
-    codegen sum: the corpus explodes to (id, pos, x) rows once, each row
-    joins the (broadcast) exploded probes on pos, and
-    groupBy(probe, neighbor) sums the per-position products — all
-    whole-stage codegen with map-side partial aggregation. A per-PAIR
-    higher-order-function dot (interpreted, ~ms/eval) measured 30×
-    slower at 80k pairs. Norms are decimal-exact per VECTOR (P+N HOF
-    evals, not P·N).
-
-    Products accumulate as SCALED BIGINTs (round(px·cx·1e15), exact and
-    engine-identical for |scaled| < 2^53) instead of DECIMAL(18,15):
-    plain long addition in codegen vs int128 decimal — measured 2-3×
-    faster on the 32M-row aggregation at sf0.1, same rounded-6 output,
-    and the oracle uses the identical formulation."""
+    The P·N dot products run PAIR-level: corpus × broadcast(probes)
+    nested-loop (P is small by construction), one interpreted
+    zip_with/aggregate dot per pair (`dot_scaled_long_expr`) — no ×dim
+    explode, no P·N·dim join+aggregate. This matches the oracle's own
+    cross-join formulation shape. Norms are decimal-exact per VECTOR
+    (P+N HOF evals, not P·N) and ride the pair row."""
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    # Norms ride ALONG the exploded streams (computed once per VECTOR in
-    # the projection below the Generate, then duplicated per dimension
-    # row) and come out of the aggregation via first() — r8 instead
-    # re-scanned probes and corpus to build two norm lookup sides and
-    # broadcast-joined them onto the pair scores: two extra scans, two
-    # extra broadcast-exchange jobs, two extra joins for the same values.
-    pe = probes.select(
+    p = probes.select(
         F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pv"),
         F.sqrt(norm_sq_dec_expr(vec_col)).alias("p_norm"),
-        F.posexplode(vec_col).alias("pos", "px"),
-    ).select("probe_id", "p_norm", "pos", F.col("px").cast("double").alias("px"))
-    ce = corpus.repartition(par).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.sqrt(norm_sq_dec_expr(vec_col)).alias("c_norm"),
-        F.posexplode(vec_col).alias("pos", "cx"),
-    ).select("neighbor_id", "c_norm", "pos", F.col("cx").cast("double").alias("cx"))
-    dots = (
-        ce.join(F.broadcast(pe), "pos")
-        .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .groupBy("probe_id", "neighbor_id")
-        .agg(
-            (F.sum(F.round(F.col("px") * F.col("cx") * 1e15).cast("bigint")) / 1e15)
-            .alias("dot"),
-            F.first("p_norm").alias("p_norm"),
-            F.first("c_norm").alias("c_norm"),
-        )
     )
-    scored = dots.select(
-        "probe_id",
-        "neighbor_id",
-        F.round(F.col("dot") / (F.col("p_norm") * F.col("c_norm")), 6).alias("cos_sim"),
+    c = corpus.repartition(par).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(norm_sq_dec_expr(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                dot_scaled_long_expr("pv", "cv")
+                / (F.col("p_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -123,12 +125,11 @@ def lsh_bucketed_topk(
       payload through the bucket join multiplies the shuffle by the
       candidate fan-out (measured 30×/100× on this repo's other pair
       pipelines before the same fix).
-    * Candidate scoring is the same whole-stage-codegen formulation as
+    * Candidate scoring is the same pair-level formulation as
       ``brute_force_topk``: attach the corpus vector once per candidate
-      (one shuffle on neighbor_id), posexplode on dimension index,
-      broadcast-join the exploded probes on (probe_id, pos), and
-      groupBy-sum decimal products with map-side partial aggregation.
-      No interpreted higher-order-function runs per pair.
+      (one shuffle on neighbor_id), broadcast-join the probe vectors on
+      probe_id, and evaluate one zip_with/aggregate dot per pair
+      (`dot_scaled_long_expr`) — no ×dim explode through the join.
     * Recall is tuned by OR-amplification: ``tables`` independent
       hyperplane sets (seeded xxhash64, no stored model) union their
       candidates. P(candidate) = 1-(1-p^planes)^tables for per-plane
@@ -160,35 +161,32 @@ def lsh_bucketed_topk(
     if tables > 1:  # a pair colliding in several tables must score once
         cands = cands.dropDuplicates(["probe_id", "neighbor_id"])
 
-    # norms ride along the candidate/exploded streams (one eval per
-    # vector, ducted through the aggregation via first()) — see
-    # brute_force_topk: this removes the two norm lookup scans/joins.
-    pe = probes.select(
+    # norms ride along the vector rows (one decimal-exact eval per
+    # vector); scoring is one pair-level interpreted dot per candidate —
+    # see dot_scaled_long_expr for the measured case against the ×dim
+    # explode+join+aggregate formulation.
+    pvec = probes.select(
         F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pv"),
         F.sqrt(norm_sq_dec_expr(vec_col)).alias("p_norm"),
-        F.posexplode(vec_col).alias("pos", "px"),
-    ).select("probe_id", "p_norm", "pos", F.col("px").cast("double").alias("px"))
+    )
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.sqrt(norm_sq_dec_expr(vec_col)).alias("c_norm"),
     )
-    dots = (
+    scored = (
         cands.join(cvec, "neighbor_id")
-        .select("probe_id", "neighbor_id", "c_norm", F.posexplode("cv").alias("pos", "cx"))
-        .join(F.broadcast(pe), ["probe_id", "pos"])
-        .groupBy("probe_id", "neighbor_id")
-        .agg(
-            (F.sum(F.round(F.col("px") * F.col("cx").cast("double") * 1e15).cast("bigint")) / 1e15)
-            .alias("dot"),
-            F.first("p_norm").alias("p_norm"),
-            F.first("c_norm").alias("c_norm"),
+        .join(F.broadcast(pvec), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                dot_scaled_long_expr("pv", "cv")
+                / (F.col("p_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_sim"),
         )
-    )
-    scored = dots.select(
-        "probe_id",
-        "neighbor_id",
-        F.round(F.col("dot") / (F.col("p_norm") * F.col("c_norm")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -344,7 +342,7 @@ def ivf_topk(
     """IVF ANN top-k: corpus vectors are assigned to their nearest
     centroid's inverted list (1 list each); each probe searches its
     ``nprobe`` nearest lists only. Candidates carry ids; scoring reuses
-    the codegen decimal-dot path of ``lsh_bucketed_topk``. Candidate
+    the pair-level scaled-long dot of ``lsh_bucketed_topk``. Candidate
     fraction ≈ nprobe/n_centroids of the corpus per probe on clustered
     data — the sublinear path when locality exists (LSH with coarse
     buckets covers the near-random regime)."""
@@ -361,34 +359,30 @@ def ivf_topk(
         .select("probe_id", "neighbor_id")
         .distinct()
     )
-    # norms ride along the candidate/exploded streams — see
-    # brute_force_topk: removes the two norm lookup scans/joins.
-    pe = probes.select(
+    # norms ride along the vector rows; scoring is one pair-level
+    # interpreted dot per candidate — see dot_scaled_long_expr.
+    pvec = probes.select(
         F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pv"),
         F.sqrt(norm_sq_dec_expr(vec_col)).alias("p_norm"),
-        F.posexplode(vec_col).alias("pos", "px"),
-    ).select("probe_id", "p_norm", "pos", F.col("px").cast("double").alias("px"))
+    )
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.sqrt(norm_sq_dec_expr(vec_col)).alias("c_norm"),
     )
-    dots = (
+    scored = (
         cands.join(cvec, "neighbor_id")
-        .select("probe_id", "neighbor_id", "c_norm", F.posexplode("cv").alias("pos", "cx"))
-        .join(F.broadcast(pe), ["probe_id", "pos"])
-        .groupBy("probe_id", "neighbor_id")
-        .agg(
-            (F.sum(F.round(F.col("px") * F.col("cx").cast("double") * 1e15).cast("bigint")) / 1e15)
-            .alias("dot"),
-            F.first("p_norm").alias("p_norm"),
-            F.first("c_norm").alias("c_norm"),
+        .join(F.broadcast(pvec), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                dot_scaled_long_expr("pv", "cv")
+                / (F.col("p_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_sim"),
         )
-    )
-    scored = dots.select(
-        "probe_id",
-        "neighbor_id",
-        F.round(F.col("dot") / (F.col("p_norm") * F.col("c_norm")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
