@@ -30,6 +30,25 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Inferred parquet schema per (path, mtime): plain spark.read.parquet()
+# re-lists the path and re-reads a footer on EVERY call (~65 ms/table of
+# driver-side metadata work — ~0.4s of every 6-table query build).
+# Passing the cached schema skips inference; the mtime in the key
+# invalidates on rewrite. METADATA only — execution still reads parquet.
+_SCHEMA_CACHE: dict = {}
+
+
+def _table_schema(spark: SparkSession, path: str):
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = (path, None)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one star-schema table (parquet; pushdown-capable).
@@ -52,7 +71,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    p = f"{sf_dir}/{name}.parquet"
+    df = spark.read.schema(_table_schema(spark, p)).parquet(p)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
