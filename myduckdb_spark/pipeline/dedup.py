@@ -203,7 +203,10 @@ def minhash_lsh_pairs(
     # Only the EXPLODED (id, shingle) rows are cached — every downstream
     # branch (vocab probe, bitmap build, signatures, hashed-array verify)
     # derives from them. Caching the pre-explode shingle ARRAYS as well
-    # (the r8 layout) doubled the cache writes for no reader.
+    # (the r8 layout) doubled the cache writes for no reader. (Measured
+    # alternative: skipping this persist on the bitmap path makes the
+    # probe 0.35s cheaper but the re-explode costs 0.3s more at exec —
+    # net loss.)
     exploded = (
         docs.repartition(par)
         .select(
@@ -256,11 +259,16 @@ def minhash_lsh_pairs(
         # map as the (never-expected) fallback.
         hash_by_s = {r["s"]: r["h"] for r in vocab_rows}
         if len(set(hash_by_s.values())) == n_vocab:
-            kv: list = []
-            for i, s in enumerate(sorted_vocab):
-                kv += [F.lit(hash_by_s[s]), F.lit(i)]
+            # ONE parsed expression instead of 2·V F.lit() py4j calls:
+            # each lit round-trip costs ~0.5 ms, so at V=4096 the Python
+            # loop alone burned ~4 s of driver time (guide §4 — shrink
+            # the JVM↔Python boundary). Identical MAP<BIGINT,INT> literal.
+            entries = ",".join(
+                f"{hash_by_s[s]}L,{i}" for i, s in enumerate(sorted_vocab)
+            )
             idxed = exploded.select(
-                "id", F.element_at(F.create_map(*kv), F.xxhash64("s")).alias("idx")
+                "id",
+                F.element_at(F.expr(f"map({entries})"), F.xxhash64("s")).alias("idx"),
             )
         else:  # pragma: no cover - astronomically unlikely
             kv = []

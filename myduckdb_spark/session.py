@@ -47,6 +47,12 @@ def get_spark(
         # AQE: runtime coalescing, skew-join splitting, plan re-optimization.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): byte-driven
+        # coalescing (false + 64MB advisory) measured +5% on sf0.1 fixed
+        # overhead but single-threaded the 30-60MB shuffle stages at sf1
+        # (groupjoin 1.49s -> 4.43s, join_range_theta 0.75s -> 2.47s) —
+        # on a many-core box the sub-advisory stages still want the
+        # parallelism.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # DuckDB timestamps are naive-UTC; pin the session so values match.
         .config("spark.sql.session.timeZone", "UTC")
