@@ -145,6 +145,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH, verified with exact Jaccard.
 
@@ -193,13 +194,16 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     par = docs.sparkSession.sparkContext.defaultParallelism
     # n_docs drives POLICY only (all-pairs vs banded LSH; verify-hint
-    # broadcast gate). The raw doc-row count is a metadata-cheap job
-    # (column-pruned count, parquet row-group stats when docs is a bare
-    # scan) and upper-bounds the shingled-doc count, so the thresholds
-    # see the same corpus scale WITHOUT a count_distinct pass over every
-    # (id, shingle) row (was: an Expand×2 aggregation job over the whole
-    # exploded set, ~0.6s of the sf0.1 query).
-    n_docs = docs.count()
+    # broadcast gate). The raw doc-row count upper-bounds the shingled-doc
+    # count, so the thresholds see the same corpus scale WITHOUT a
+    # count_distinct pass over every (id, shingle) row (was: an Expand×2
+    # aggregation job over the whole exploded set, ~0.6s of the sf0.1
+    # query). Callers that scan a catalog table pass the exact count from
+    # the parquet footers (catalog.table_row_count — no Spark job at all);
+    # the fallback for arbitrary DataFrames is a metadata-cheap count job
+    # (column-pruned, parquet row-group stats when docs is a bare scan).
+    if n_docs is None:
+        n_docs = docs.count()
     # Only the EXPLODED (id, shingle) rows are cached — every downstream
     # branch (vocab probe, bitmap build, signatures, hashed-array verify)
     # derives from them. Caching the pre-explode shingle ARRAYS as well

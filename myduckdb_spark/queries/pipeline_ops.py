@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from myduckdb_spark.catalog import load_table
+from myduckdb_spark.catalog import load_table, table_row_count
 from myduckdb_spark.pipeline.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
@@ -112,7 +112,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     all-pairs result (the oracle) while doing O(candidates) work —
     the 100 TB path."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, k=3, num_hashes=128, bands=32, threshold=0.7)
+    # exact doc count from the parquet footers (policy input only) —
+    # skips the count job the fallback path would run at build time
+    pairs = minhash_lsh_pairs(
+        docs, k=3, num_hashes=128, bands=32, threshold=0.7,
+        n_docs=table_row_count(sf_dir, "documents"),
+    )
     # persist BEFORE the global sort: the range exchange otherwise computes
     # its child twice (bounds-sampling pass + shuffle map pass), and here
     # the child is the whole pair-verification join — not a reusable

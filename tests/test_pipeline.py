@@ -95,6 +95,35 @@ def test_minhash_lsh_banded_path_matches_allpairs(docs, monkeypatch):
     assert allpairs == banded_bitmap == banded_arrays and allpairs
 
 
+def test_minhash_lsh_explicit_n_docs_matches_counted(docs):
+    """Passing the corpus row count (catalog.table_row_count's footer
+    value at the call sites) must yield the same pairs as letting the
+    function count — n_docs is a POLICY input only."""
+    counted = {
+        (r["id_a"], r["id_b"], r["jacc"])
+        for r in minhash_lsh_pairs(docs, threshold=0.6, num_hashes=128, bands=32).collect()
+    }
+    explicit = {
+        (r["id_a"], r["id_b"], r["jacc"])
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.6, num_hashes=128, bands=32, n_docs=docs.count()
+        ).collect()
+    }
+    assert counted == explicit and counted
+
+
+def test_table_row_count_matches_spark_count(spark):
+    """Footer-metadata row count == df.count() for a bare table scan
+    (the invariant that lets dedup's policy probe skip the count job)."""
+    from myduckdb_spark.catalog import load_table, table_row_count
+
+    sf_dir = "/root/testdata/sf0.01"
+    n_footer = table_row_count(sf_dir, "documents")
+    n_spark = load_table(spark, sf_dir, "documents").count()
+    assert n_footer == n_spark
+    assert table_row_count("/nonexistent", "documents") is None
+
+
 def test_simhash_pairs(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(docs, max_hamming=10).collect()}
     assert (1, 5) in pairs  # identical text → identical fingerprint
