@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from myduckdb_spark.cacheutil import persist_tracked
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -211,13 +213,11 @@ def minhash_lsh_pairs(
     # alternative: skipping this persist on the bitmap path makes the
     # probe 0.35s cheaper but the re-explode costs 0.3s more at exec —
     # net loss.)
-    exploded = (
-        docs.repartition(par)
-        .select(
+    exploded = persist_tracked(
+        docs.repartition(par).select(
             F.col(id_col).alias("id"),
             F.explode(char_shingles_expr(text_col, k)).alias("s"),
         )
-        .persist()
     )
     # pair verification re-attaches per-doc payloads to the candidate
     # list; the lookup side is |docs| rows, broadcastable only while the
@@ -282,7 +282,7 @@ def minhash_lsh_pairs(
                 "id", F.element_at(F.create_map(*kv), F.col("s")).alias("idx")
             )
         setsize_w = sum(F.bit_count(F.col(f"w{w}")) for w in range(nwords))
-        bm = (
+        bm = persist_tracked(
             idxed.groupBy("id")
             .agg(
                 *[
@@ -301,7 +301,6 @@ def minhash_lsh_pairs(
             # the whole index-lookup + groupBy subtree runs twice (the r8
             # plan had two full HashAggregate trees — no exchange reuse
             # across a BroadcastExchange). |docs| rows × (nwords+2) longs.
-            .persist()
         )
         av = bm.select(
             F.col("id").alias("id_a"),

@@ -13,12 +13,29 @@ before hashing values).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from myduckdb_spark.cacheutil import release_tracked
+
 Builder = Callable[[SparkSession, str], DataFrame]
+
+
+def _scoped(fn: Builder) -> Builder:
+    """Release the PREVIOUS query's tracked persists before building the
+    next one (cacheutil): callers build → materialize → build → …, so by
+    the time the next builder runs, earlier caches have no reader. Keeps
+    cache usage bounded in a session looping over the whole registry."""
+
+    @functools.wraps(fn)
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_tracked()
+        return fn(spark, sf_dir)
+
+    return build
 
 
 @dataclass
@@ -44,8 +61,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QueryDef(name, fn, oracle, tags)
-        return fn
+        REGISTRY[name] = QueryDef(name, _scoped(fn), oracle, tags)
+        return fn  # direct module-level callers keep the unscoped builder
 
     return deco
 
@@ -54,7 +71,7 @@ def register_bench(name: str, oracle: str | None = None):
     """Attach a double-aggregation bench variant to a registered query."""
     def deco(fn: Builder) -> Builder:
         q = REGISTRY[name]
-        q.bench_builder = fn
+        q.bench_builder = _scoped(fn)
         q.bench_oracle = oracle
         return fn
 

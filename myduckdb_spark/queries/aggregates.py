@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from myduckdb_spark.catalog import load_table
 from myduckdb_spark.catalog import maybe_broadcast as _mb
 from myduckdb_spark.functions.compat import DEC, dsum, dsum_sql
+from myduckdb_spark.operators.ordering import sorted_tiny
 from myduckdb_spark.queries import register
 
 
@@ -40,7 +41,8 @@ def agg_distinct_and_filter(spark, sf_dir):
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
             dsum("o_totalprice", "total_price"),
         )
-        .orderBy("o_orderpriority")
+        # enum-domain group keys → bounded result at any scale (§2.4)
+        .transform(sorted_tiny, "o_orderpriority")
     )
 
 
@@ -67,7 +69,8 @@ def agg_rollup(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             dsum("o_totalprice", "total"),
         )
-        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+        # status×priority rollup — enum-domain group keys (§2.4)
+        .transform(sorted_tiny, "gid", "o_orderstatus", "o_orderpriority")
     )
 
 
@@ -87,7 +90,8 @@ def agg_cube(spark, sf_dir):
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
-        .orderBy("gid", "l_returnflag", "l_linestatus")
+        # flag×status cube — enum-domain group keys (§2.4)
+        .transform(sorted_tiny, "gid", "l_returnflag", "l_linestatus")
     )
 
 
@@ -108,7 +112,9 @@ def agg_grouping_sets(spark, sf_dir):
             [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(
+        # enum-domain grouping sets (§2.4)
+        .transform(
+            sorted_tiny,
             F.col("o_orderstatus").asc_nulls_last(),
             F.col("o_orderpriority").asc_nulls_last(),
         )

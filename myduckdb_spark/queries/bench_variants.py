@@ -18,9 +18,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from myduckdb_spark.catalog import load_table
+from myduckdb_spark.catalog import load_table, table_row_count
 from myduckdb_spark.catalog import maybe_broadcast as _mb
 from myduckdb_spark.operators.groupjoin import group_join
+from myduckdb_spark.operators.ordering import sorted_small, sorted_tiny
 from myduckdb_spark.queries import register_bench
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -61,7 +62,8 @@ def q01_bench(spark, sf_dir):
             F.avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # enum-domain group keys (§2.4; mirrors the registered builder)
+        .transform(sorted_tiny, "l_returnflag", "l_linestatus")
     )
 
 
@@ -137,7 +139,8 @@ def q05_bench(spark, sf_dir):
         .join(_mb(region, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.sum(rev).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+        # one row per nation of one region (§2.4)
+        .transform(sorted_tiny, F.col("revenue").desc(), F.col("n_name"))
     )
 
 
@@ -227,9 +230,12 @@ def groupjoin_bench(spark, sf_dir):
         ],
         how="inner",
     )
-    return out.select(
-        "o_orderkey", "o_totalprice", "n_items", "total_qty"
-    ).orderBy("o_orderkey")
+    # one row per order — footer-gated single-partition sort (§2.4)
+    return sorted_small(
+        out.select("o_orderkey", "o_totalprice", "n_items", "total_qty"),
+        "o_orderkey",
+        est_rows=table_row_count(sf_dir, "orders"),
+    )
 
 
 @register_bench(
@@ -256,7 +262,8 @@ def join_range_theta_bench(spark, sf_dir):
         li.join(orders, cond)
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("l_quantity").alias("qty"))
-        .orderBy("o_orderstatus")
+        # one row per order status (§2.4)
+        .transform(sorted_tiny, "o_orderstatus")
     )
 
 
@@ -280,5 +287,6 @@ def agg_rollup_bench(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum("o_totalprice").alias("total"),
         )
-        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+        # status×priority rollup — enum-domain group keys (§2.4)
+        .transform(sorted_tiny, "gid", "o_orderstatus", "o_orderpriority")
     )

@@ -23,8 +23,10 @@ from myduckdb_spark.functions.compat import (
     dsum_sql,
     revenue_col,
 )
+from myduckdb_spark.catalog import table_row_count
 from myduckdb_spark.operators.groupjoin import group_join
 from myduckdb_spark.operators.joins import amus_join
+from myduckdb_spark.operators.ordering import sorted_small, sorted_tiny
 from myduckdb_spark.queries import register
 
 
@@ -71,7 +73,9 @@ def q01_pricing_summary(spark, sf_dir):
             davg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # returnflag×linestatus is an enum-domain group set (a handful of
+        # rows at ANY scale) — single-task sort, no range exchange (§2.4)
+        .transform(sorted_tiny, "l_returnflag", "l_linestatus")
     )
 
 
@@ -155,7 +159,8 @@ def q05_local_supplier_volume(spark, sf_dir):
         .join(_mb(region, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+        # one row per nation of one region at ANY scale (§2.4)
+        .transform(sorted_tiny, F.col("revenue").desc(), F.col("n_name"))
     )
 
 
@@ -260,7 +265,15 @@ def groupjoin_order_items(spark, sf_dir):
         ],
         how="inner",
     )
-    return out.select("o_orderkey", "o_totalprice", "n_items", "total_qty").orderBy("o_orderkey")
+    # result is one row per order: below the small-sort cap a single-
+    # partition exchange sorts it in one task and skips the range
+    # exchange's bounds-sampling re-execution of the join stage (§2.4);
+    # above the cap (footer row count scales with the data) → range sort
+    return sorted_small(
+        out.select("o_orderkey", "o_totalprice", "n_items", "total_qty"),
+        "o_orderkey",
+        est_rows=table_row_count(sf_dir, "orders"),
+    )
 
 
 @register(
@@ -281,4 +294,5 @@ def amus_theta_join(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     out = amus_join(nation, region, F.col("n_regionkey") != F.col("r_regionkey"))
-    return out.select("n_name", "r_name").orderBy("n_name", "r_name")
+    # nation×region — both enum-scale dims (§2.4)
+    return sorted_tiny(out.select("n_name", "r_name"), "n_name", "r_name")

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from myduckdb_spark.catalog import load_table
 from myduckdb_spark.functions.compat import dsum, dsum_sql
+from myduckdb_spark.operators.ordering import sorted_tiny
 from myduckdb_spark.operators.joins import (
     asof_join,
     mark_join,
@@ -221,7 +222,8 @@ def join_range_theta(spark, sf_dir):
         li.join(orders, cond)
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity", "qty"))
-        .orderBy("o_orderstatus")
+        # one row per order status — enum-domain group key (§2.4)
+        .transform(sorted_tiny, "o_orderstatus")
     )
 
 

@@ -8,7 +8,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from myduckdb_spark.cacheutil import persist_tracked
 from myduckdb_spark.catalog import load_table, table_row_count
+from myduckdb_spark.operators.ordering import (
+    SMALL_SORT_MAX_ROWS,
+    sorted_small,
+    sorted_tiny,
+)
 from myduckdb_spark.pipeline.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
@@ -114,15 +120,21 @@ def dedup_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     # exact doc count from the parquet footers (policy input only) —
     # skips the count job the fallback path would run at build time
+    n_docs = table_row_count(sf_dir, "documents")
     pairs = minhash_lsh_pairs(
-        docs, k=3, num_hashes=128, bands=32, threshold=0.7,
-        n_docs=table_row_count(sf_dir, "documents"),
+        docs, k=3, num_hashes=128, bands=32, threshold=0.7, n_docs=n_docs,
     )
-    # persist BEFORE the global sort: the range exchange otherwise computes
-    # its child twice (bounds-sampling pass + shuffle map pass), and here
-    # the child is the whole pair-verification join — not a reusable
-    # shuffle stage. The cached set is the final answer (tiny vs input).
-    return pairs.persist().orderBy("id_a", "id_b")
+    # The range exchange of a plain orderBy computes its child TWICE
+    # (bounds-sampling pass + shuffle map pass), and here the child is the
+    # whole pair-verification join. Small corpora (near-dup pair lists are
+    # O(n) on non-degenerate corpora — a super-linear answer set means
+    # dedup should cluster, not enumerate, per pipeline/dedup.py): one
+    # single-partition exchange, join executes once, no sampling, no cache.
+    # Above the cap: persist the (answer-sized) pair set so the scalable
+    # range sort's sampling pass reads the cache instead of re-joining.
+    if n_docs is not None and n_docs <= SMALL_SORT_MAX_ROWS:
+        return pairs.repartition(1).sortWithinPartitions("id_a", "id_b")
+    return persist_tracked(pairs).orderBy("id_a", "id_b")
 
 
 @register(
@@ -213,10 +225,18 @@ def sim_topk_bruteforce(spark, sf_dir):
     baseline. JVM-side dot products (zip_with+aggregate), window top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
-    return brute_force_topk(probes, emb, k=5).orderBy("probe_id", "rank")
+    # k rows per probe (footer-estimated): single-partition sort skips the
+    # range exchange's bounds sampling, which re-runs the whole top-k
+    # window stage over the P×N scored pairs (§2.4)
+    n_emb = table_row_count(sf_dir, "embeddings")
+    return sorted_small(
+        brute_force_topk(probes, emb, k=5),
+        "probe_id", "rank",
+        est_rows=None if n_emb is None else (n_emb // 50 + 1) * 5,
+    )
 
 
-def _topk_selfcheck(approx, exact, k: int, recall_floor: float):
+def _topk_selfcheck(approx, exact, k: int, recall_floor: float, est_rows=None):
     """Per-probe completeness/order invariants + a global recall gate,
     in shapes the SQL oracle can predict: every probe returns exactly k
     ranked rows (n_neighbors=k, ranks_ok), and `pass` carries the
@@ -235,9 +255,13 @@ def _topk_selfcheck(approx, exact, k: int, recall_floor: float):
     gate = recall_at_k(approx, exact, k=k).select(
         (F.col("recall") >= recall_floor).alias("pass")
     )
-    return per_probe.crossJoin(gate).select(
-        "probe_id", "n_neighbors", "ranks_ok", "pass"
-    ).orderBy("probe_id")
+    return sorted_small(
+        per_probe.crossJoin(gate).select(
+            "probe_id", "n_neighbors", "ranks_ok", "pass"
+        ),
+        "probe_id",
+        est_rows=est_rows,
+    )
 
 
 _TOPK_CHECK_ORACLE = """
@@ -265,11 +289,17 @@ def sim_topk_lsh(spark, sf_dir):
     # corpus repeatedly — without a cache that is ~12 parquet scans of
     # embeddings per run (plan-sweep finding); persist the one narrow
     # projection they all share (computed fresh per invocation).
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    emb = persist_tracked(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     probes = emb.filter(F.col("vec_id") % 50 == 0)
     approx = lsh_bucketed_topk(probes, emb, k=5, planes=2, tables=8)
     exact = brute_force_topk(probes, emb, k=5)
-    return _topk_selfcheck(approx, exact, k=5, recall_floor=0.9)
+    n_emb = table_row_count(sf_dir, "embeddings")
+    return _topk_selfcheck(
+        approx, exact, k=5, recall_floor=0.9,
+        est_rows=None if n_emb is None else n_emb // 50 + 1,
+    )
 
 
 @register("sim_topk_ivf", oracle=_TOPK_CHECK_ORACLE, tags=("similarity", "ivf"))
@@ -283,11 +313,17 @@ def sim_topk_ivf(spark, sf_dir):
     Clustered-corpus recall floor asserted in
     tests/test_pipeline.py::test_ivf_clustered_corpus."""
     # shared-projection persist: see sim_topk_lsh (same ~12-scan finding)
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    emb = persist_tracked(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     probes = emb.filter(F.col("vec_id") % 50 == 0)
     approx = ivf_topk(probes, emb, k=5, n_centroids=16, nprobe=12)
     exact = brute_force_topk(probes, emb, k=5)
-    return _topk_selfcheck(approx, exact, k=5, recall_floor=0.8)
+    n_emb = table_row_count(sf_dir, "embeddings")
+    return _topk_selfcheck(
+        approx, exact, k=5, recall_floor=0.8,
+        est_rows=None if n_emb is None else n_emb // 50 + 1,
+    )
 
 
 @register(
@@ -308,7 +344,9 @@ def sim_lsh_recall(spark, sf_dir):
     driver row hash-fails. The raw recall number is asserted in
     tests/test_pipeline.py."""
     # shared-projection persist: see sim_topk_lsh (same ~12-scan finding)
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    emb = persist_tracked(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     probes = emb.filter(F.col("vec_id") % 50 == 0)
     approx = lsh_bucketed_topk(probes, emb, k=5, planes=2, tables=8)
     exact = brute_force_topk(probes, emb, k=5)
@@ -351,7 +389,8 @@ def text_token_stats(spark, sf_dir):
                 "avg_chars"
             ),
         )
-        .orderBy("lang")
+        # one row per language — enum-domain group key (§2.4)
+        .transform(sorted_tiny, "lang")
     )
 
 

@@ -481,7 +481,11 @@ def q16_supplier_part_counts(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(_mb(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        # bad_sup is a filtered SUBSET of supplier (|rows| ≤ |supplier|,
+        # narrower columns) → gating the hint on the supplier table's
+        # on-disk size is a conservative upper bound; above the cap AQE
+        # picks the strategy from runtime sizes (guide §3.1)
+        .join(_mb(bad_sup, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -516,7 +520,10 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
     return (
         li.join(_mb(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("ap_partkey"))
+        # per_part has ≤ |part| rows (one per distinct l_partkey) and two
+        # narrow columns → the part table's on-disk size is a conservative
+        # bound for the hint; above the cap AQE decides (guide §3.1)
+        .join(_mb(per_part, sf_dir, "part"), F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("__thr"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0))
@@ -638,7 +645,10 @@ def q20_excess_inventory_suppliers(spark, sf_dir):
     )
     return (
         sup.join(_mb(nat, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        # qualifying has ≤ |supplier| rows (grouped by l_suppkey, 2 narrow
+        # columns) → gate the hint on the supplier table's on-disk size;
+        # above the cap AQE decides (guide §3.1)
+        .join(_mb(qualifying, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", F.col("s_acctbal").alias("acctbal"))
         .orderBy("s_name")
     )

@@ -9,8 +9,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from myduckdb_spark.catalog import load_table
+from myduckdb_spark.catalog import load_table, table_row_count
 from myduckdb_spark.functions.compat import DEC
+from myduckdb_spark.operators.ordering import sorted_small
 from myduckdb_spark.operators.window_ex import agg_exclude, qualify, sum_exclude
 from myduckdb_spark.queries import register
 
@@ -167,7 +168,16 @@ def win_qualify_topk(spark, sf_dir):
     )
     w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     out = qualify(joined, lambda df: F.row_number().over(w) <= 3)
-    return out.orderBy("c_custkey", F.col("o_totalprice").desc(), "o_orderkey")
+    # ≤ 3 rows per sampled customer: below the cap a single-partition
+    # exchange sorts in one task — and the window stage executes ONCE
+    # (the range sort's bounds sampling re-runs it); above the cap the
+    # footer estimate flips back to the scalable range sort (§2.4)
+    est = table_row_count(sf_dir, "customer")
+    return sorted_small(
+        out,
+        "c_custkey", F.col("o_totalprice").desc(), "o_orderkey",
+        est_rows=None if est is None else (est // 20 + 1) * 3,
+    )
 
 
 @register(

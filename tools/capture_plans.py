@@ -16,7 +16,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-TAG = "r09"
+TAG = os.environ.get("SPARK_GRAFT_PLANS_TAG", "r10")
 
 
 def main() -> None:
@@ -31,7 +31,9 @@ def main() -> None:
     bq = q.bench_queries()
     outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", TAG)
     os.makedirs(outdir, exist_ok=True)
-    for name in HEADLINE:
+    # extra names beyond the headline list capture the registered builder
+    names = list(HEADLINE) + sorted(set(only) - set(HEADLINE))
+    for name in names:
         if only and name not in only:
             continue
         builder, _ = bq[name]
