@@ -38,9 +38,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _SCHEMA_CACHE: dict = {}
 
 
+def _table_mtime(path: str) -> float:
+    """Cache-invalidation stamp for a table path. For a DIRECTORY table,
+    rewriting a part file in place does not change the directory mtime —
+    so take the max mtime over the directory and every contained file
+    (ADVICE r9: a stale footer row count would mis-gate the dedup
+    broadcast/all-pairs policies)."""
+    m = os.path.getmtime(path)
+    if os.path.isdir(path):
+        for dp, _dirs, fs in os.walk(path):
+            for f in fs:
+                try:
+                    m = max(m, os.path.getmtime(os.path.join(dp, f)))
+                except OSError:
+                    pass
+    return m
+
+
 def _table_schema(spark: SparkSession, path: str):
     try:
-        key = (path, os.path.getmtime(path))
+        key = (path, _table_mtime(path))
     except OSError:
         key = (path, None)
     sch = _SCHEMA_CACHE.get(key)
@@ -128,7 +145,7 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
     """
     p = f"{sf_dir}/{name}.parquet"
     try:
-        key = (p, os.path.getmtime(p))
+        key = (p, _table_mtime(p))
     except OSError:
         return None
     n = _ROWCOUNT_CACHE.get(key)
@@ -137,12 +154,20 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
             import pyarrow.parquet as pq
 
             if os.path.isdir(p):
-                n = sum(
-                    pq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
-                    for dp, _dirs, fs in os.walk(p)
-                    for f in fs
-                    if f.endswith(".parquet")
-                )
+                # Spark's reader ingests every non-hidden file regardless
+                # of extension (only '_'/'.' prefixes are skipped). If a
+                # data file lacks the .parquet suffix we cannot read its
+                # footer here — return None so callers fall back to
+                # df.count() instead of undercounting (ADVICE r9: an
+                # undercount loosens the broadcast/all-pairs safety gates).
+                n = 0
+                for dp, _dirs, fs in os.walk(p):
+                    for f in fs:
+                        if f.startswith(("_", ".")):
+                            continue
+                        if not f.endswith(".parquet"):
+                            return None
+                        n += pq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
             else:
                 n = pq.ParquetFile(p).metadata.num_rows
         except Exception:

@@ -112,16 +112,43 @@ def test_minhash_lsh_explicit_n_docs_matches_counted(docs):
     assert counted == explicit and counted
 
 
-def test_table_row_count_matches_spark_count(spark):
+def test_table_row_count_matches_spark_count(spark, sf_dir):
     """Footer-metadata row count == df.count() for a bare table scan
     (the invariant that lets dedup's policy probe skip the count job)."""
     from myduckdb_spark.catalog import load_table, table_row_count
 
-    sf_dir = "/root/testdata/sf0.01"
     n_footer = table_row_count(sf_dir, "documents")
     n_spark = load_table(spark, sf_dir, "documents").count()
     assert n_footer == n_spark
     assert table_row_count("/nonexistent", "documents") is None
+
+
+def test_table_row_count_directory_rules(spark, tmp_path):
+    """Directory tables: (a) non-parquet-suffixed data files → None (Spark
+    would read them; undercounting would loosen dedup's safety gates);
+    (b) rewriting a part file in place invalidates the cached count even
+    though the directory mtime is unchanged (ADVICE r9)."""
+    import os
+    import time
+
+    from myduckdb_spark.catalog import table_row_count
+
+    d = tmp_path / "t.parquet"
+    spark.range(10).coalesce(1).write.mode("overwrite").parquet(str(d))
+    assert table_row_count(str(tmp_path), "t") == 10
+    # (b) rewrite a part IN PLACE; keep the directory mtime frozen
+    dir_mtime = os.path.getmtime(d)
+    part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    time.sleep(0.05)
+    pq.write_table(pa.table({"id": pa.array(range(7), "int64")}), part)
+    os.utime(d, (dir_mtime, dir_mtime))
+    assert table_row_count(str(tmp_path), "t") == 7
+    # (a) an unsuffixed data file makes the footer count unreliable
+    (d / "extra-data-file").write_bytes(b"not parquet")
+    assert table_row_count(str(tmp_path), "t") is None
 
 
 def test_simhash_pairs(docs):
