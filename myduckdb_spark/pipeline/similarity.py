@@ -9,9 +9,14 @@ Two paths, same output contract (probe_id, neighbor_id, cos_sim, rank):
   the corpus (one shuffle on bucket key); probes only score their bucket
   (and optional multi-probe neighbors). Approximate, tunable recall.
 
-Dot products are pure JVM expressions (zip_with + aggregate) — no Python
-in the hot path. For very wide vectors a Pandas-UDF/numpy batch variant
-is provided (`numpy_topk_per_partition`) — Arrow-batched matrix math.
+Dot-product scoring has two output-identical kernels: pure JVM
+expressions (zip_with + aggregate) for small pair counts, and an
+Arrow-batched numpy kernel (guide §4.2) that computes the SAME
+scaled-integer dots bit-for-bit once the expected pair count crosses
+`_NUMPY_SCORE_MIN_PAIRS` (the interpreted HOF is ~1M element-ops/s/core;
+numpy is two orders faster on whole batches). A legacy float-matmul
+variant (`numpy_topk_per_partition`) remains for wide vectors where
+bit-parity with the SQL formulation is not required.
 """
 
 from __future__ import annotations
@@ -41,21 +46,146 @@ def dot_scaled_long_expr(a: str, b: str) -> F.Column:
     )
 
 
+# Probe-count cap for the Arrow/numpy scoring path: probes are collected
+# to the driver and broadcast as one float64 matrix (cap·dim·8 bytes —
+# 64 dims → 32 MB at the cap). Above it (or on an exotic corpus the
+# vectorized kernel cannot score bit-exactly) the pure-JVM HOF path runs.
+_NUMPY_SCORE_MAX_PROBES = int(
+    __import__("os").environ.get("SPARK_GRAFT_TOPK_NUMPY_MAX_PROBES", "65536")
+)
+# ... and a FLOOR on the expected pair count: the numpy path pays a fixed
+# ~0.3-0.5s (probe-collect job + Python worker spin-up + Arrow traffic),
+# so tiny workloads keep the JVM HOF (measured at dim 64: 80k pairs →
+# HOF wins 0.62s vs 0.97s; 8M pairs → numpy wins 2.7s vs 17.0s; the
+# compute crossover is ~200k pairs — 500k adds margin for cold workers).
+# Callers pass the corpus row count from parquet footers; without a hint
+# the pair count is unknown and the JVM path (prior behaviour) runs.
+_NUMPY_SCORE_MIN_PAIRS = int(
+    __import__("os").environ.get("SPARK_GRAFT_TOPK_NUMPY_MIN_PAIRS", "500000")
+)
+
+
+def _round_half_up_i64(t):
+    """Vectorized replica of Spark's round(double) → BIGINT.
+
+    Spark's Round is HALF_UP on BigDecimal(Double.toString(t)). For
+    |t| < 2^52 every half-integer X.5 is exactly representable as a
+    double, so the shortest decimal repr of t crosses an X.5 boundary iff
+    t itself does — HALF_UP on the string equals HALF_UP on the true
+    binary value, which this computes exactly: frac = t - floor(t) is an
+    exact float op, and the away-from-zero tie goes up on frac >= 0.5."""
+    import numpy as np
+
+    a = np.abs(t)
+    fl = np.floor(a)
+    r = fl + (a - fl >= 0.5)
+    return (np.sign(t) * r).astype(np.int64)
+
+
+def _numpy_pair_dots(c: DataFrame, probe_rows, dim: int) -> DataFrame:
+    """All (corpus row × probe) scaled-integer dot products, computed by
+    numpy on whole Arrow batches (guide §4.2) — BIT-IDENTICAL to
+    `dot_scaled_long_expr`: per element, (x·y) then ·1e15 are the same
+    two IEEE float64 ops; the HALF_UP rounding matches Spark's (see
+    `_round_half_up_i64`); the int64 per-pair sum is the same exact long
+    arithmetic. Division by the norms and the final round(·, 6) stay in
+    the JVM so every downstream float op is byte-for-byte the old plan."""
+    import numpy as np
+
+    pid = np.asarray([r["probe_id"] for r in probe_rows], dtype=np.int64)
+    pm = np.asarray([r["pv"] for r in probe_rows], dtype=np.float64)
+    pn = np.asarray([r["p_norm"] for r in probe_rows], dtype=np.float64)
+    npr = len(pid)
+    bc = c.sparkSession.sparkContext.broadcast((pid, pm, pn))
+
+    def score(batches):
+        import pyarrow as pa
+
+        b_pid, b_pm, b_pn = bc.value
+        p_cnt, d = b_pm.shape
+        # (rows, P) working set — loop over the dim axis with small 2-D
+        # temporaries instead of one (rows, P, dim) tensor: same exact
+        # arithmetic, ~d× smaller allocations (32 concurrent workers
+        # thrash the allocator on 60 MB+ temporaries — measured 47s vs
+        # ~3s for the identical math)
+        chunk = max(1, (8 << 20) // max(1, p_cnt * 8))
+        pm_t = np.ascontiguousarray(b_pm.T)  # (dim, P) for row slices
+        for batch in batches:
+            nid = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            emb = batch.column(1)
+            cn = batch.column(2).to_numpy(zero_copy_only=False).astype(np.float64)
+            lens = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
+            if emb.null_count or (lens != d).any():
+                # ragged/null vectors: zip_with would NULL-pad → NULL dot;
+                # such corpora take the JVM path (builders gate on shape),
+                # so refuse loudly rather than silently diverge
+                raise ValueError("numpy scoring path requires dense fixed-dim vectors")
+            cm = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
+                            dtype=np.float64).reshape(len(nid), d)
+            for lo in range(0, len(nid), chunk):
+                cc = cm[lo:lo + chunk]
+                b = len(cc)
+                dots = np.zeros((b, p_cnt), dtype=np.int64)
+                t = np.empty((b, p_cnt), dtype=np.float64)
+                fl = np.empty_like(t)
+                for j in range(d):
+                    # (x·y)·1e15 — the same two IEEE ops as the JVM HOF
+                    np.multiply(cc[:, j:j + 1], pm_t[j][None, :], out=t)
+                    np.multiply(t, 1e15, out=t)
+                    neg = t < 0
+                    np.abs(t, out=t)
+                    np.floor(t, out=fl)
+                    np.subtract(t, fl, out=t)          # exact frac
+                    fl += t >= 0.5                     # HALF_UP, away from 0
+                    np.negative(fl, where=neg, out=fl)
+                    dots += fl.astype(np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.tile(b_pid, b), type=pa.int64()),
+                        pa.array(np.repeat(nid[lo:lo + chunk], p_cnt), type=pa.int64()),
+                        pa.array(dots.reshape(-1), type=pa.int64()),
+                        pa.array(np.tile(b_pn, b), type=pa.float64()),
+                        pa.array(np.repeat(cn[lo:lo + chunk], p_cnt), type=pa.float64()),
+                    ],
+                    names=["probe_id", "neighbor_id", "dot", "p_norm", "c_norm"],
+                )
+
+    return c.mapInArrow(
+        score,
+        schema="probe_id long, neighbor_id long, dot long, p_norm double, c_norm double",
+    )
+
+
 def brute_force_topk(
     probes: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_corpus_hint: int | None = None,
+    n_probes_hint: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe (excluding self).
 
-    The P·N dot products run PAIR-level: corpus × broadcast(probes)
-    nested-loop (P is small by construction), one interpreted
-    zip_with/aggregate dot per pair (`dot_scaled_long_expr`) — no ×dim
-    explode, no P·N·dim join+aggregate. This matches the oracle's own
-    cross-join formulation shape. Norms are decimal-exact per VECTOR
-    (P+N HOF evals, not P·N) and ride the pair row."""
+    The P·N dot products run PAIR-level — no ×dim explode, no P·N·dim
+    join+aggregate. Two physically different, output-identical scoring
+    kernels:
+
+    * numpy path (when the caller's `n_corpus_hint` — a parquet-footer
+      row count — promises ≥ `_NUMPY_SCORE_MIN_PAIRS` pairs and the probe
+      set fits the driver cap): one `mapInArrow` over the corpus computes
+      the scaled-integer dots as whole-batch matrix math (guide §4.2 —
+      the interpreted zip_with HOF was ~95% of the sf1 query: 14-16s of
+      16s measured; numpy does the same 0.5G float ops in well under a
+      second). Bit-equality with the HOF argued at `_numpy_pair_dots`
+      and asserted by test_pipeline.
+    * JVM HOF path (small workloads / no hint / over the probe cap /
+      fixed-dim violation): the r9 corpus × broadcast(probes) nested
+      loop with one interpreted zip_with/aggregate dot per pair.
+
+    Norms are decimal-exact per VECTOR (P+N HOF evals, not P·N) on both
+    paths; the norm division, round(·, 6) and the top-k window are the
+    same JVM operators either way."""
     par = corpus.sparkSession.sparkContext.defaultParallelism
     p = probes.select(
         F.col(id_col).alias("probe_id"),
@@ -67,19 +197,50 @@ def brute_force_topk(
         F.col(vec_col).alias("cv"),
         F.sqrt(norm_sq_dec_expr(vec_col)).alias("c_norm"),
     )
-    scored = (
-        c.crossJoin(F.broadcast(p))
-        .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.round(
-                dot_scaled_long_expr("pv", "cv")
-                / (F.col("p_norm") * F.col("c_norm")),
-                6,
-            ).alias("cos_sim"),
-        )
+    # the probe collect is itself a job — only pay it when BOTH hints
+    # promise the numpy path will be taken (small workloads skip straight
+    # to the JVM HOF with zero extra jobs, the r9 plan exactly)
+    want_numpy = (
+        n_corpus_hint is not None
+        and n_probes_hint is not None
+        and 0 < n_probes_hint <= _NUMPY_SCORE_MAX_PROBES
+        and n_probes_hint * n_corpus_hint >= _NUMPY_SCORE_MIN_PAIRS
     )
+    probe_rows = p.limit(_NUMPY_SCORE_MAX_PROBES + 1).collect() if want_numpy else []
+    dims = {len(r["pv"]) for r in probe_rows if r["pv"] is not None}
+    if (
+        0 < len(probe_rows) <= _NUMPY_SCORE_MAX_PROBES
+        and len(probe_rows) * (n_corpus_hint or 0) >= _NUMPY_SCORE_MIN_PAIRS
+        and len(dims) == 1
+        and all(r["pv"] is not None and r["p_norm"] is not None for r in probe_rows)
+    ):
+        pairs = _numpy_pair_dots(c, probe_rows, dim=next(iter(dims)))
+        scored = (
+            pairs.filter(F.col("probe_id") != F.col("neighbor_id"))
+            .select(
+                "probe_id",
+                "neighbor_id",
+                F.round(
+                    (F.col("dot") / F.lit(1e15))
+                    / (F.col("p_norm") * F.col("c_norm")),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+    else:
+        scored = (
+            c.crossJoin(F.broadcast(p))
+            .filter(F.col("probe_id") != F.col("neighbor_id"))
+            .select(
+                "probe_id",
+                "neighbor_id",
+                F.round(
+                    dot_scaled_long_expr("pv", "cv")
+                    / (F.col("p_norm") * F.col("c_norm")),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -230,7 +230,10 @@ def sim_topk_bruteforce(spark, sf_dir):
     # window stage over the P×N scored pairs (§2.4)
     n_emb = table_row_count(sf_dir, "embeddings")
     return sorted_small(
-        brute_force_topk(probes, emb, k=5),
+        brute_force_topk(
+            probes, emb, k=5, n_corpus_hint=n_emb,
+            n_probes_hint=None if n_emb is None else n_emb // 50 + 1,
+        ),
         "probe_id", "rank",
         est_rows=None if n_emb is None else (n_emb // 50 + 1) * 5,
     )
@@ -293,9 +296,12 @@ def sim_topk_lsh(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
     probes = emb.filter(F.col("vec_id") % 50 == 0)
-    approx = lsh_bucketed_topk(probes, emb, k=5, planes=2, tables=8)
-    exact = brute_force_topk(probes, emb, k=5)
     n_emb = table_row_count(sf_dir, "embeddings")
+    approx = lsh_bucketed_topk(probes, emb, k=5, planes=2, tables=8)
+    exact = brute_force_topk(
+        probes, emb, k=5, n_corpus_hint=n_emb,
+        n_probes_hint=None if n_emb is None else n_emb // 50 + 1,
+    )
     return _topk_selfcheck(
         approx, exact, k=5, recall_floor=0.9,
         est_rows=None if n_emb is None else n_emb // 50 + 1,
@@ -317,9 +323,12 @@ def sim_topk_ivf(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
     probes = emb.filter(F.col("vec_id") % 50 == 0)
-    approx = ivf_topk(probes, emb, k=5, n_centroids=16, nprobe=12)
-    exact = brute_force_topk(probes, emb, k=5)
     n_emb = table_row_count(sf_dir, "embeddings")
+    approx = ivf_topk(probes, emb, k=5, n_centroids=16, nprobe=12)
+    exact = brute_force_topk(
+        probes, emb, k=5, n_corpus_hint=n_emb,
+        n_probes_hint=None if n_emb is None else n_emb // 50 + 1,
+    )
     return _topk_selfcheck(
         approx, exact, k=5, recall_floor=0.8,
         est_rows=None if n_emb is None else n_emb // 50 + 1,
@@ -349,7 +358,11 @@ def sim_lsh_recall(spark, sf_dir):
     )
     probes = emb.filter(F.col("vec_id") % 50 == 0)
     approx = lsh_bucketed_topk(probes, emb, k=5, planes=2, tables=8)
-    exact = brute_force_topk(probes, emb, k=5)
+    n_emb = table_row_count(sf_dir, "embeddings")
+    exact = brute_force_topk(
+        probes, emb, k=5, n_corpus_hint=n_emb,
+        n_probes_hint=None if n_emb is None else n_emb // 50 + 1,
+    )
     return recall_at_k(approx, exact, k=5).select(
         F.col("k").cast("int").alias("k"),
         F.col("n_probes").cast("bigint").alias("n_probes"),

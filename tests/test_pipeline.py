@@ -174,6 +174,31 @@ def test_similarity_rankings_agree(spark):
     assert lsh.count() == lsh.dropDuplicates(["probe_id", "neighbor_id"]).count()
 
 
+def test_brute_force_numpy_path_bit_exact(spark, sf_dir, monkeypatch):
+    """The Arrow/numpy scoring kernel must be BIT-identical to the JVM
+    zip_with/aggregate kernel (same IEEE products, same HALF_UP rounding,
+    same int64 sums): force each path in turn on the same corpus and
+    compare the full top-k output, cos_sim values included."""
+    from myduckdb_spark.catalog import load_table, table_row_count
+    from myduckdb_spark.pipeline import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    n = table_row_count(sf_dir, "embeddings")
+    hints = {"n_corpus_hint": n, "n_probes_hint": None if n is None else n // 50 + 1}
+    monkeypatch.setattr(S, "_NUMPY_SCORE_MIN_PAIRS", 1)  # force numpy
+    via_numpy_df = S.brute_force_topk(probes, emb, k=5, **hints)
+    assert "MapInArrow" in (  # prove the numpy path actually ran
+        via_numpy_df._jdf.queryExecution().executedPlan().toString()
+    )
+    via_numpy = sorted(tuple(r) for r in via_numpy_df.collect())
+    monkeypatch.setattr(S, "_NUMPY_SCORE_MAX_PROBES", 0)  # force JVM HOF
+    via_hof = sorted(
+        tuple(r) for r in S.brute_force_topk(probes, emb, k=5, **hints).collect()
+    )
+    assert via_numpy == via_hof and via_numpy
+
+
 def test_text_stats_and_quality(docs):
     s = text_stats(docs).filter(F.col("doc_id") == 1).collect()[0]
     assert s["n_tokens"] == 9 and s["n_distinct_tokens"] == 8
